@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine._
+
+/** Single source of truth binding each declared operator (SURVEY.md §2C/§2D)
+  * to (a) its Spark implementation and (b) its DuckDB oracle SQL. The
+  * driver runs both over the same parquet and hash-compares; column names
+  * and value representations are kept identical by construction (exact
+  * decimal arithmetic, bit-deterministic doubles — see Relational docs).
+  */
+object Registry {
+  import Registry0.{Entry, e}
+
+  val relational: Seq[(String, Entry)] = Seq(
+    "q_scan_project" -> e(Relational.scanProject,
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,20)) AS qty20,
+        | CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DECIMAL(38,20)) AS price20
+        |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin),
+
+    "q_filter" -> e(Relational.filterRange,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '2000-07-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 25
+        |ORDER BY 1, 2, 3, 4""".stripMargin),
+
+    "q_delete_filter" -> e(Relational.deleteFilter,
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' AND l_quantity >= 30.0)
+        |ORDER BY 1, 2, 3, 4""".stripMargin),
+
+    "q_join_inner" -> e(Relational.joinInner,
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q_join_multi" -> e(Relational.joinMulti,
+      """SELECT r_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders   ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_join_left" -> e(Relational.joinLeft,
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin),
+
+    "q_join_semi" -> e(Relational.joinSemi,
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey IN
+        | (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q_join_anti" -> e(Relational.joinAnti,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q_agg_group" -> e(Relational.aggGroup,
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS sum_base,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS sum_disc,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))
+        |          * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_agg_distinct" -> e(Relational.aggDistinct,
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+        | count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_ord
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_agg_rollup" -> e(Relational.aggRollup,
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        | COALESCE(n_name, 'ALL') AS nation_name,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total,
+        | count(*) AS n,
+        | CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation   ON c_nationkey = n_nationkey
+        | JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region_name, nation_name, g_r, g_n""".stripMargin),
+
+    "q_window_rank" -> e(Relational.windowRank,
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        | FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin),
+
+    "q_window_running" -> e(Relational.windowRunning,
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+        |   AS run_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    "q_sort_limit" -> e(Relational.sortLimit,
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin),
+
+    "q_set_ops" -> e(Relational.setOps,
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 430000.0),
+        | b AS (SELECT o_custkey FROM orders
+        |       WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000.0)
+        |SELECT 'union' AS op, o_custkey FROM (SELECT DISTINCT o_custkey FROM
+        |  (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b) u0) u
+        |UNION ALL
+        |SELECT 'intersect' AS op, o_custkey FROM (SELECT o_custkey FROM a
+        |  INTERSECT SELECT o_custkey FROM b) i
+        |UNION ALL
+        |SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM a
+        |  EXCEPT SELECT o_custkey FROM b) x
+        |ORDER BY op, o_custkey""".stripMargin),
+
+    "q_scalar_funcs" -> e(Relational.scalarFuncs,
+      """SELECT o_orderkey,
+        | upper(c_name) AS up_name,
+        | substring(c_name, 1, 8) AS pre8,
+        | c_mktsegment || '#' || c_name AS tagged,
+        | CAST(length(c_name) AS BIGINT) AS name_len,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mon,
+        | CAST(day(o_orderdate) AS BIGINT) AS dy,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |   AS days_since,
+        | CAST(abs(CAST(c_acctbal AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS abs_bal,
+        | CAST(round(CAST(c_acctbal AS DECIMAL(10,2)), 1) AS DECIMAL(38,6)) AS round1_bal,
+        | CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_bal
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q_update_join" -> e(Relational.updateJoin,
+      """WITH t AS (SELECT c_custkey, c_name,
+        |   CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+        |  FROM customer),
+        | u AS (SELECT c_custkey, 'UPD_' || c_name AS c_name,
+        |   c_acctbal + CAST(100.00 AS DECIMAL(10,2)) AS c_acctbal
+        |  FROM t WHERE c_custkey % 7 = 0)
+        |SELECT t.c_custkey, COALESCE(u.c_name, t.c_name) AS c_name,
+        | CAST(COALESCE(u.c_acctbal, t.c_acctbal) AS DECIMAL(38,6)) AS bal6,
+        | t.c_mktsegment
+        |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
+        |ORDER BY t.c_custkey""".stripMargin),
+
+    "q_upsert_keys" -> e(Relational.upsertKeys,
+      """WITH t AS (SELECT c_custkey, c_name,
+        |   CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+        |  FROM customer),
+        | mods AS (SELECT c_custkey, 'UPD_' || c_name AS c_name,
+        |   c_acctbal + CAST(100.00 AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+        |  FROM t WHERE c_custkey % 7 = 0),
+        | news AS (SELECT c_custkey + 100000 AS c_custkey,
+        |   'NEW_' || c_name AS c_name,
+        |   CAST(0.00 AS DECIMAL(10,2)) AS c_acctbal, 'NEWSEG' AS c_mktsegment
+        |  FROM t WHERE c_custkey % 13 = 0),
+        | u AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
+        |SELECT c_custkey, c_name, CAST(bal AS DECIMAL(38,6)) AS bal6, c_mktsegment
+        |FROM (
+        | SELECT t.c_custkey, COALESCE(u.c_name, t.c_name) AS c_name,
+        |  COALESCE(u.c_acctbal, t.c_acctbal) AS bal, t.c_mktsegment
+        | FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
+        | UNION ALL
+        | SELECT u.c_custkey, u.c_name, u.c_acctbal AS bal, u.c_mktsegment
+        | FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM t)) z
+        |ORDER BY c_custkey""".stripMargin),
+  )
+
+  /** All declared queries, in a stable order. */
+  def entries: Seq[(String, Entry)] =
+    relational ++ EventsRegistry.entries ++ TextRegistry.entries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map { case (n, en) => n -> en.fn }.toMap
+
+  def oracleSql: Map[String, String] =
+    entries.collect { case (n, Entry(_, Some(sql))) => n -> sql }.toMap
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke runner: drives the driver contract surface end-to-end —
+  * `SparkEntry.entry` (flagship, sf0.001) plus a couple of probes.
+  * Usage: sbt "runMain graft.Smoke"
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val df = SparkEntry.entry(spark)
+    println("ENTRY_ROWS=" + df.count())
+    df.show(5, false)
+
+    println("ORACLE_KEYS_SUBSET_OF_QUERIES=" +
+      SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+
+    // error-path probe: missing directory surfaces a clear analysis error
+    try {
+      SparkEntry.queries("q_scan_project")(spark, "/no/such/dir").count()
+      println("BADDIR=no-error (unexpected)")
+    } catch {
+      case e: Throwable => println("BADDIR_ERR_CLASS=" + e.getClass.getName)
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,130 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+/** Time-semantics queries over the `events` table (SURVEY.md §2C): batch
+  * tumbling-window aggregation, gap-based sessionization, and JSON
+  * extraction. The reference has zero streaming code (SURVEY.md §1.1) —
+  * these cover the time surface in batch; the Structured Streaming
+  * variants live in [[graft.streaming.StreamOps]] as an extension.
+  *
+  * All session math runs on epoch-microsecond longs (exact integers in
+  * both engines), sidestepping nanosecond-parquet truncation semantics.
+  */
+object Events {
+
+  /** events with `us` = epoch microseconds (exact long). */
+  private def ev(s: SparkSession, d: String): DataFrame = {
+    val e = Sources.events(s, d)
+    val us = e.schema("ts").dataType match {
+      case TimestampNTZType =>
+        // NTZ has no epoch; with the session fixed to UTC the wall time
+        // IS the epoch time.
+        unix_micros(to_utc_timestamp(col("ts").cast("timestamp"), "UTC"))
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    e.withColumn("us", us.cast(LongType))
+  }
+
+  /** Tumbling 1-hour window aggregation (batch stand-in for a streaming
+    * windowed count; epoch-aligned so `window().start` ==
+    * `date_trunc('hour')`). */
+  def eventsWindow(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(timestamp_micros(col("us")), "1 hour").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Types.out6(sum(Types.money(col("value")))).as("total"))
+      .select(unix_micros(col("w.start")).as("hour_start_us"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("hour_start_us", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity gap): lag → new-session
+    * flag → running sum as session id → per-session rollup. */
+  def eventsSession(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val gapUs = 30L * 60 * 1000 * 1000
+    ev(s, d)
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("flag",
+        when(col("prev_us").isNull, 1)
+          .when(col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("flag")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"),
+        Types.out6(sum(Types.money(col("value")))).as("total"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** JSON scalar extraction over the `props` JSON-string column. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Keyed dedup keep-latest: the classic CDC compaction shape — latest
+    * event per (user_id, event_type) by (time, id). */
+  def dedupKeyed(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    ev(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "us")
+      .orderBy("user_id", "event_type")
+  }
+}
+
+object EventsRegistry {
+  import Registry0.{Entry, e}
+
+  val entries: Seq[(String, Entry)] = Seq(
+    "q_events_window" -> e(Events.eventsWindow,
+      """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
+        | event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_events_session" -> e(Events.eventsSession,
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        | x AS (SELECT user_id, event_id, us, value,
+        |   CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |        WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | s AS (SELECT user_id, us, value,
+        |   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, count(*) AS n_events,
+        | min(us) AS start_us, max(us) AS end_us,
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_json_extract" -> e(Events.jsonExtract,
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_dedup_keyed" -> e(Events.dedupKeyed,
+      """SELECT user_id, event_type, event_id, us FROM (
+        | SELECT user_id, event_type, event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
+        | FROM events) x
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+  )
+}

@@ -1,0 +1,247 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared relational query inventory (SURVEY.md §2C): the SELECT
+  * surface the reference delegates to SQL Server (`sql.py:88-109` hands
+  * opaque T-SQL to the remote engine), re-expressed natively as
+  * DataFrame programs so Catalyst plans them (pushdown, broadcast,
+  * whole-stage codegen).
+  *
+  * Determinism contract with the DuckDB oracle:
+  *  - monetary doubles are exact 2-decimal values → cast to
+  *    DECIMAL(10,2) *before* aggregation so sums are exact and
+  *    order-independent in both engines;
+  *  - computed doubles appear only as bit-deterministic operations on
+  *    identical inputs (a single cast+divide of exact decimals);
+  *  - every query ends in a total-order sort led by a unique key.
+  */
+object Relational {
+  import Types.{money, out6}
+
+  private def li(s: SparkSession, d: String) = Sources.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Sources.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Sources.customer(s, d)
+
+  /** Revenue measure: extendedprice * (1 - discount), exact decimal. */
+  private def revenue: Column =
+    money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+
+  // ---- scan / filter --------------------------------------------------
+
+  /** Scan + projection + the reference's cast pipeline: caller dtype
+    * coercion then decimal(38,20) normalization (`sql.py:119-141`). */
+  def scanProject(s: SparkSession, d: String): DataFrame = {
+    val spec = Types.CoercionSpec(
+      decimalColumns = Seq("l_quantity", "l_extendedprice"))
+    Sources.extract(s, d, "lineitem", spec)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty20"), col("l_extendedprice").as("price20"))
+      .orderBy("l_orderkey", "l_linenumber", "qty20", "price20")
+  }
+
+  def filterRange(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("2000-07-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 25)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+  /** Conditional delete as anti-filter (`sql.py:321-332`). */
+  def deleteFilter(s: SparkSession, d: String): DataFrame =
+    Mutations.deleteWhere(li(s, d), "l_returnflag = 'A' AND l_quantity >= 30.0")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  // ---- joins ----------------------------------------------------------
+
+  def joinInner(s: SparkSession, d: String): DataFrame = {
+    val c = cust(s, d)
+    ord(s, d).filter(col("o_orderstatus") === "F")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** Star join: fact ⋈ fact ⋈ three broadcast dims — the 100 TB shape
+    * (lineitem/orders shuffle on the key once; dims broadcast). */
+  def joinMulti(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(out6(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+
+  def joinLeft(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        out6(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy("c_custkey")
+
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val big = ord(s, d).filter(col("o_totalprice") > 450000.0)
+    cust(s, d).join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val pending = ord(s, d).filter(col("o_orderstatus") === "P")
+    cust(s, d).join(pending, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // ---- aggregation ----------------------------------------------------
+
+  /** TPC-H Q1 shape: partial+final hash aggregation, exact decimal sums,
+    * bit-deterministic double averages (cast-then-divide). */
+  def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val qty = money(col("l_quantity"))
+    val price = money(col("l_extendedprice"))
+    val charge = revenue * (lit(1) + money(col("l_tax")))
+    li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        out6(sum(qty)).as("sum_qty"),
+        out6(sum(price)).as("sum_base"),
+        out6(sum(revenue)).as("sum_disc"),
+        out6(sum(charge)).as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_ord"))
+      .orderBy("o_orderpriority")
+
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(out6(sum(money(col("o_totalprice")))).as("total"),
+        count(lit(1)).as("n"),
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("total"), col("n"), col("g_r"), col("g_n"))
+      .orderBy("region_name", "nation_name", "g_r", "g_n")
+
+  // ---- windows / sort / set ops --------------------------------------
+
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord(s, d)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+      .orderBy("o_custkey", "rk", "o_orderkey")
+  }
+
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(s, d)
+      .withColumn("run_total", out6(sum(money(col("o_totalprice"))).over(w)))
+      .select("o_custkey", "o_orderkey", "run_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    ord(s, d).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d)
+    val a = o.filter(col("o_totalprice") > 430000.0).select(col("o_custkey"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 350000.0).select(col("o_custkey"))
+    val u = a.union(b).distinct().withColumn("op", lit("union"))
+    val i = a.intersect(b).withColumn("op", lit("intersect"))
+    val e = a.except(b).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e)
+      .select("op", "o_custkey")
+      .orderBy("op", "o_custkey")
+  }
+
+  def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    ord(s, d).filter(col("o_orderkey") % 97 === 0)
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        upper(col("c_name")).as("up_name"),
+        substring(col("c_name"), 1, 8).as("pre8"),
+        concat(col("c_mktsegment"), lit("#"), col("c_name")).as("tagged"),
+        length(col("c_name")).cast("long").as("name_len"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
+          .as("days_since"),
+        out6(abs(money(col("c_acctbal")))).as("abs_bal"),
+        out6(round(money(col("c_acctbal")), 1)).as("round1_bal"),
+        when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
+      .orderBy("o_orderkey")
+
+  // ---- merge / upsert (the reference's distinctive mutations) --------
+
+  /** Target table for the mutation queries: customer with an exact
+    * decimal balance (the reference mutates MSSQL tables whose money
+    * columns are decimal already). */
+  private def mutTarget(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_custkey"), col("c_name"),
+      money(col("c_acctbal")).as("c_acctbal"), col("c_mktsegment"))
+
+  private def mutUpdates(s: SparkSession, d: String): DataFrame =
+    mutTarget(s, d).filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("UPD_"), col("c_name")).as("c_name"),
+        (col("c_acctbal") + money(lit(100.0))).as("c_acctbal"))
+
+  /** Merge semantics of `update_data`/`update_from_table`
+    * (`sql.py:191-249,253-289`): one join + coalesce projection. */
+  def updateJoin(s: SparkSession, d: String): DataFrame =
+    Mutations.applyUpdates(mutTarget(s, d), mutUpdates(s, d), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        out6(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Keyed upsert: merge + insert-of-unmatched; post-image keyset is the
+    * union of target and updates keys. */
+  def upsertKeys(s: SparkSession, d: String): DataFrame = {
+    val t = mutTarget(s, d)
+    val mods = t.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"),
+        concat(lit("UPD_"), col("c_name")).as("c_name"),
+        (col("c_acctbal") + money(lit(100.0))).as("c_acctbal"),
+        col("c_mktsegment"))
+    val news = t.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 100000L).as("c_custkey"),
+        concat(lit("NEW_"), col("c_name")).as("c_name"),
+        money(lit(0.0)).as("c_acctbal"),
+        lit("NEWSEG").as("c_mktsegment"))
+    Mutations.upsert(t, mods.unionByName(news), Seq("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        out6(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+}

@@ -1,0 +1,56 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Table readers over the driver testdata layout (`<dir>/<name>.parquet`).
+  *
+  * Replaces the reference's chunked ODBC extract (flowbyte
+  * `sql.py:88-171`): chunked fetch becomes a partitioned columnar scan
+  * (Parquet vectorized reader), the per-chunk dtype/decimal passes become
+  * a single Project that Catalyst folds into the scan (SURVEY.md §3.1).
+  */
+object Sources {
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The reference's full extract pipeline (`sql.py:88-171`) as one
+    * declarative read: scan → caller dtype coercion → decimal(38,20)
+    * normalization. */
+  def extract(
+      spark: SparkSession,
+      dir: String,
+      name: String,
+      spec: Types.CoercionSpec = Types.CoercionSpec()): DataFrame =
+    Types.normalizeDecimals(Types.coerce(read(spark, dir, name), spec))
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events.parquet` carries a nanosecond-precision timestamp, which
+    * Spark's Parquet reader does not model natively; read it as raw
+    * nanos (legacy long mode) and truncate to microseconds — matching
+    * what DuckDB's reader does when it casts TIMESTAMP_NS to TIMESTAMP.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = read(spark, dir, "events")
+    val df = raw.schema("ts").dataType match {
+      case LongType =>
+        // Integer division — `/` on longs is double division in Spark and
+        // epoch-nanos exceed 2^53, which silently rounds the result.
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    df
+  }
+}

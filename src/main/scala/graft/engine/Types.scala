@@ -1,0 +1,76 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type rules of the engine.
+  *
+  * Mirrors the reference's two client-side type behaviors (flowbyte
+  * `sql.py`):
+  *  - per-column dtype coercion requested by the caller
+  *    (`sql.py:88,122-130`; we implement the documented *intent* — the
+  *    reference loop has swapped variables, see SURVEY.md §1.2);
+  *  - normalization of every decimal column to decimal(38,20)
+  *    (`sql.py:104-105,132-141`), the one hard type rule in the reference.
+  */
+object Types {
+
+  /** The reference's fixed decimal target: precision 38, scale 20
+    * (`sql.py:104-105`). Spark's max precision is also 38 — exact match. */
+  val NormalizedDecimal: DecimalType = DecimalType(38, 20)
+
+  /** Exact "money" type for 2-decimal monetary doubles. Small precision on
+    * purpose: products of two Money values stay well inside precision 38,
+    * so decimal arithmetic is exact (never silently rounded) in both Spark
+    * and any ANSI engine. */
+  val Money: DecimalType = DecimalType(10, 2)
+
+  /** Canonical output type for aggregated measures. */
+  val Out: DecimalType = DecimalType(38, 6)
+
+  /** Cast a 2-decimal double column to the exact Money decimal. */
+  def money(c: Column): Column = c.cast(Money)
+
+  /** Final cast for aggregate outputs (exact scale-up). */
+  def out6(c: Column): Column = c.cast(Out)
+
+  /** Caller-requested dtype coercion, the documented intent of
+    * `sql.py:122-130`: cast each named column to the named type.
+    * `category` has no Spark runtime analog (dictionary encoding is a
+    * storage detail under Tungsten) — mapped to StringType, semantics
+    * preserved (SURVEY.md §1.3).
+    */
+  final case class CoercionSpec(
+      categoryColumns: Seq[String] = Nil,
+      boolColumns: Seq[String] = Nil,
+      floatColumns: Seq[String] = Nil,
+      decimalColumns: Seq[String] = Nil)
+
+  def coerce(df: DataFrame, spec: CoercionSpec): DataFrame = {
+    val target: Map[String, DataType] =
+      spec.categoryColumns.map(_ -> (StringType: DataType)).toMap ++
+        spec.boolColumns.map(_ -> (BooleanType: DataType)) ++
+        spec.floatColumns.map(_ -> (DoubleType: DataType)) ++
+        spec.decimalColumns.map(_ -> (Money: DataType))
+    // Single Project node; Catalyst folds it into the scan-adjacent
+    // projection, so coercion costs nothing extra at scale.
+    df.select(df.columns.map { name =>
+      target.get(name) match {
+        case Some(t) => col(name).cast(t).as(name)
+        case None    => col(name)
+      }
+    }: _*)
+  }
+
+  /** The decimal(38,20) normalization pass (`sql.py:132-141`): every
+    * DecimalType column — and only decimal columns, matching the
+    * reference, which leaves floats alone — is cast to (38,20). */
+  def normalizeDecimals(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: DecimalType => col(f.name).cast(NormalizedDecimal).as(f.name)
+        case _              => col(f.name)
+      }
+    }: _*)
+}
