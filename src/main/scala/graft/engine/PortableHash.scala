@@ -1,0 +1,51 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing for the dedup/fingerprint operators.
+  *
+  * Spark's native hash functions (murmur3 `hash`, `xxhash64`) have no
+  * DuckDB equivalent, so oracle-verified queries use an MD5-derived
+  * 28-bit integer hash instead: MD5 is standardized, both engines emit
+  * the same lowercase hex, and 7 hex digits fit integer arithmetic with
+  * headroom (a*x+b stays far below 2^63 for 32-bit constants `a`).
+  *
+  * At 100 TB scale a caller can swap [[h28]] for `xxhash64` via the
+  * `hashCol` parameters on the TextOps operators — the pipeline shape is
+  * identical; only the hash family changes.
+  */
+object PortableHash {
+
+  /** Largest prime below 2^28 — modulus for all derived hash families. */
+  val P: Long = 268435399L
+
+  /** 12 (a, b) pairs for the MinHash family h_j(x) = (a_j·x + b_j) mod P. */
+  val A: Seq[Long] = Seq(1103515245L, 2654435761L, 1000003L, 10000019L,
+    999999937L, 805306457L, 402653189L, 201326611L, 100663319L, 50331653L,
+    25165843L, 12582917L)
+  val B: Seq[Long] = Seq(12345L, 97L, 1009L, 10007L, 100003L, 65537L,
+    257L, 8191L, 524287L, 131071L, 7919L, 104729L)
+
+  /** First 7 hex digits of md5 as a long in [0, 2^28). */
+  def h28(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** The j-th MinHash-family hash of an h28 value. */
+  def minhashJ(x: Column, j: Int): Column =
+    (x * lit(A(j)) + lit(B(j))) % lit(P)
+
+  /** DuckDB SQL computing the same h28 value for expression `e`
+    * (DuckDB has no hex→int conv; expand digit arithmetic). */
+  def duckH28(e: String): String = {
+    val terms = (1 to 7).map { i =>
+      val w = 1L << (4 * (7 - i)) // 16^(7-i)
+      s"(strpos('0123456789abcdef', substr(md5($e), $i, 1))-1)*$w"
+    }
+    s"(${terms.mkString(" + ")})"
+  }
+
+  /** DuckDB SQL for minhashJ over an h28 SQL expression. */
+  def duckMinhashJ(x: String, j: Int): String =
+    s"(${A(j)}*$x + ${B(j)}) % $P"
+}

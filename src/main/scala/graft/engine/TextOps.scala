@@ -1,0 +1,211 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Text-analysis and deduplication operators for large-scale training-data
+  * pipelines (SURVEY.md §2D + the driver's north star): tokenization,
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting, exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard
+  * verification.
+  *
+  * Scale notes (the 100 TB discipline):
+  *  - nothing here is O(n²) over documents — candidate pairs come only
+  *    from LSH band buckets (equi-join on the band signature), never from
+  *    a pairwise compare;
+  *  - every aggregation is a doc_id-keyed hash agg with map-side partial
+  *    aggregation; explodes fan out linearly in corpus token count;
+  *  - the hash family is pluggable ([[PortableHash]] docs): MD5-derived
+  *    for oracle parity, `xxhash64` for production throughput.
+  */
+object TextOps {
+  import PortableHash.{h28, minhashJ, P}
+
+  val NumHashes = 12
+  val Bands = 4 // 4 bands × 3 rows
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct 3-token shingles (empty array for docs under 3 tokens). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** doc_id → exploded distinct shingles with their h28 hash. */
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(shingles3(tokens(col("text")))).as("sh"))
+      .withColumn("x", h28(col("sh")))
+
+  /** MinHash signature: doc_id, h0..h11. One shuffle (doc_id hash agg
+    * with partial min map-side). */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(j => min(minhashJ(col("x"), j)).as(s"h$j"))
+    shingleHashes(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band rows: (doc_id, band, sig) — docs sharing a (band, sig)
+    * bucket are near-dup candidates. */
+  def minhashBands(sig: DataFrame): DataFrame =
+    (0 until Bands).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws("_", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+          col(s"h${3 * b + 2}")).as("sig"))
+    }.reduce(_ unionByName _)
+
+  /** Candidate pairs (a < b) from LSH banding — the scale path: an
+    * equi-join on (band, sig), never a cross join. */
+  def candidatePairs(sig: DataFrame): DataFrame = {
+    val bands = minhashBands(sig)
+    val x = bands.alias("x")
+    val y = bands.alias("y")
+    x.join(y, col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification of LSH candidates. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      shingles3(tokens(col("text"))).as("s"))
+    val cand = candidatePairs(minhashSignature(docs))
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .withColumn("jacc",
+        size(array_intersect(col("sa"), col("sb"))) /
+          size(array_union(col("sa"), col("sb"))))
+      .filter(col("jacc") >= threshold)
+      .select(col("a"), col("b"), col("jacc"))
+  }
+
+  /** SimHash (28-bit, over distinct tokens): bit b of the signature is the
+    * sign of Σ_tokens (±1 by bit b of the token hash). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("x", h28(col("tok")))
+    val bitSums = (0 until 28).map(b =>
+      sum(when(shiftright(col("x"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"s$b"))
+    val packed = (0 until 28).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
+  }
+
+  /** Rolling-weight document fingerprint: Σ h28(tok_i)·w(i mod 16) mod P,
+    * w(k) = (1103515245·k + 12345) mod P. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("x", h28(col("tok")))
+      .withColumn("w", (lit(1103515245L) * (col("pos") % 16) + lit(12345L)) % lit(P))
+      .groupBy(col("doc_id"))
+      .agg((sum((col("x") * col("w")) % lit(P)) % lit(P)).as("fp"))
+
+  // ---- declared queries ----------------------------------------------
+
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("c").desc, col("tok"))
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast(LongType).as("n_ws"),
+      regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("n_alpha"),
+      regexp_count(col("text"), lit("[a-z]{1,4}")).cast(LongType).as("n_bpe"),
+      col("n_chars"))
+      .orderBy("doc_id")
+
+  def docStats(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "lang")
+
+  private val StopWords = Seq("the", "a", "of", "and", "in")
+
+  /** Language-ID heuristic: stopword-ratio classifier (labels in the
+    * synthetic corpus are random, so this demonstrates the operator,
+    * deterministically, rather than recovering the label). */
+  def langId(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("tok").isin(StopWords: _*), 1).otherwise(0)).as("n_stop"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tok"))
+      .withColumn("pred_lang",
+        when(col("stop_ratio") >= 0.05, lit("en")).otherwise(lit("und")))
+      .select("doc_id", "lang", "n_tok", "n_stop", "stop_ratio", "pred_lang")
+      .orderBy("doc_id")
+
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        sum(length(col("tok"))).as("sum_len"))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tok"))
+      .withColumn("mean_tok_len", col("sum_len").cast("double") / col("n_tok"))
+      .withColumn("grade",
+        when(col("n_tok") >= 60 && col("ttr") >= 0.55, lit("high"))
+          .when(col("n_tok") >= 30, lit("mid"))
+          .otherwise(lit("low")))
+      .select("doc_id", "n_tok", "n_uniq", "ttr", "mean_tok_len", "grade")
+      .orderBy("doc_id")
+
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    fingerprint(Sources.documents(s, d)).orderBy("doc_id")
+
+  def dedupExact(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    Sources.documents(s, d)
+      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy(col("norm"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("dup_cnt"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    minhashSignature(Sources.documents(s, d)).orderBy("doc_id")
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    jaccardPairs(Sources.documents(s, d), 0.8).orderBy("a", "b")
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(Sources.documents(s, d))
+    sh.withColumn("n_same",
+        count(lit(1)).over(Window.partitionBy(col("simhash"))))
+      .select("doc_id", "simhash", "n_same")
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata. The
+    * payload here derives from `text` (the container ships no media
+    * libs); the schema/partitioning/metadata path is the real thing. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast(LongType).as("blen"),
+        md5(col("payload")).as("sig"))
+      .orderBy("doc_id")
+}

@@ -1,9 +1,177 @@
 package graft.engine
 
-import graft.engine.Registry0.Entry
+import graft.engine.Registry0.{Entry, e}
+import PortableHash.{duckH28, duckMinhashJ, P}
 
-/** Text / dedup / similarity query registry (SURVEY.md §2D) — filled in
-  * by TextOps and Similarity. */
+/** Text / dedup / similarity query registry (SURVEY.md §2D). Oracle SQL
+  * is generated so the hash constants stay single-sourced with
+  * [[PortableHash]] / [[Similarity]]. */
 object TextRegistry {
-  def entries: Seq[(String, Entry)] = Seq()
+
+  /** DuckDB: distinct 3-token shingles of `toks`. */
+  private val duckShingles =
+    "list_distinct(list_transform(range(1, greatest(len(toks)-2,0)+1), " +
+      "i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]))"
+
+  private val toksCte =
+    "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)"
+
+  /** Shared minhash-signature CTE chain ending in `sig(doc_id, h0..h11)`. */
+  private def sigCtes: String = {
+    val mins = (0 until TextOps.NumHashes)
+      .map(j => s"min(${duckMinhashJ("x", j)}) AS h$j").mkString(", ")
+    s"""$toksCte,
+       | ss AS (SELECT doc_id, $duckShingles AS s FROM t),
+       | sh AS (SELECT doc_id, unnest(s) AS sh FROM ss),
+       | hx AS (SELECT doc_id, ${duckH28("sh")} AS x FROM sh),
+       | sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id)""".stripMargin
+  }
+
+  private def duckLshBucket(v: String): String =
+    (0 until Similarity.LshBits).map { j =>
+      val terms = s"list_sum(list_transform(range(1,65), i -> $v[i] * " +
+        s"(((1103515245*(${j * 64} + (i-1)) + 12345) % 2048) - 1024)))"
+      s"(CASE WHEN $terms >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val embCtes =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      | n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e)""".stripMargin
+
+  def entries: Seq[(String, Entry)] = Seq(
+
+    "q_text_tokens" -> e(TextOps.textTokens,
+      """SELECT tok, count(*) AS c, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents) u
+        |GROUP BY tok ORDER BY c DESC, tok""".stripMargin),
+
+    "q_token_count" -> e(TextOps.tokenCount,
+      """SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_ws,
+        | CAST(len(regexp_extract_all(text,'[a-z]+')) AS BIGINT) AS n_alpha,
+        | CAST(len(regexp_extract_all(text,'[a-z]{1,4}')) AS BIGINT) AS n_bpe,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_doc_stats" -> e(TextOps.docStats,
+      """SELECT source, lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_lang_id" -> e(TextOps.langId,
+      """WITH u AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | g AS (SELECT doc_id, lang, count(*) AS n_tok,
+        |   CAST(sum(CASE WHEN tok IN ('the','a','of','and','in')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM u GROUP BY 1, 2)
+        |SELECT doc_id, lang, n_tok, n_stop,
+        | CAST(n_stop AS DOUBLE)/n_tok AS stop_ratio,
+        | CASE WHEN CAST(n_stop AS DOUBLE)/n_tok >= 0.05 THEN 'en' ELSE 'und' END
+        |   AS pred_lang
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    "q_quality_score" -> e(TextOps.qualityScore,
+      """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
+        |   CAST(sum(length(tok)) AS BIGINT) AS sum_len FROM u GROUP BY 1)
+        |SELECT doc_id, n_tok, n_uniq,
+        | CAST(n_uniq AS DOUBLE)/n_tok AS ttr,
+        | CAST(sum_len AS DOUBLE)/n_tok AS mean_tok_len,
+        | CASE WHEN n_tok >= 60 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.55 THEN 'high'
+        |      WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS grade
+        |FROM g ORDER BY doc_id""".stripMargin),
+
+    "q_fingerprint" -> e(TextOps.fingerprintQ,
+      s"""WITH $toksCte
+         |SELECT doc_id, CAST(list_sum(list_transform(range(1, len(toks)+1),
+         |  i -> (${duckH28("toks[i]")} * ((1103515245*((i-1)%16) + 12345) % $P))
+         |       % $P)) % $P AS BIGINT) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_exact" -> e(TextOps.dedupExact,
+      """SELECT doc_id, CAST(dup_cnt AS BIGINT) AS dup_cnt, n_chars FROM (
+        | SELECT doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lower(trim(text))) AS dup_cnt
+        | FROM documents) x
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    "q_dedup_minhash" -> e(TextOps.dedupMinhash, {
+      val hs = (0 until TextOps.NumHashes).map(j => s"h$j").mkString(", ")
+      s"""WITH $sigCtes
+         |SELECT doc_id, $hs FROM sig ORDER BY doc_id""".stripMargin
+    }),
+
+    "q_dedup_ngram" -> e(TextOps.dedupNgram, {
+      val bandSelects = (0 until TextOps.Bands).map { b =>
+        s"SELECT doc_id, $b AS band, h${3 * b}||'_'||h${3 * b + 1}||'_'||h${3 * b + 2} AS sg FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $sigCtes,
+         | bands AS ($bandSelects),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.sg = y.sg AND x.doc_id < y.doc_id),
+         | p AS (SELECT a, b,
+         |   len(list_intersect(sa.s, sb.s)) / len(list_distinct(sa.s || sb.s)) AS jacc
+         |  FROM cand JOIN ss sa ON sa.doc_id = a JOIN ss sb ON sb.doc_id = b)
+         |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin
+    }),
+
+    "q_dedup_simhash" -> e(TextOps.dedupSimhash, {
+      val sums = (0 until 28).map(b =>
+        s"sum(CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+      val packed = (0 until 28).map(b =>
+        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+         |  FROM documents),
+         | hx AS (SELECT doc_id, ${duckH28("tok")} AS x FROM u),
+         | bs AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
+         | sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bs)
+         |SELECT doc_id, simhash,
+         | CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
+         |FROM sh ORDER BY doc_id""".stripMargin
+    }),
+
+    "q_binary_meta" -> e(TextOps.binaryMeta,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+        | md5(text) AS sig
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "q_sim_topk" -> e((s, d) => Similarity.simTopK(s, d),
+      s"""WITH $embCtes,
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm FROM n WHERE vec_id % 50 = 0),
+         | s AS (SELECT q_id, vec_id, list_dot_product(qv, v)/(qnm*nm) AS cos
+         |   FROM q JOIN n ON vec_id != q_id),
+         | r AS (SELECT q_id, vec_id, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT q_id, vec_id, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
+         |FROM r WHERE rk <= 5 ORDER BY q_id, rk, vec_id""".stripMargin),
+
+    "q_sim_lsh" -> e((s, d) => Similarity.simLsh(s, d),
+      s"""WITH $embCtes,
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucket("v")} AS bkt FROM n),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm, bkt FROM nb
+         |   WHERE vec_id % 50 = 0),
+         | s AS (SELECT q.q_id, nb.vec_id, nb.bkt,
+         |   list_dot_product(q.qv, nb.v)/(q.qnm*nb.nm) AS cos
+         |  FROM q JOIN nb ON q.bkt = nb.bkt AND nb.vec_id != q.q_id),
+         | r AS (SELECT q_id, vec_id, bkt, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT q_id, vec_id, bkt, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk, vec_id""".stripMargin),
+
+    "q_dedup_embed" -> e((s, d) => Similarity.dedupEmbed(s, d),
+      s"""WITH $embCtes,
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucket("v")} AS bkt FROM n),
+         | p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.bkt AS bkt,
+         |   list_dot_product(a.v, b.v)/(a.nm*b.nm) AS cos
+         |  FROM nb a JOIN nb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
+         |SELECT a, b, bkt, round(cos, 4) AS cos4 FROM p
+         |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin),
+  )
 }
