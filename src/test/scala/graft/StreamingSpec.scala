@@ -1,0 +1,46 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{Event, SessionOut}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
+  test("hourlyCounts: windowed streaming aggregation over a memory stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(3, ts(70), 2, "view", 3.0))
+    val q = StreamOps.hourlyCounts(mem.toDF())
+      .writeStream.format("memory").queryName("hc").outputMode(OutputMode.Update)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hc").select("event_type", "n")
+      .as[(String, Long)].collect().toMap
+    assert(rows("click") == 2 && rows("view") == 1)
+  }
+
+  test("sessionize: stateful session closes after the gap, emits on close") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(Event(1, ts(0), 7, "a", 1.0), Event(2, ts(5), 7, "a", 1.0))
+    q.processAllAvailable()
+    // 40-min gap → first session (2 events) closes when this arrives
+    mem.addData(Event(3, ts(45), 7, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess").as[SessionOut].collect()
+    assert(out.length == 1)
+    assert(out(0).n_events == 2 && out(0).user_id == 7)
+  }
+}

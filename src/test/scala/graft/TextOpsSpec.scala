@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{PortableHash, Sources, TextOps}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles3 builds distinct 3-token shingles; short docs yield empty") {
+    val df = Seq("a b c d", "x y").toDF("text")
+    val out = df.select(TextOps.shingles3(TextOps.tokens(col("text"))).as("s"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("h28 is stable and within [0, 2^28)") {
+    val out = Seq("hello", "hello", "world").toDF("s")
+      .select(PortableHash.h28(col("s")).as("x")).as[Long].collect()
+    assert(out(0) == out(1) && out(0) != out(2))
+    assert(out.forall(x => x >= 0 && x < (1L << 28)))
+  }
+
+  test("dedupExact: identical normalized docs collapse to the first doc_id") {
+    val df = Seq(
+      (1L, "The Cat ", 8L), (2L, "the cat", 7L), (3L, "dog", 3L)
+    ).toDF("doc_id", "text", "n_chars")
+    // same pipeline as the declared query, against a literal frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("norm")).orderBy(col("doc_id"))
+    val out = df.withColumn("norm", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash+LSH: planted near-duplicates become candidate pairs") {
+    val docs = Sources.documents(spark, sf)
+    val cand = TextOps.candidatePairs(TextOps.minhashSignature(docs))
+    val verified = TextOps.jaccardPairs(docs, 0.8)
+    assert(cand.count() >= verified.count())
+    assert(verified.count() > 0) // the corpus has planted near-dups
+    // every verified pair really clears the threshold
+    assert(verified.filter(col("jacc") < 0.8).count() == 0)
+  }
+
+  test("simhash of identical token multisets is identical") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.simhash(df).orderBy("doc_id").as[(Long, Long)].collect()
+    assert(out(0)._2 == out(1)._2) // order-insensitive
+    assert(out(0)._2 != out(2)._2)
+  }
+
+  test("fingerprint is position-sensitive") {
+    val df = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
+    val out = TextOps.fingerprint(df).orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(out(0)._2 != out(1)._2)
+  }
+}
