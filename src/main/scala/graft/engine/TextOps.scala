@@ -70,11 +70,21 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard verification of LSH candidates. */
+  /** Exact n-gram Jaccard verification of LSH candidates.
+    *
+    * The signature and shingle-set tables are persisted: both sides of
+    * the band self-join (and the two candidate-set joins) would otherwise
+    * recompute the full explode+hash pipeline — 8 scans instead of 1.
+    * Both tables are O(docs), tiny next to the corpus, so at scale this
+    * is a cache/checkpoint of the signature table — standard practice.
+    */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = docs.select(col("doc_id"),
       shingles3(tokens(col("text"))).as("s"))
-    val cand = candidatePairs(minhashSignature(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(
+      minhashSignature(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
