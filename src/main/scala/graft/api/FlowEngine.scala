@@ -1,0 +1,143 @@
+package graft.api
+
+import scala.util.{Failure, Success, Try}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import graft.engine._
+
+/** User-facing facade with the reference's exact operator surface — a
+  * flowbyte `MSSQL` user (`sql.py:21-332`) maps 1:1 onto this class, with
+  * a parquet "warehouse" directory standing in for the remote database
+  * (one `<table>.parquet` per table) and Spark SQL standing in for the
+  * delegated T-SQL surface.
+  *
+  * | reference                         | here                        |
+  * |-----------------------------------|-----------------------------|
+  * | `MSSQL(host, db, …)` `sql.py:26`  | `FlowEngine(spark, dir)`    |
+  * | `connect` `sql.py:36`             | `connect()` registers views |
+  * | `disconnect` `sql.py:62`          | `disconnect()`              |
+  * | `get_data(query, …)` `sql.py:88`  | `getData(query, …)`         |
+  * | `insert_data` `sql.py:174`        | `insertData`                |
+  * | `update_data` `sql.py:191`        | `updateData`                |
+  * | `update_from_table` `sql.py:253`  | `updateFromTable`           |
+  * | `truncate_table` `sql.py:292`     | `truncateTable`             |
+  * | `delete_data` `sql.py:307`        | `deleteData`                |
+  * | `delete_data_with_conditions` `sql.py:321` | `deleteDataWithConditions` |
+  *
+  * Error contract preserved: extraction logs and returns None instead of
+  * raising (`sql.py:166-171`); mutations validate inputs.
+  */
+final class FlowEngine(val spark: SparkSession, warehouse: String) {
+
+  private val log = Log()
+
+  private def tablePath(table: String): String = s"$warehouse/$table.parquet"
+
+  /** "Open the connection": register every `<table>.parquet` under the
+    * warehouse as a temp view so `getData` can run arbitrary SQL against
+    * them (the reference's connect, `sql.py:36-58`, with the catalog in
+    * place of a socket). */
+  def connect(): Try[Seq[String]] = Try {
+    val root = new Path(warehouse)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tables = fs.listStatus(root).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).sorted
+    tables.foreach { t =>
+      spark.read.parquet(tablePath(t)).createOrReplaceTempView(t)
+    }
+    log.message = s"Connected: ${tables.size} tables registered"
+    log.status = "success"
+    log.printMessage()
+    tables
+  }
+
+  /** Drop the registered views (`disconnect`, `sql.py:62-85`; the session
+    * itself belongs to the caller, like the reference's engine). */
+  def disconnect(): Unit = {
+    spark.catalog.listTables().collect()
+      .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+    log.message = "Disconnected"; log.status = "success"; log.printMessage()
+  }
+
+  /** Arbitrary-SQL extract with the reference's post-processing pipeline
+    * (`sql.py:88-171`): run query → caller dtype coercion → decimal
+    * (38,20) normalization → optional progress callback. Returns None on
+    * error (logged), like the reference. */
+  def getData(
+      query: String,
+      spec: Types.CoercionSpec = Types.CoercionSpec(),
+      progress: Option[(Long, Long) => Unit] = None): Option[DataFrame] =
+    Try {
+      val df = Types.normalizeDecimals(Types.coerce(spark.sql(query), spec))
+      progress.foreach { cb =>
+        ProgressReporter.withProgress(spark)(cb)(df.count())
+      }
+      df
+    } match {
+      case Success(df) => Some(df)
+      case Failure(ex) =>
+        log.message = s"get_data failed: ${ex.getMessage}"
+        log.status = "fail"
+        log.printMessage()
+        None
+    }
+
+  /** Chunked append (`insert_data`, `sql.py:174-188`): `chunkRows` maps
+    * the reference's chunk size onto a partition count. */
+  def insertData(table: String, records: DataFrame, chunkRows: Int = 10000): Unit = {
+    val parts = math.max(1, (records.count() / math.max(1, chunkRows)).toInt)
+    Sinks.append(records, tablePath(table), parts)
+  }
+
+  /** Keyed update (`update_data`, `sql.py:191-249`): the per-record
+    * UPDATE loop becomes one join + rewrite. Accepts in-memory records
+    * like the reference's `list[dict]`. */
+  def updateData(table: String, records: Seq[Row], keys: Seq[String]): Unit = {
+    require(records.nonEmpty, "update records must be non-empty")
+    val target = spark.read.parquet(tablePath(table))
+    val updates = spark.createDataFrame(
+      spark.sparkContext.parallelize(records), records.head.schema)
+    require(keys.forall(updates.columns.contains),
+      s"keys ${keys.mkString(",")} must be present in update records")
+    val out = Mutations.applyUpdates(target, updates, keys)
+    Sinks.overwriteInPlace(spark, out, tablePath(table))
+  }
+
+  /** Set-oriented merge from another table (`update_from_table`,
+    * `sql.py:253-289`; first updates column list = all non-key source
+    * columns, mirroring `sql.py:271`'s "first column is the key"). */
+  def updateFromTable(table: String, source: DataFrame, keys: Seq[String]): Unit = {
+    val target = spark.read.parquet(tablePath(table))
+    val out = Mutations.applyUpdates(target, source, keys)
+    Sinks.overwriteInPlace(spark, out, tablePath(table))
+  }
+
+  def truncateTable(table: String): Unit = Sinks.truncate(spark, tablePath(table))
+
+  def deleteData(table: String): Unit = Sinks.deleteAll(spark, tablePath(table))
+
+  /** Conditional delete (`sql.py:321-332`): predicate string parsed by
+    * Catalyst, rows matching it removed. */
+  def deleteDataWithConditions(table: String, conditions: String): Unit = {
+    val target = spark.read.parquet(tablePath(table))
+    val out = Mutations.deleteWhere(target, conditions)
+    Sinks.overwriteInPlace(spark, out, tablePath(table))
+  }
+}
+
+object FlowEngine {
+
+  /** JDBC extract — literal parity with the reference's remote-database
+    * read path (`sql.py:88-109`: arbitrary query, chunked fetch →
+    * `fetchsize`). Untestable in this zero-egress environment. */
+  def jdbcQuery(spark: SparkSession, url: String, query: String,
+      fetchSize: Int = 10000,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", query)
+      .option("fetchsize", fetchSize)
+      .options(options)
+      .load()
+}

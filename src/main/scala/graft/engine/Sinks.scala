@@ -1,5 +1,6 @@
 package graft.engine
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** File sinks, replacing the reference's write-side operators:
@@ -10,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *  - truncate (`sql.py:292-302`) and full delete (`sql.py:307-317`) →
   *    overwrite with an empty frame of the same schema (both reference ops
   *    leave the table in place with zero rows — identical semantics);
-  *  - conditional delete (`sql.py:321-332`) → anti-filter + overwrite,
+  *  - conditional delete (`sql.py:321-332`) → anti-filter + rewrite,
   *    see [[Mutations.deleteWhere]] for the dataflow half.
   */
 object Sinks {
@@ -25,17 +26,34 @@ object Sinks {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Overwrite a table with a frame derived from that same table: Spark
+    * forbids reading and overwriting one location in a single job, so
+    * stage to a sibling temp dir, then swap via filesystem rename. */
+  def overwriteInPlace(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val target = new Path(path)
+    val tmp = new Path(path + ".tmp_rewrite")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+
   /** TRUNCATE TABLE (`sql.py:301`): table survives, rows don't. */
   def truncate(spark: SparkSession, path: String): Unit = {
     val empty = spark.read.parquet(path).limit(0)
-    overwrite(empty, path + ".tmp_truncate")
-    // Two-step to avoid reading and overwriting the same location in one
-    // job (Spark disallows it); final move is a cheap metadata rewrite.
-    val df = spark.read.parquet(path + ".tmp_truncate")
-    overwrite(df, path)
+    overwriteInPlace(spark, empty, path)
   }
 
   /** DELETE FROM without predicate (`sql.py:316`) — same visible state as
     * truncate. */
   def deleteAll(spark: SparkSession, path: String): Unit = truncate(spark, path)
+
+  /** JDBC append — the literal parity path for `insert_data`'s
+    * SQLAlchemy `to_sql(if_exists="append")` (`sql.py:182-184`) when the
+    * target really is a remote database. Untestable in this zero-egress
+    * environment; kept thin over the built-in JDBC writer. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.mode(SaveMode.Append).format("jdbc")
+      .option("url", url).option("dbtable", table).options(options).save()
 }
