@@ -166,6 +166,28 @@ object Registry {
         |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
         |ORDER BY t.c_custkey""".stripMargin),
 
+    "q_pivot_status" -> e(Relational.pivotStatus,
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_agg_strings" -> e(Relational.aggStrings,
+      """WITH ds AS (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+        |SELECT o_orderpriority,
+        | string_agg(o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        | CAST(count(*) AS BIGINT) AS n_status
+        |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_sample_hash" -> e(Relational.sampleHash,
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         |WHERE ${graft.engine.PortableHash.duckH28(
+               "l_orderkey||'_'||l_linenumber")} % 100 < 5
+         |ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_approx_distinct" -> Registry0.noOracle(Relational.approxDistinct),
+
     "q_upsert_keys" -> e(Relational.upsertKeys,
       """WITH t AS (SELECT c_custkey, c_name,
         |   CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment

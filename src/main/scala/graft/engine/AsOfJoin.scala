@@ -1,0 +1,59 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator Spark's DataFrame API lacks (pandas-on-Spark
+  * has `merge_asof`; plain SQL needs an inequality join): for each left
+  * row, pick the latest right row with `rightTime <= leftTime` within the
+  * same key.
+  *
+  * Implementation is the scalable union+window formulation, NOT an
+  * inequality join: tag both sides, union, one shuffle on the key, sort
+  * within the key by (time, tag, tieBreak), carry the last non-null
+  * right payload forward, keep the left rows. Cost is one shuffle + one
+  * sort — O((|L|+|R|)·log) — versus the O(|L|·|R|) per-key blowup of the
+  * naive inequality join, which is what makes it usable at 100 TB.
+  */
+object AsOfJoin {
+
+  /** @param tieBreak right columns ordering equal-time right rows; the
+    *                 *last* in ascending order wins (max tie-break). */
+  def asofLatest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val rightSide = right.select(
+      col(rightKey).cast("long").as("__k"),
+      col(rightTime).cast("long").as("__t"),
+      lit(0).as("__tag"),
+      struct(rightCols.map(col): _*).as("__rpay"))
+    val leftSide0 = left.select(
+      col(leftKey).cast("long").as("__k"),
+      col(leftTime).cast("long").as("__t"),
+      lit(1).as("__tag"),
+      struct(leftCols.map(col): _*).as("__lpay"))
+    val unioned = rightSide
+      .withColumn("__lpay", lit(null).cast(leftSide0.schema("__lpay").dataType))
+      .unionByName(leftSide0
+        .withColumn("__rpay", lit(null).cast(rightSide.schema("__rpay").dataType)))
+
+    // Right rows sort before left rows at equal time (tag 0 < 1), so
+    // "<=" semantics come out of the carry; tie-break columns order
+    // equal-time right rows so `last` picks the maximum.
+    val orderCols: Seq[Column] =
+      col("__t") +: col("__tag") +: tieBreak.map(c => col("__rpay").getField(c))
+    val w = Window.partitionBy(col("__k")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col("__lpay").getField(c).as(c)) ++
+        rightCols.map(c => col("__match").getField(c).as(c)): _*)
+  }
+}

@@ -75,6 +75,27 @@ object Events {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** As-of join: each sampled event picks the latest order (by order
+    * date, then order key) placed by the same user at or before the
+    * event's day — via [[AsOfJoin.asofLatest]] (union+window, one
+    * shuffle). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val left = ev(s, d).filter(col("event_id") % 37 === 0)
+      .withColumn("eday", expr("us DIV 86400000000"))
+      .select("event_id", "user_id", "eday")
+    val right = Sources.orders(s, d)
+      .withColumn("oday",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .select("o_custkey", "oday", "o_orderkey", "o_totalprice")
+    AsOfJoin.asofLatest(left, right,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "eday", rightTime = "oday",
+        rightCols = Seq("o_orderkey", "o_totalprice"),
+        tieBreak = Seq("o_orderkey"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+      .orderBy("event_id")
+  }
+
   /** Keyed dedup keep-latest: the classic CDC compaction shape — latest
     * event per (user_id, event_type) by (time, id). */
   def dedupKeyed(s: SparkSession, d: String): DataFrame = {
@@ -120,6 +141,19 @@ object EventsRegistry {
         | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_asof_join" -> e(Events.asofJoin,
+      """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+        | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |  row_number() OVER (PARTITION BY e.event_id
+        |    ORDER BY o.o_orderdate DESC NULLS LAST,
+        |             o.o_orderkey DESC NULLS LAST) AS rn
+        | FROM (SELECT event_id, user_id,
+        |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS eday
+        |       FROM events WHERE event_id % 37 = 0) e
+        | LEFT JOIN orders o
+        |   ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS DATE) <= e.eday
+        |) x WHERE rn = 1 ORDER BY event_id""".stripMargin),
 
     "q_dedup_keyed" -> e(Events.dedupKeyed,
       """SELECT user_id, event_type, event_id, us FROM (

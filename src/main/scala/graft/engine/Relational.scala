@@ -202,6 +202,46 @@ object Relational {
         when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
       .orderBy("o_orderkey")
 
+  // ---- pivot / string-agg / sampling / sketches ----------------------
+
+  /** PIVOT (part of the delegated T-SQL surface): order counts by status
+    * per priority. */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy("o_orderpriority")
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG surface) — sorted for
+    * determinism. */
+  def aggStrings(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_status"))
+      .orderBy("o_orderpriority")
+
+  /** Deterministic hash sampling (reproducible splits for training
+    * pipelines): keep rows whose portable key-hash lands under 5%. */
+  def sampleHash(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(PortableHash.h28(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"))) % 100 < 5)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** HLL sketch next to the exact answer (no DuckDB oracle — sketch
+    * internals are engine-specific; driver records rows-only). */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // ---- merge / upsert (the reference's distinctive mutations) --------
 
   /** Target table for the mutation queries: customer with an exact

@@ -1,0 +1,41 @@
+package graft
+
+import graft.engine.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (100L, 1L, 10L), // key 1 at t=10
+    (101L, 1L, 4L),  // key 1 at t=4 (before any right row at t<=4? r at t=4)
+    (102L, 2L, 7L),  // key 2 at t=7 — no right rows for key 2
+    (103L, 1L, 3L)   // key 1 at t=3 — before all right rows
+  ).toDF("id", "k", "t")
+
+  private def right = Seq(
+    (1L, 4L, 40L, "r40"),  // key 1 t=4
+    (1L, 4L, 41L, "r41"),  // tie at t=4 → max rid wins
+    (1L, 9L, 90L, "r90")   // key 1 t=9
+  ).toDF("k", "t", "rid", "tag")
+
+  test("asofLatest picks latest right row with rt <= lt, max tie-break, null when none") {
+    val out = AsOfJoin.asofLatest(left, right, "k", "k", "t", "t",
+        rightCols = Seq("rid", "tag"), tieBreak = Seq("rid"))
+      .orderBy("id")
+      .select("id", "rid")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.toSeq == Seq(
+      (100L, 90L),  // t=10 → latest is t=9
+      (101L, 41L),  // t=4 → inclusive, tie broken to max rid
+      (102L, -1L),  // no right rows for key 2
+      (103L, -1L))) // earlier than all right rows
+  }
+
+  test("every left row survives exactly once (left-join cardinality)") {
+    val out = AsOfJoin.asofLatest(left, right, "k", "k", "t", "t",
+      Seq("rid"), Seq("rid"))
+    assert(out.count() == 4)
+    assert(out.select("id").distinct().count() == 4)
+  }
+}
