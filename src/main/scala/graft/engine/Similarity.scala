@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right fold dot product over two double arrays. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product over two double arrays: native codegen'd expression
+    * ([[graft.functions.DotProduct]]) — one fused loop, no intermediate
+    * array, same left-to-right summation as the `zip_with`+`aggregate`
+    * fold it replaces (bit-identical results). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct.dot(a, b)
+
+  /** The composable-HOF formulation, kept for cross-checking the native
+    * expression in tests. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
