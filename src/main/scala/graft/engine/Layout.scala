@@ -1,0 +1,52 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout toolkit — the knobs that decide whether a plan
+  * survives a 100× scale-up:
+  *
+  *  - [[writeBucketed]]: co-locate join keys at write time so repeated
+  *    big-big joins on that key skip the shuffle entirely (bucketed
+  *    SortMergeJoin with zero Exchange);
+  *  - [[writePartitionedByDay]]: day-partitioned layout so time-range
+  *    predicates prune whole directories at planning time;
+  *  - [[saltedJoin]]: spread a skewed build side across `salts`
+  *    replicas when one hot key would otherwise pin a single reducer
+  *    (complementary to AQE skew-join, which only splits *post-shuffle*
+  *    partitions).
+  */
+object Layout {
+
+  /** Bucketed, sorted-by-key external table at `path`. Joining two
+    * tables bucketed the same way on the same key is shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Day-partitioned event layout: `day=YYYY-MM-DD/` directories. */
+  def writePartitionedByDay(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Salted equi-join of a skewed fact against a dimension: the fact
+    * side gets a per-row salt, the dimension is replicated `salts`
+    * times, and the join key becomes (key, salt) — one hot key now
+    * lands on `salts` reducers instead of one. Result set is identical
+    * to `fact.join(dim, key)`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0)
+    val salted = fact.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without a shuffle (zero Exchange in the plan)") {
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Layout.writeBucketed(a, "bkt_a", s"$dir/a", "k", 4)
+    Layout.writeBucketed(b, "bkt_b", s"$dir/b", "k", 4)
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free bucketed join:\n$plan")
+    assert(joined.count() == 1000)
+    spark.sql("DROP TABLE bkt_a"); spark.sql("DROP TABLE bkt_b")
+  }
+
+  test("day-partitioned writes prune partitions for time-range predicates") {
+    val dir = Files.createTempDirectory("graft_part").resolve("ev").toString
+    val ev = graft.engine.Sources.events(spark, sf)
+    Layout.writePartitionedByDay(ev, dir, "ts")
+    val read = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(read.count() > 0)
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"))
+  }
+
+  test("saltedJoin returns exactly the plain-join result") {
+    // one hot key (1) dominating — the salting target
+    val fact = ((1 to 500).map(_ => 1L) ++ (1 to 100).map(_.toLong))
+      .toDF("k").withColumn("payload", col("k") * 10)
+    val dim = (1 to 100).map(i => (i.toLong, s"d$i")).toDF("k", "dv")
+    val plain = fact.join(dim, Seq("k"))
+    val salted = Layout.saltedJoin(fact, dim, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    val diff = salted.groupBy("k").count()
+      .except(plain.groupBy("k").count())
+    assert(diff.count() == 0)
+  }
+}
