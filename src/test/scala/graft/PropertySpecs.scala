@@ -1,0 +1,70 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+import graft.engine.{AsOfJoin, Mutations}
+
+/** Randomized properties (ScalaCheck) for the algebraic operators —
+  * SURVEY.md §5.3. Spark work per case is tiny; case counts are kept
+  * low since each evaluation runs real jobs. */
+object PropertySpecs extends Properties("graft") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val rowsGen: Gen[List[(Long, Long)]] = Gen.listOfN(12,
+    Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 20L)))
+
+  /** asofLatest == naive per-row "latest right at-or-before" reference. */
+  property("asofLatest matches the naive inequality-join reference") =
+    forAll(rowsGen, rowsGen) { (ls, rs) =>
+      val lefts = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rights = rs.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val expected = lefts.map { case (id, k, t) =>
+        val cand = rights.filter(r => r._2 == k && r._3 <= t)
+        // max (time, rid) — the operator's documented tie-break
+        id -> (if (cand.isEmpty) -1L else cand.maxBy(r => (r._3, r._1))._1)
+      }.toMap
+      val got = AsOfJoin.asofLatest(
+          lefts.toDF("id", "k", "t"), rights.toDF("rid", "k", "t"),
+          "k", "k", "t", "t", Seq("rid"), Seq("rid"))
+        .select("id", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
+  private val kvGen: Gen[List[(Long, Long)]] = Gen.listOfN(10,
+    Gen.zip(Gen.choose(1L, 8L), Gen.choose(0L, 100L)))
+
+  /** upsert post-image keyset = target keys ∪ update keys; matched rows
+    * take update values. */
+  property("upsert keyset is the union; update values win") =
+    forAll(kvGen, kvGen) { (ts, us) =>
+      val target = ts.distinctBy(_._1).toDF("k", "v")
+      val updates = us.distinctBy(_._1).toDF("k", "v")
+      val out = Mutations.upsert(target, updates, Seq("k"))
+        .as[(Long, Long)].collect().toMap
+      val tm = ts.distinctBy(_._1).toMap
+      val um = us.distinctBy(_._1).toMap
+      Prop(out.keySet == tm.keySet.union(um.keySet) &&
+        um.forall { case (k, v) => out(k) == v } &&
+        (tm.keySet -- um.keySet).forall(k => out(k) == tm(k)))
+    }
+
+  /** applyUpdates is idempotent for any update set. */
+  property("applyUpdates twice == once") =
+    forAll(kvGen, kvGen) { (ts, us) =>
+      val target = ts.distinctBy(_._1).toDF("k", "v")
+      val updates = us.distinctBy(_._1).toDF("k", "v")
+      val once = Mutations.applyUpdates(target, updates, Seq("k"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val twice = Mutations.applyUpdates(
+          Mutations.applyUpdates(target, updates, Seq("k")), updates, Seq("k"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      Prop(once == twice)
+    }
+}
