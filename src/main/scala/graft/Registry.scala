@@ -166,6 +166,50 @@ object Registry {
         |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
         |ORDER BY t.c_custkey""".stripMargin),
 
+    "q_window_funcs" -> e(Relational.windowFuncs,
+      """SELECT o_custkey, o_orderkey,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price,
+        | first_value(o_totalprice) OVER wf AS first_price,
+        | last_value(o_totalprice) OVER wf AS last_price,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey % 50 = 0
+        |WINDOW
+        | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    "q_date_funcs" -> e(Relational.dateFuncs,
+      """SELECT o_orderkey,
+        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(isodow(o_orderdate) AS BIGINT) AS isodow,
+        | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy
+        |FROM orders WHERE o_orderkey % 101 = 0
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q_null_handling" -> e(Relational.nullHandling,
+      """SELECT o_orderpriority,
+        | count(nullif(o_orderstatus, 'P')) AS n_nonp,
+        | min(nullif(o_orderstatus, 'P')) AS min_nonp,
+        | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN NULL
+        |   ELSE CAST(o_totalprice AS DECIMAL(10,2)) END) AS DECIMAL(38,6))
+        |   AS sum_nonp,
+        | COALESCE(min(CASE WHEN o_orderstatus = 'X' THEN o_orderstatus END),
+        |   'none') AS fallback
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_exists_sql" -> e(Relational.existsSql,
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 470000.0)
+        |ORDER BY c_custkey""".stripMargin),
+
     "q_pivot_status" -> e(Relational.pivotStatus,
       """SELECT o_orderpriority,
         | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,

@@ -202,6 +202,60 @@ object Relational {
         when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
       .orderBy("o_orderkey")
 
+  // ---- window-function breadth / dates / nulls / SQL entry -----------
+
+  /** lead/lag/first/last/ntile/percent_rank/cume_dist in one pass. */
+  def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ord(s, d).filter(col("o_custkey") % 50 === 0)
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(full).as("first_price"),
+        last(col("o_totalprice")).over(full).as("last_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    ord(s, d).filter(col("o_orderkey") % 101 === 0)
+      .select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        add_months(col("o_orderdate"), 3).as("plus3"),
+        last_day(col("o_orderdate")).as("month_end"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"))
+      .orderBy("o_orderkey")
+
+  /** NULL semantics: nullif/coalesce/ifnull interacting with aggregates
+    * (aggregates skip nulls in both engines). */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_orderpriority"))
+      .agg(
+        count(nullif(col("o_orderstatus"), lit("P"))).as("n_nonp"),
+        min(nullif(col("o_orderstatus"), lit("P"))).as("min_nonp"),
+        out6(sum(when(col("o_orderstatus") === "P", lit(null))
+          .otherwise(money(col("o_totalprice"))))).as("sum_nonp"),
+        coalesce(min(when(col("o_orderstatus") === "X", col("o_orderstatus"))),
+          lit("none")).as("fallback"))
+      .orderBy("o_orderpriority")
+
+  /** Correlated EXISTS through the SQL entry point (`spark.sql` over
+    * registered views — the `get_data` arbitrary-SQL path). */
+  def existsSql(s: SparkSession, d: String): DataFrame = {
+    cust(s, d).createOrReplaceTempView("v_customer")
+    ord(s, d).createOrReplaceTempView("v_orders")
+    s.sql("""SELECT c_custkey, c_name FROM v_customer c
+            |WHERE EXISTS (SELECT 1 FROM v_orders o
+            |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 470000.0)
+            |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ---- pivot / string-agg / sampling / sketches ----------------------
 
   /** PIVOT (part of the delegated T-SQL surface): order counts by status
