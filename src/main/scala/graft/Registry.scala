@@ -166,6 +166,41 @@ object Registry {
         |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
         |ORDER BY t.c_custkey""".stripMargin),
 
+    "q_stats_moments" -> e(Relational.statsMoments,
+      """WITH m AS (
+        | SELECT l_returnflag, count(*) AS n,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(10,2))*100 AS DECIMAL(18,0))) AS sq,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(10,2))*100 AS DECIMAL(18,0))
+        |    * CAST(CAST(l_quantity AS DECIMAL(10,2))*100 AS DECIMAL(18,0))) AS sqq,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(10,2))*100 AS DECIMAL(18,0))) AS sp,
+        |  sum(CAST(CAST(l_extendedprice AS DECIMAL(10,2))*100 AS DECIMAL(18,0))
+        |    * CAST(CAST(l_extendedprice AS DECIMAL(10,2))*100 AS DECIMAL(18,0))) AS spp,
+        |  sum(CAST(CAST(l_quantity AS DECIMAL(10,2))*100 AS DECIMAL(18,0))
+        |    * CAST(CAST(l_extendedprice AS DECIMAL(10,2))*100 AS DECIMAL(18,0))) AS spq
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | CAST(sq AS DOUBLE) / n / 100.0 AS mean_qty,
+        | sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)
+        |   / (n - 1)) / 100.0 AS stddev_qty,
+        | (CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sq AS DOUBLE)/n) /
+        |   sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE)*CAST(sq AS DOUBLE)/n)
+        |     * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)*CAST(sp AS DOUBLE)/n))
+        |   AS corr_qp
+        |FROM m ORDER BY l_returnflag""".stripMargin),
+
+    "q_histogram" -> e(Relational.histogram,
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_percentiles" -> e(Relational.percentiles,
+      """SELECT o_orderpriority,
+        | round(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q_window_funcs" -> e(Relational.windowFuncs,
       """SELECT o_custkey, o_orderkey,
         | lag(o_totalprice, 1) OVER w AS prev_price,

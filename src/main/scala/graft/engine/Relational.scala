@@ -202,6 +202,55 @@ object Relational {
         when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
       .orderBy("o_orderkey")
 
+  // ---- statistics ----------------------------------------------------
+
+  /** Mean/stddev/correlation made cross-engine-deterministic: moments are
+    * accumulated as EXACT decimal sums of integer cents (order-free),
+    * then combined with one identical double expression tree — the only
+    * doubles are deterministic functions of exact sums. (Plain
+    * `stddev`/`corr` stream doubles and differ across engines in the
+    * last ulps.) */
+  def statsMoments(s: SparkSession, d: String): DataFrame = {
+    val qc = (money(col("l_quantity")) * lit(100)).cast("decimal(18,0)")
+    val pc = (money(col("l_extendedprice")) * lit(100)).cast("decimal(18,0)")
+    li(s, d).groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(qc).as("sq"), sum(qc * qc).as("sqq"),
+        sum(pc).as("sp"), sum(pc * pc).as("spp"),
+        sum(qc * pc).as("spq"))
+      .select(
+        col("l_returnflag"), col("n"),
+        (col("sq").cast("double") / col("n") / 100.0).as("mean_qty"),
+        (sqrt((col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double") / col("n"))
+          / (col("n") - 1)) / 100.0).as("stddev_qty"),
+        ((col("spq").cast("double") -
+          col("sp").cast("double") * col("sq").cast("double") / col("n")) /
+          sqrt((col("sqq").cast("double") -
+            col("sq").cast("double") * col("sq").cast("double") / col("n")) *
+            (col("spp").cast("double") -
+              col("sp").cast("double") * col("sp").cast("double") / col("n"))))
+          .as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Fixed-width histogram binning. */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        out6(sum(money(col("o_totalprice")))).as("total"))
+      .orderBy("bin")
+
+  /** Exact interpolated percentiles (median / p90). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("med"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // ---- window-function breadth / dates / nulls / SQL entry -----------
 
   /** lead/lag/first/last/ntile/percent_rank/cume_dist in one pass. */
