@@ -65,6 +65,31 @@ object Multimodal {
     }(enc)
   }
 
+  /** Feature extraction over binary payloads via mapPartitions: a
+    * 16-bin normalized byte histogram as a float vector. Unlike the
+    * decode stub this is a *real* (if simple) feature — its output
+    * feeds directly into [[graft.engine.Similarity]]'s cosine/LSH
+    * operators, completing the media → features → ANN pipeline shape. */
+  def featureExtract(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) {
+          hist((bytes(i) & 0xff) >> 4) += 1f
+          i += 1
+        }
+        val n = math.max(1, bytes.length).toFloat
+        Row.fromSeq(r.toSeq :+ hist.map(_ / n).toSeq)
+      }
+    }(enc)
+  }
+
   /** Frame sampling: byte-range slices standing in for video frames —
     * the partition/fan-out shape of real frame extraction (one row per
     * sampled frame, linear fan-out, no shuffle). */

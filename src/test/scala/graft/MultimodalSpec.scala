@@ -21,6 +21,26 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_._2).sameElements(rows.map(_._3)))
   }
 
+  test("featureExtract emits normalized float histograms that feed the ANN ops") {
+    val df = Multimodal.withPayload(
+      graft.engine.Sources.documents(spark, sf).limit(50))
+    val feats = Multimodal.featureExtract(df)
+    import org.apache.spark.sql.types._
+    assert(feats.schema("features").dataType == ArrayType(FloatType))
+    val rows = feats.select("doc_id", "features")
+      .as[(Long, Seq[Float])].collect()
+    assert(rows.forall(_._2.length == 16))
+    // normalized: sums to ~1
+    assert(rows.forall(r => math.abs(r._2.sum - 1f) < 1e-3))
+    // pipes into the similarity layer (cosine over cast-to-double arrays)
+    val cos = feats.select(
+      graft.engine.Similarity.cosine(
+        col("features").cast("array<double>"),
+        col("features").cast("array<double>")).as("c"))
+      .as[Double].collect()
+    assert(cos.forall(c => math.abs(c - 1.0) < 1e-9))
+  }
+
   test("sampleFrames fans out one row per byte-range frame") {
     val df = Multimodal.withPayload(Seq((1L, "abcdefghij")).toDF("doc_id", "text"))
     val frames = Multimodal.sampleFrames(df, every = 4)
