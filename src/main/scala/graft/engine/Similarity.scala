@@ -91,6 +91,40 @@ object Similarity {
       .orderBy("q_id", "rk", "vec_id")
   }
 
+  /** IVF-style ANN: a small deterministic centroid set (every
+    * `centroidEvery`-th vector) is broadcast; one pass assigns each
+    * vector to its nearest centroid (max cosine, min-centroid-id
+    * tie-break); queries then search only their own cell. At 100 TB the
+    * centroid table stays broadcast-sized and the assignment is a single
+    * scan — the classic coarse-quantization shape (probe more cells by
+    * relaxing the rank-1 filter). */
+  def simIvf(s: SparkSession, d: String, centroidEvery: Int = 50,
+      queryEvery: Int = 50, k: Int = 3): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = vs.filter(col("vec_id") % centroidEvery === 1)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = vs.join(broadcast(cents), lit(true))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
+      .withColumn("c_rk", row_number().over(wAssign))
+      .filter(col("c_rk") === 1)
+      .select(col("vec_id"), col("v"), col("nm"), col("c_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % queryEvery === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nm").as("qnm"), col("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cell"), col("rk"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rk", "vec_id")
+  }
+
   /** Embedding near-dup pairs, LSH-blocked (never O(n²)): same-bucket
     * pairs (a < b) whose cosine clears the threshold. */
   def dedupEmbed(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {

@@ -165,6 +165,27 @@ object TextRegistry {
          |SELECT q_id, vec_id, bkt, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
          |FROM r WHERE rk <= 3 ORDER BY q_id, rk, vec_id""".stripMargin),
 
+    "q_sim_ivf" -> e((s, d) => Similarity.simIvf(s, d),
+      s"""WITH $embCtes,
+         | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n
+         |   WHERE vec_id % 50 = 1),
+         | asg AS (SELECT vec_id, v, nm, c_id AS cell FROM (
+         |   SELECT n.vec_id, n.v, n.nm, c.c_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv)/(n.nm*c.cnm) DESC, c.c_id)
+         |      AS c_rk
+         |   FROM n CROSS JOIN c) x WHERE c_rk = 1),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm, cell FROM asg
+         |   WHERE vec_id % 50 = 0),
+         | s AS (SELECT q.q_id, a.vec_id, a.cell,
+         |   list_dot_product(q.qv, a.v)/(q.qnm*a.nm) AS cos
+         |  FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id != q.q_id),
+         | r AS (SELECT q_id, vec_id, cell, cos,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM s)
+         |SELECT q_id, vec_id, cell, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
+         |FROM r WHERE rk <= 3 ORDER BY q_id, rk, vec_id""".stripMargin),
+
     "q_dedup_embed" -> e((s, d) => Similarity.dedupEmbed(s, d),
       s"""WITH $embCtes,
          | nb AS (SELECT vec_id, v, nm, ${duckLshBucket("v")} AS bkt FROM n),

@@ -76,6 +76,12 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: drop replayed event ids inside the watermark
+    * horizon — the streaming twin of the batch keyed dedup (state is one
+    * entry per id, expired as the watermark advances). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

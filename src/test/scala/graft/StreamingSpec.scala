@@ -28,6 +28,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows("click") == 2 && rows("view") == 1)
   }
 
+  test("dedupEvents drops replayed event ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(1, ts(0), 1, "click", 1.0), // exact replay
+      Event(2, ts(1), 1, "view", 2.0))
+    val q = StreamOps.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dd").outputMode(OutputMode.Append)
+      .start()
+    q.processAllAvailable()
+    mem.addData(Event(2, ts(2), 1, "view", 2.0)) // replayed id, later batch
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dd").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("sessionize: stateful session closes after the gap, emits on close") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
