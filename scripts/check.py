@@ -57,8 +57,9 @@ def main(outdir, sfdir):
             print(f"ok   {name} ({len(wdf)} rows)")
             n_ok += 1
         elif sorted(wvals) == sorted(gvals):
-            print(f"WARN {name}: values match only after row sort")
-            n_ok += 1
+            # order drift is a real failure: the driver hashes in row order
+            print(f"FAIL {name}: values match only after row sort (non-total ORDER BY?)")
+            n_bad += 1
         else:
             diffs = [(i, a, b) for i, (a, b) in enumerate(zip(wvals, gvals)) if a != b][:3]
             extra = f" first diffs: {diffs}" if diffs else " (multiset differs)"

@@ -166,6 +166,40 @@ object Registry {
         |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
         |ORDER BY t.c_custkey""".stripMargin),
 
+    "q_agg_cube" -> e(Relational.aggCube,
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total,
+        | count(*) AS n,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_s,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_p
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority, g_s, g_p""".stripMargin),
+
+    "q_unpivot" -> e(Relational.unpivotMeasures,
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |            l_extendedprice, l_discount
+        |          FROM lineitem WHERE l_orderkey % 499 = 0)
+        | ON l_quantity, l_extendedprice, l_discount
+        | INTO NAME measure VALUE value)
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin),
+
+    "q_lateral_top" -> e(Relational.lateralTop,
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+        |WHERE c.c_custkey % 25 = 0
+        |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
+
+    "q_regex_extract" -> e(Relational.regexExtract,
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+        |   AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q_stats_moments" -> e(Relational.statsMoments,
       """WITH m AS (
         | SELECT l_returnflag, count(*) AS n,

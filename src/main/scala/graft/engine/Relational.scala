@@ -202,6 +202,56 @@ object Relational {
         when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
       .orderBy("o_orderkey")
 
+  // ---- cube / unpivot / lateral --------------------------------------
+
+  /** CUBE grouping sets (all four combinations of the two dims). */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(out6(sum(money(col("o_totalprice")))).as("total"),
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"), col("g_s"), col("g_p"))
+      .orderBy("status", "priority", "g_s", "g_p")
+
+  /** UNPIVOT/melt: wide measures → long (measure, value) rows. */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_orderkey") % 499 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+      // value joins the sort to make it total
+      .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+
+  /** Correlated LATERAL subquery (top-2 orders per customer) through the
+    * SQL entry. */
+  def lateralTop(s: SparkSession, d: String): DataFrame = {
+    cust(s, d).createOrReplaceTempView("v_customer2")
+    ord(s, d).createOrReplaceTempView("v_orders2")
+    s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+            |FROM v_customer2 c JOIN LATERAL (
+            |  SELECT o_orderkey, o_totalprice FROM v_orders2 o
+            |  WHERE o.o_custkey = c.c_custkey
+            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            |WHERE c.c_custkey % 25 = 0
+            |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  /** Regex capture-group extraction (vs. the JSON-path route). */
+  def regexExtract(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1)
+        .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+
   // ---- statistics ----------------------------------------------------
 
   /** Mean/stddev/correlation made cross-engine-deterministic: moments are
