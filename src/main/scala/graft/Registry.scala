@@ -328,9 +328,15 @@ object Registry {
   def entries: Seq[(String, Entry)] =
     relational ++ EventsRegistry.entries ++ TextRegistry.entries
 
+  /** Ordered (ListMap) so runners execute queries in declaration order:
+    * cheap relational queries warm the session first, and queries sharing
+    * a subplan (minhash signature → ngram verification) run adjacently to
+    * reuse compiled codegen classes. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map { case (n, en) => n -> en.fn }.toMap
+    scala.collection.immutable.ListMap(
+      entries.map { case (n, en) => n -> en.fn }: _*)
 
   def oracleSql: Map[String, String] =
-    entries.collect { case (n, Entry(_, Some(sql))) => n -> sql }.toMap
+    scala.collection.immutable.ListMap(
+      entries.collect { case (n, Entry(_, Some(sql))) => n -> sql }: _*)
 }
