@@ -96,6 +96,33 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Bucketed interval join (range join, the scale path): for each
+    * 'error' event count the same user's 'click' events in the following
+    * 10 minutes. A naive range join is an inequality nested-loop; here
+    * each probe interval spans at most 2 W-wide time buckets (W = the
+    * interval length), so candidates come from a plain equi-join on
+    * (user_id, bucket) — one hash shuffle, constant 2× probe fan-out —
+    * followed by the exact (cus ∈ (eus, eus+W]) refine. Each click lives
+    * in exactly one bucket, so no candidate pair is produced twice. */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val W = 10L * 60 * 1000 * 1000 // 10-minute interval = bucket width, µs
+    val e = ev(s, d)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("eus"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us").as("cus"))
+      .withColumn("bkt", expr(s"cus DIV $W"))
+    val probes = err.withColumn("bkt",
+      explode(array(expr(s"eus DIV $W"), expr(s"eus DIV $W + 1"))))
+    val matched = probes.join(clk, Seq("user_id", "bkt"))
+      .filter(col("cus") > col("eus") && col("cus") <= col("eus") + W)
+      .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+    err.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      .orderBy("event_id")
+  }
+
   /** Keyed dedup keep-latest: the classic CDC compaction shape — latest
     * event per (user_id, event_type) by (time, id). */
   def dedupKeyed(s: SparkSession, d: String): DataFrame = {
@@ -154,6 +181,17 @@ object EventsRegistry {
         | LEFT JOIN orders o
         |   ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS DATE) <= e.eday
         |) x WHERE rn = 1 ORDER BY event_id""".stripMargin),
+
+    "q_range_join" -> e(Events.rangeJoin,
+      """WITH e AS (SELECT event_id, user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS eus
+        |  FROM events WHERE event_type = 'error'),
+        | c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
+        |  FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, e.user_id, count(c.cus) AS n_clicks
+        |FROM e LEFT JOIN c ON c.user_id = e.user_id
+        |  AND c.cus > e.eus AND c.cus <= e.eus + 600000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_dedup_keyed" -> e(Events.dedupKeyed,
       """SELECT user_id, event_type, event_id, us FROM (

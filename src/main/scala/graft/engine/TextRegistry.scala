@@ -27,6 +27,30 @@ object TextRegistry {
        | sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id)""".stripMargin
   }
 
+  private val duckSimhashSums = (0 until 28).map(b =>
+    s"sum(CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+  private val duckSimhashPack = (0 until 28).map(b =>
+    s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+
+  /** Unigram simhash CTE chain ending in `sh(doc_id, simhash)`. */
+  private val simhashCtes: String =
+    s"""u AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+       |  FROM documents),
+       | hx AS (SELECT doc_id, ${duckH28("tok")} AS x FROM u),
+       | bs AS (SELECT doc_id, $duckSimhashSums FROM hx GROUP BY doc_id),
+       | sh AS (SELECT doc_id, CAST($duckSimhashPack AS BIGINT) AS simhash FROM bs)""".stripMargin
+
+  /** Shingle simhash CTE chain (non-distinct shingles, matching
+    * TextOps.shingleSets) ending in `sh(doc_id, simhash)`. */
+  private val simhashShingleCtes: String =
+    s"""$toksCte,
+       | ss AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-2,0)+1),
+       |   i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS s FROM t),
+       | u AS (SELECT doc_id, unnest(s) AS sh FROM ss),
+       | hx AS (SELECT doc_id, ${duckH28("sh")} AS x FROM u),
+       | bs AS (SELECT doc_id, $duckSimhashSums FROM hx GROUP BY doc_id),
+       | sh AS (SELECT doc_id, CAST($duckSimhashPack AS BIGINT) AS simhash FROM bs)""".stripMargin
+
   private def duckLshBucket(v: String): String =
     (0 until Similarity.LshBits).map { j =>
       val terms = s"list_sum(list_transform(range(1,65), i -> $v[i] * " +
@@ -120,19 +144,26 @@ object TextRegistry {
          |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin
     }),
 
-    "q_dedup_simhash" -> e(TextOps.dedupSimhash, {
-      val sums = (0 until 28).map(b =>
-        s"sum(CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
-      val packed = (0 until 28).map(b =>
-        s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
-      s"""WITH u AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
-         |  FROM documents),
-         | hx AS (SELECT doc_id, ${duckH28("tok")} AS x FROM u),
-         | bs AS (SELECT doc_id, $sums FROM hx GROUP BY doc_id),
-         | sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bs)
+    "q_dedup_simhash" -> e(TextOps.dedupSimhash,
+      s"""WITH $simhashCtes
          |SELECT doc_id, simhash,
          | CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS n_same
-         |FROM sh ORDER BY doc_id""".stripMargin
+         |FROM sh ORDER BY doc_id""".stripMargin),
+
+    "q_simhash_near" -> e(TextOps.simhashNear, {
+      val mask = (1 << TextOps.NearBandBits) - 1
+      val bandSelects = (0 until TextOps.NearBands).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, " +
+          s"(simhash >> ${TextOps.NearBandBits * b}) & $mask AS bits FROM sh"
+      }.mkString(" UNION ALL ")
+      s"""WITH $simhashShingleCtes,
+         | bands AS ($bandSelects),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |   bit_count(xor(x.simhash, y.simhash)) AS ham
+         |  FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(ham AS BIGINT) AS ham FROM cand
+         |WHERE ham <= ${TextOps.NearMaxHamming} ORDER BY a, b""".stripMargin
     }),
 
     "q_binary_meta" -> e(TextOps.binaryMeta,

@@ -31,4 +31,25 @@ class EventsSpec extends SparkSpec {
     val n = e.selectExpr("date_trunc('hour', ts)").count()
     assert(n == e.count() && n > 0)
   }
+
+  test("rangeJoin (bucketed) equals the naive inequality join") {
+    import org.apache.spark.sql.functions._
+    val W = 10L * 60 * 1000 * 1000
+    val e = graft.engine.Sources.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("us").as("eus"))
+    val clk = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("us").as("cus"))
+    val naive = err
+      .join(clk, col("cu") === col("user_id") &&
+        col("cus") > col("eus") && col("cus") <= col("eus") + W, "left")
+      .groupBy("event_id", "user_id")
+      .agg(count(col("cus")).as("n_clicks"))
+      .select("event_id", "user_id", "n_clicks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bucketed = Events.rangeJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed == naive && bucketed.nonEmpty)
+  }
 }

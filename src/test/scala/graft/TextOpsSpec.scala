@@ -51,6 +51,20 @@ class TextOpsSpec extends SparkSpec {
     assert(out(0)._2 != out(2)._2)
   }
 
+  test("simhashNearPairs banding finds exactly the brute-force pairs (recall ≤ 3 bits)") {
+    val sh = TextOps.simhashShingles(Sources.documents(spark, sf))
+    val banded = TextOps.simhashNearPairs(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sh.select(col("doc_id").as("a"), col("simhash").as("sa"))
+    val b = sh.select(col("doc_id").as("b"), col("simhash").as("sb"))
+    val brute = a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("ham"))
+      .filter(col("ham") <= TextOps.NearMaxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
   test("fingerprint is position-sensitive") {
     val df = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
     val out = TextOps.fingerprint(df).orderBy("doc_id")
