@@ -27,9 +27,12 @@ object PortableHash {
   val B: Seq[Long] = Seq(12345L, 97L, 1009L, 10007L, 100003L, 65537L,
     257L, 8191L, 524287L, 131071L, 7919L, 104729L)
 
-  /** First 7 hex digits of md5 as a long in [0, 2^28). */
-  def h28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+  /** First 7 hex digits of md5 as a long in [0, 2^28) — computed by the
+    * native [[graft.functions.Md5Prefix28]] expression (value-identical
+    * to `conv(substring(md5(c), 1, 7), 16, 10)`, which remains the
+    * DuckDB-side formulation in [[duckH28]], but without the hex-string
+    * round-trip per row). */
+  def h28(c: Column): Column = graft.functions.Md5Prefix28.h28(c)
 
   /** The j-th MinHash-family hash of an h28 value. */
   def minhashJ(x: Column, j: Int): Column =

@@ -21,6 +21,24 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(x => x >= 0 && x < (1L << 28)))
   }
 
+  test("native md5_prefix28 equals the conv(substring(md5)) formulation") {
+    val df = (Seq("", "a", "hello world", "π unicode ✓", "x" * 1000)
+      ++ (0 until 200).map(i => s"doc $i token"))
+      .toDF("s")
+    val mismatches = df.select(
+        PortableHash.h28(col("s")).as("fast"),
+        expr("CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT)").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches == 0)
+    // binary input path too
+    val bin = df.select(
+        PortableHash.h28(col("s").cast("binary")).as("fast"),
+        expr("CAST(conv(substring(md5(CAST(s AS BINARY)), 1, 7), 16, 10) AS BIGINT)")
+          .as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bin == 0)
+  }
+
   test("dedupExact: identical normalized docs collapse to the first doc_id") {
     val df = Seq(
       (1L, "The Cat ", 8L), (2L, "the cat", 7L), (3L, "dog", 3L)
