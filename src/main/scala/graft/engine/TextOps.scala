@@ -274,6 +274,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end curation pipeline (the composed training-data pass a
+    * user of the engine would actually run): token-stats → quality
+    * filter (≥30 tokens, type-token ratio ≥ 0.4) → exact dedup
+    * keep-first → per-language rollup. One explode+agg, one broadcast-
+    * able join back to docs, one dedup shuffle, one final agg — every
+    * stage is a declared operator elsewhere in this module; this query
+    * verifies they compose. Long sums only (no double aggregation), so
+    * the result is bit-deterministic at any partitioning. */
+  def curateDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
+    val quality = docs.join(toks, Seq("doc_id"))
+      .filter(col("n_tok") >= 30 &&
+        col("n_uniq").cast("double") / col("n_tok") >= 0.4)
+    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    val deduped = quality
+      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    deduped.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tok"),
+        sum(col("n_uniq")).as("total_uniq"),
+        sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata. The
     * payload here derives from `text` (the container ships no media
     * libs); the schema/partitioning/metadata path is the real thing. */

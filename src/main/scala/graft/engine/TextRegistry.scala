@@ -166,6 +166,22 @@ object TextRegistry {
          |WHERE ham <= ${TextOps.NearMaxHamming} ORDER BY a, b""".stripMargin
     }),
 
+    "q_curate" -> e(TextOps.curateDocs,
+      """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
+        |  FROM u GROUP BY 1),
+        | q AS (SELECT d.doc_id, d.lang, d.text, d.n_chars, g.n_tok, g.n_uniq
+        |  FROM documents d JOIN g USING (doc_id)
+        |  WHERE g.n_tok >= 30 AND CAST(g.n_uniq AS DOUBLE)/g.n_tok >= 0.4),
+        | dd AS (SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(text)) ORDER BY doc_id) AS rn FROM q)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS total_tok,
+        | CAST(sum(n_uniq) AS BIGINT) AS total_uniq,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM dd WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin),
+
     "q_binary_meta" -> e(TextOps.binaryMeta,
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
         | md5(text) AS sig
