@@ -56,18 +56,21 @@ object TextOps {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles3(col("toks")).as("s"))
 
-  /** doc_id → exploded distinct shingles with their h28 hash. */
-  private def shingleHashes(docs: DataFrame): DataFrame =
-    shingleSets(docs)
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-      .withColumn("x", h28(col("sh")))
-
-  /** MinHash signature: doc_id, h0..h11. One shuffle (doc_id hash agg
-    * with partial min map-side). */
-  def minhashSignature(docs: DataFrame): DataFrame = {
+  /** MinHash signature (doc_id, h0..h11) from a shingle-set table —
+    * one shuffle (doc_id hash agg with partial min map-side). Taking
+    * the sets table (not the raw docs) lets [[jaccardPairs]] derive
+    * signatures from its already-persisted sets instead of re-running
+    * the split+shingle pipeline a second time. */
+  def minhashSignatureFromSets(sets: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(j => min(minhashJ(col("x"), j)).as(s"h$j"))
-    shingleHashes(docs).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sets.select(col("doc_id"), explode(col("s")).as("sh"))
+      .withColumn("x", h28(col("sh")))
+      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signature straight from documents. */
+  def minhashSignature(docs: DataFrame): DataFrame =
+    minhashSignatureFromSets(shingleSets(docs))
 
   /** LSH band rows: (doc_id, band, sig) — docs sharing a (band, sig)
     * bucket are near-dup candidates. */
@@ -102,7 +105,7 @@ object TextOps {
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(
-      minhashSignature(docs)
+      minhashSignatureFromSets(sets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))

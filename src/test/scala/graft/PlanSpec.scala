@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-level assertions backing SCALE.md's claims: these lock in the
+  * physical-plan properties the 100 TB argument rests on, so a future
+  * refactor that silently de-optimizes a query (drops a pushdown, turns
+  * an equi-join into a cartesian) fails CI, not the cluster. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("q_filter pushes its predicates into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+  }
+
+  test("q_scan_project prunes unread lineitem columns at the scan") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"))
+  }
+
+  test("q_join_multi runs the star join with broadcast dims, no cartesian") {
+    val p = plan("q_join_multi")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_window_rank gets partial top-k (WindowGroupLimit) before the shuffle") {
+    val p = plan("q_window_rank")
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("LSH/bucketed pair pipelines never plan a cartesian or nested loop") {
+    for (q <- Seq("q_range_join", "q_simhash_near", "q_dedup_ngram",
+        "q_sim_lsh", "q_dedup_embed", "q_asof_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("q_sim_topk broadcasts the (small) query side by design") {
+    // brute-force baseline: query set ≪ corpus, so the nested loop
+    // streams the corpus once against a broadcast query table
+    assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
+  }
+}
