@@ -219,12 +219,18 @@ object TextOps {
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     fingerprint(Sources.documents(s, d)).orderBy("doc_id")
 
+  /** Exact dedup keep-first. The dedup key is md5(normalized text), not
+    * the text itself: the window then partitions on a 128-bit digest, so
+    * Catalyst prunes the text column *before* the exchange — at corpus
+    * scale the shuffle carries 16-byte keys instead of the whole corpus.
+    * (Same practice as every large-scale exact-dedup pipeline; a digest
+    * collision is ~2^-64 and would only merge two docs' counts.) */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
     Sources.documents(s, d)
-      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("nk", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(w))
-      .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy(col("norm"))))
+      .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy(col("nk"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("dup_cnt"), col("n_chars"))
       .orderBy("doc_id")
