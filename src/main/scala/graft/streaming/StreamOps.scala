@@ -44,35 +44,53 @@ object StreamOps {
         col("n"), col("total"))
 
   /** Stateful gap sessionization (30-min inactivity): one state entry per
-    * user, emitted when the gap closes the session. Streaming twin of
-    * Events.sessionizeUs. */
+    * user, emitted when the gap closes the session — either by a later
+    * event from the same user, or by the event-time timeout when the
+    * watermark passes last+gap (so idle users' final sessions emit and
+    * their state is dropped; without the timeout, state grows with every
+    * user ever seen). Streaming twin of Events.sessionizeUs. */
   def sessionize(events: Dataset[Event], gapUs: Long = 30L * 60 * 1000 * 1000)(
       implicit enc1: org.apache.spark.sql.Encoder[SessionOut]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // Batch-per-trigger events arrive unordered within the group:
-          // sort by event time, then fold session windows.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
-          var st = state.getOption
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { ev =>
-            val us = ev.ts.getTime * 1000
-            st match {
-              case Some(s) if us - s.last <= gapUs =>
-                st = Some(s.copy(last = us, n = s.n + 1, total = s.total + ev.value))
-              case Some(s) =>
-                out += SessionOut(userId, s.start, s.last, s.n, s.total)
-                st = Some(SessionState(us, us, 1, ev.value))
-              case None =>
-                st = Some(SessionState(us, us, 1, ev.value))
+          if (state.hasTimedOut) {
+            // watermark passed last+gap with no new events: flush the
+            // final session and drop the state entry
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.start, s.last, s.n, s.total))
+          } else {
+            // Batch-per-trigger events arrive unordered within the group:
+            // sort by event time, then fold session windows.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { ev =>
+              val us = ev.ts.getTime * 1000
+              st match {
+                case Some(s) if us - s.last <= gapUs =>
+                  st = Some(s.copy(last = us, n = s.n + 1, total = s.total + ev.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.start, s.last, s.n, s.total)
+                  st = Some(SessionState(us, us, 1, ev.value))
+                case None =>
+                  st = Some(SessionState(us, us, 1, ev.value))
+              }
             }
+            st.foreach { s =>
+              state.update(s)
+              // timeouts must sit strictly beyond the current watermark
+              state.setTimeoutTimestamp(math.max(
+                s.last / 1000 + gapUs / 1000,
+                state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 

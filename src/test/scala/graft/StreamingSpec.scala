@@ -60,4 +60,23 @@ class StreamingSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).n_events == 2 && out(0).user_id == 7)
   }
+
+  test("sessionize: event-time timeout flushes an idle user's final session") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess_to").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(Event(1, ts(0), 7, "a", 1.0))
+    q.processAllAvailable()
+    // another user far in the future advances the watermark (2h delay)
+    // past user 7's last+gap; the following batch fires the timeout
+    mem.addData(Event(2, ts(300), 8, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(301), 8, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sess_to").as[SessionOut].collect()
+    assert(out.exists(s => s.user_id == 7 && s.n_events == 1),
+      s"expected user 7's final session flushed by timeout, got ${out.toSeq}")
+  }
 }
