@@ -105,11 +105,16 @@ object Similarity {
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
+    // persisted: both the query side and the corpus side of the cell
+    // join derive from it — without the persist each branch re-runs the
+    // N×C assignment pass (at cluster scale this is the checkpoint of
+    // the assignment table, SCALE.md "what we would change first")
     val assigned = vs.join(broadcast(cents), lit(true))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
       .withColumn("c_rk", row_number().over(wAssign))
       .filter(col("c_rk") === 1)
       .select(col("vec_id"), col("v"), col("nm"), col("c_id").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") % queryEvery === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nm").as("qnm"), col("cell"))
