@@ -20,12 +20,19 @@ object Mutations {
     * updates' non-null column values; unmatched target rows pass through.
     * Column set of `updates` must be keys ⊆ cols ⊆ target cols.
     * This is `update_data`/`update_from_table` as one equi-join.
-    */
-  def applyUpdates(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    *
+    * No forced broadcast: an updates side of unbounded size must be
+    * allowed to shuffle-join (a hardcoded hint OOMs the moment a backfill
+    * ships a big update set). AQE still turns the join into a broadcast
+    * at runtime whenever the updates side measures small; callers that
+    * KNOW the side is tiny can pass `hintBroadcast = true`. */
+  def applyUpdates(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      hintBroadcast: Boolean = false): DataFrame = {
     val updatedCols = updates.columns.filterNot(keys.contains)
     val t = target.alias("t")
-    val u = updates.alias("u")
-    val joined = t.join(broadcast(u), keys, "left")
+    val u0 = updates.alias("u")
+    val u = if (hintBroadcast) broadcast(u0) else u0
+    val joined = t.join(u, keys, "left")
     joined.select(target.columns.map { c =>
       if (keys.contains(c)) col(c)
       else if (updatedCols.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
