@@ -283,6 +283,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF top-3 terms per document. The rarity weight is the rational
+    * (N+1)/(df+1) rather than its logarithm: monotone-equivalent for
+    * ranking, and — unlike `ln`, which IEEE 754 does not require to be
+    * correctly rounded — built only from +,*,/ so the weight is
+    * bit-identical across engines (the determinism contract every
+    * declared query obeys). Two shuffles (doc-term agg, term df agg) and
+    * a scalar broadcast for N; top-3 rank benefits from the partial
+    * WindowGroupLimit like every rank filter. */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+      .withColumn("n_tok", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
+    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w", (col("n").cast("double") / col("n_tok")) *
+        ((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("n"), col("df"),
+        round(col("w"), 6).as("w6"), col("rk"))
+      .orderBy("doc_id", "rk", "term")
+  }
+
   /** End-to-end curation pipeline (the composed training-data pass a
     * user of the engine would actually run): token-stats → quality
     * filter (≥30 tokens, type-token ratio ≥ 0.4) → exact dedup

@@ -166,6 +166,23 @@ object TextRegistry {
          |WHERE ham <= ${TextOps.NearMaxHamming} ORDER BY a, b""".stripMargin
     }),
 
+    "q_tfidf" -> e(TextOps.tfidf,
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        | tf AS (SELECT doc_id, term, count(*) AS n FROM t GROUP BY 1, 2),
+        | ntok AS (SELECT doc_id, term, n,
+        |   sum(n) OVER (PARTITION BY doc_id) AS n_tok FROM tf),
+        | dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+        | nd AS (SELECT count(*) AS n_docs FROM documents),
+        | wt AS (SELECT doc_id, term, n, df,
+        |   (CAST(n AS DOUBLE)/n_tok) * (CAST(n_docs+1 AS DOUBLE)/(df+1)) AS w
+        |  FROM ntok JOIN dfreq USING (term) CROSS JOIN nd),
+        | r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY w DESC, term) AS rk FROM wt)
+        |SELECT doc_id, term, CAST(n AS BIGINT) AS n, CAST(df AS BIGINT) AS df,
+        | round(w, 6) AS w6, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk, term""".stripMargin),
+
     "q_curate" -> e(TextOps.curateDocs,
       """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |  FROM documents),
