@@ -283,6 +283,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic stratified train/valid/test split (80/10/10): the
+    * split is a pure function of doc_id (salted portable hash mod 100),
+    * so it is reproducible across runs, engines and cluster sizes, and
+    * rows never migrate between splits when the corpus grows — the
+    * property a training pipeline needs from its split step. One scan +
+    * one small agg; the assignment itself is shuffle-free. */
+  def splitStrata(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .withColumn("bucket", h28(concat(lit("split_"), col("doc_id"))) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("valid"))
+          .otherwise(lit("test")))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("source", "split")
+
   /** TF-IDF top-3 terms per document. The rarity weight is the rational
     * (N+1)/(df+1) rather than its logarithm: monotone-equivalent for
     * ranking, and — unlike `ln`, which IEEE 754 does not require to be

@@ -166,6 +166,17 @@ object TextRegistry {
          |WHERE ham <= ${TextOps.NearMaxHamming} ORDER BY a, b""".stripMargin
     }),
 
+    "q_split_strata" -> e(TextOps.splitStrata, {
+      val h = duckH28("'split_'||doc_id")
+      s"""WITH a AS (SELECT source, n_chars, $h % 100 AS bucket FROM documents),
+         | b AS (SELECT source, n_chars,
+         |   CASE WHEN bucket < 80 THEN 'train'
+         |        WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split FROM a)
+         |SELECT source, split, count(*) AS n_docs,
+         | CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    }),
+
     "q_tfidf" -> e(TextOps.tfidf,
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |  FROM documents),
