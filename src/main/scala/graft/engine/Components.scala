@@ -1,0 +1,53 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over an undirected edge list — the clustering
+  * step a dedup pipeline runs on its near-dup pairs to form duplicate
+  * groups (one canonical doc per group).
+  *
+  * Pregel-style iterative min-label propagation: every node starts
+  * labeled with its own id; each round every node takes the min of its
+  * own and its neighbors' labels; at fixpoint each component carries its
+  * minimum node id. Each round is one distributed equi-join + agg — the
+  * only driver-side value is the convergence flag (a count), the same
+  * control shape GraphX/Pregel use. Rounds needed = component diameter,
+  * which for dedup clusters (small, dense groups) is a handful; `maxIter`
+  * bounds pathological chains.
+  */
+object Components {
+
+  /** @param pairs edges as columns (a, b); nodes not present in any pair
+    *              are not emitted (singletons are "no duplicates").
+    * @return (id, component) — component = min node id reachable. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
+      .unionByName(pairs.select(col("b").as("id"), col("a").as("nb")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbMin = sym
+        .join(labels.select(col("id").as("nb"), col("component").as("nc")), Seq("nb"))
+        .groupBy("id").agg(min(col("nc")).as("nmin"))
+      val next = labels.join(nbMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -275,6 +275,17 @@ object TextOps {
     simhashNearPairs(sh).orderBy("a", "b")
   }
 
+  /** Duplicate clusters: MinHash+LSH candidates → exact Jaccard ≥ 0.8 →
+    * connected components → one row per cluster (canonical = min doc_id).
+    * The full near-dup pipeline a curation pass runs before choosing one
+    * representative per group. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(
+        jaccardPairs(Sources.documents(s, d), 0.8).select(col("a"), col("b")))
+      .groupBy(col("component").as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("cluster")
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = simhash(Sources.documents(s, d))
     sh.withColumn("n_same",

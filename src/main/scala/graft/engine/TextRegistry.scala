@@ -51,6 +51,23 @@ object TextRegistry {
        | bs AS (SELECT doc_id, $duckSimhashSums FROM hx GROUP BY doc_id),
        | sh AS (SELECT doc_id, CAST($duckSimhashPack AS BIGINT) AS simhash FROM bs)""".stripMargin
 
+  /** CTE chain extending [[sigCtes]] to `p(a, b, jacc)` — LSH band
+    * candidates with exact n-gram Jaccard (shared by q_dedup_ngram and
+    * q_dup_clusters). */
+  private def ngramPairCtes: String = {
+    val bandSelects = (0 until TextOps.Bands).map { b =>
+      s"SELECT doc_id, $b AS band, h${3 * b}||'_'||h${3 * b + 1}||'_'||h${3 * b + 2} AS sg FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$sigCtes,
+       | bands AS ($bandSelects),
+       | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |   FROM bands x JOIN bands y
+       |   ON x.band = y.band AND x.sg = y.sg AND x.doc_id < y.doc_id),
+       | p AS (SELECT a, b,
+       |   len(list_intersect(sa.s, sb.s)) / len(list_distinct(sa.s || sb.s)) AS jacc
+       |  FROM cand JOIN ss sa ON sa.doc_id = a JOIN ss sb ON sb.doc_id = b)""".stripMargin
+  }
+
   private def duckLshBucket(v: String): String =
     (0 until Similarity.LshBits).map { j =>
       val terms = s"list_sum(list_transform(range(1,65), i -> $v[i] * " +
@@ -129,20 +146,22 @@ object TextRegistry {
          |SELECT doc_id, $hs FROM sig ORDER BY doc_id""".stripMargin
     }),
 
-    "q_dedup_ngram" -> e(TextOps.dedupNgram, {
-      val bandSelects = (0 until TextOps.Bands).map { b =>
-        s"SELECT doc_id, $b AS band, h${3 * b}||'_'||h${3 * b + 1}||'_'||h${3 * b + 2} AS sg FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $sigCtes,
-         | bands AS ($bandSelects),
-         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |   FROM bands x JOIN bands y
-         |   ON x.band = y.band AND x.sg = y.sg AND x.doc_id < y.doc_id),
-         | p AS (SELECT a, b,
-         |   len(list_intersect(sa.s, sb.s)) / len(list_distinct(sa.s || sb.s)) AS jacc
-         |  FROM cand JOIN ss sa ON sa.doc_id = a JOIN ss sb ON sb.doc_id = b)
-         |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin
-    }),
+    "q_dedup_ngram" -> e(TextOps.dedupNgram,
+      s"""WITH $ngramPairCtes
+         |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin),
+
+    "q_dup_clusters" -> e(TextOps.dupClusters,
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | pr AS (SELECT a, b FROM p WHERE jacc >= 0.8),
+         | sym AS (SELECT a AS x, b AS y FROM pr
+         |   UNION SELECT b AS x, a AS y FROM pr),
+         | reach(s, t) AS (
+         |   SELECT x, x FROM (SELECT DISTINCT x FROM sym) n
+         |   UNION
+         |   SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x),
+         | lab AS (SELECT s, min(t) AS component FROM reach GROUP BY s)
+         |SELECT component AS cluster, count(*) AS n_members
+         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_dedup_simhash" -> e(TextOps.dedupSimhash,
       s"""WITH $simhashCtes

@@ -83,6 +83,32 @@ class TextOpsSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(40)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+    // min-label find: re-canonicalize to the min id per component
+    val byComp = want.groupBy(_._2).flatMap { case (_, m) =>
+      val mn = m.keys.min; m.keys.map(_ -> mn)
+    }
+    val got = graft.engine.Components.connectedComponents(
+        edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == byComp)
+  }
+
   test("fingerprint is position-sensitive") {
     val df = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
     val out = TextOps.fingerprint(df).orderBy("doc_id")
