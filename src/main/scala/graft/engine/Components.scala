@@ -23,8 +23,12 @@ object Components {
     *              are not emitted (singletons are "no duplicates").
     * @return (id, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("a").as("id"), col("b").as("nb"))
-      .unionByName(pairs.select(col("b").as("id"), col("a").as("nb")))
+    // both edge directions from ONE pass over pairs (a union of two
+    // projections would execute the upstream pair pipeline twice)
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("id"), col("b").as("nb")),
+        struct(col("b").as("id"), col("a").as("nb")))).as("e"))
+      .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("id")).distinct()
       .withColumn("component", col("id"))
@@ -35,16 +39,16 @@ object Components {
       val nbMin = sym
         .join(labels.select(col("id").as("nb"), col("component").as("nc")), Seq("nb"))
         .groupBy("id").agg(min(col("nc")).as("nmin"))
+      // prev label rides along so the convergence check is a filter on
+      // the same materialization — one job per round, not a second join
       val next = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component")))
             .as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") =!= col("prev")).count()
+      changed = next.filter(col("component") =!= col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("component"))
       i += 1
     }
     sym.unpersist()
