@@ -62,6 +62,21 @@ object Events {
         Types.out6(sum(Types.money(col("value")))).as("total"))
   }
 
+  /** Sliding-window aggregation (1-hour windows every 30 minutes): each
+    * event lands in exactly 2 overlapping windows — Spark's Generate
+    * expands the window list before the (window, type)-keyed hash agg,
+    * so fan-out is the constant size/slide ratio, then partial+final
+    * aggregation as usual. */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(timestamp_micros(col("us")), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        Types.out6(sum(Types.money(col("value")))).as("total"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy("win_start_us", "event_type")
+
   /** Gap-based sessionization of the events table (30-min gap). */
   def eventsSession(s: SparkSession, d: String): DataFrame =
     sessionizeUs(ev(s, d), 30L * 60 * 1000 * 1000).orderBy("user_id", "sid")
@@ -145,6 +160,17 @@ object EventsRegistry {
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_events_sliding" -> e(Events.eventsSliding,
+      """WITH e AS (SELECT event_type, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | w AS (SELECT event_type, value,
+        |   unnest([(us // 1800000000) * 1800000000,
+        |           (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+        |  FROM e)
+        |SELECT ws AS win_start_us, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_events_session" -> e(Events.eventsSession,
       """WITH e AS (SELECT user_id, event_id,

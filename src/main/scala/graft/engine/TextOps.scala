@@ -275,6 +275,35 @@ object TextOps {
     simhashNearPairs(sh).orderBy("a", "b")
   }
 
+  /** Sketch-quality measurement: for every LSH candidate pair, the
+    * MinHash-estimated Jaccard (fraction of equal signature components)
+    * next to the exact n-gram Jaccard — the number you look at when
+    * tuning bands/rows before a 100 TB run. Both columns are exact
+    * integer ratios (bit-deterministic cross-engine). */
+  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
+    val sets = shingleSets(Sources.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatureFromSets(sets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatePairs(sig)
+    val sa = sig.toDF(sig.columns.map {
+      case "doc_id" => "a"; case c => s"${c}a" }: _*)
+    val sb = sig.toDF(sig.columns.map {
+      case "doc_id" => "b"; case c => s"${c}b" }: _*)
+    val nEq = (0 until NumHashes)
+      .map(j => when(col(s"h${j}a") === col(s"h${j}b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(sa, Seq("a")).join(sb, Seq("b"))
+      .withColumn("n_eq", nEq)
+      .join(sets.select(col("doc_id").as("a"), col("s").as("ssa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("s").as("ssb")), Seq("b"))
+      .select(col("a"), col("b"), col("n_eq"),
+        (col("n_eq").cast("double") / NumHashes).as("est"),
+        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+          size(array_union(col("ssa"), col("ssb")))).as("jacc"))
+      .orderBy("a", "b")
+  }
+
   /** Duplicate clusters: MinHash+LSH candidates → exact Jaccard ≥ 0.8 →
     * connected components → one row per cluster (canonical = min doc_id).
     * The full near-dup pipeline a curation pass runs before choosing one

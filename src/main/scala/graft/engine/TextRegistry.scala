@@ -150,6 +150,25 @@ object TextRegistry {
       s"""WITH $ngramPairCtes
          |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin),
 
+    "q_minhash_est" -> e(TextOps.minhashEstimate, {
+      val nEq = (0 until TextOps.NumHashes)
+        .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCtes,
+         | bands AS (${(0 until TextOps.Bands).map { b =>
+        s"SELECT doc_id, $b AS band, h${3 * b}||'_'||h${3 * b + 1}||'_'||h${3 * b + 2} AS sg FROM sig"
+      }.mkString(" UNION ALL ")}),
+         | cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |   FROM bands x JOIN bands y
+         |   ON x.band = y.band AND x.sg = y.sg AND x.doc_id < y.doc_id),
+         | q AS (SELECT a, b, CAST($nEq AS BIGINT) AS n_eq,
+         |   len(list_intersect(pa.s, pb.s)) / len(list_distinct(pa.s || pb.s)) AS jacc
+         |  FROM cand JOIN sig sa ON sa.doc_id = a JOIN sig sb ON sb.doc_id = b
+         |   JOIN ss pa ON pa.doc_id = a JOIN ss pb ON pb.doc_id = b)
+         |SELECT a, b, n_eq, CAST(n_eq AS DOUBLE)/${TextOps.NumHashes} AS est, jacc
+         |FROM q ORDER BY a, b""".stripMargin
+    }),
+
     "q_dup_clusters" -> e(TextOps.dupClusters,
       s"""WITH RECURSIVE $ngramPairCtes,
          | pr AS (SELECT a, b FROM p WHERE jacc >= 0.8),
