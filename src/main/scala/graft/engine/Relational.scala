@@ -62,17 +62,21 @@ object Relational {
   def joinInner(s: SparkSession, d: String): DataFrame = {
     val c = cust(s, d)
     ord(s, d).filter(col("o_orderstatus") === "F")
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
       .orderBy("o_orderkey")
   }
 
-  /** Star join: fact ⋈ fact ⋈ three broadcast dims — the 100 TB shape
-    * (lineitem/orders shuffle on the key once; dims broadcast). */
+  /** Star join: fact ⋈ fact ⋈ dims — the 100 TB shape (lineitem/orders
+    * shuffle on the key once). Only the BOUNDED dims (nation 25 rows,
+    * region 5) carry an explicit broadcast hint; customer grows with the
+    * warehouse, so its join strategy is left to size statistics/AQE —
+    * broadcast at test scale, shuffle join when it outgrows the
+    * threshold. */
   def joinMulti(s: SparkSession, d: String): DataFrame =
     li(s, d)
       .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -130,7 +134,7 @@ object Relational {
 
   def aggRollup(s: SparkSession, d: String): DataFrame =
     ord(s, d)
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
@@ -185,7 +189,7 @@ object Relational {
 
   def scalarFuncs(s: SparkSession, d: String): DataFrame =
     ord(s, d).filter(col("o_orderkey") % 97 === 0)
-      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .select(
         col("o_orderkey"),
         upper(col("c_name")).as("up_name"),
