@@ -33,7 +33,7 @@ object Mutations {
     val u0 = updates.alias("u")
     val u = if (hintBroadcast) broadcast(u0) else u0
     val joined = t.join(u, keys, "left")
-    joined.select(target.columns.map { c =>
+    joined.select(target.columns.toIndexedSeq.map { c =>
       if (keys.contains(c)) col(c)
       else if (updatedCols.contains(c)) coalesce(col(s"u.$c"), col(s"t.$c")).as(c)
       else col(s"t.$c")
@@ -45,9 +45,9 @@ object Mutations {
     * the post-image keyset is the union of both keysets). Updates must
     * carry the full target schema for the insert half. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val updated = applyUpdates(target, updates.select(updates.columns.map(col): _*), keys)
+    val updated = applyUpdates(target, updates.select(updates.columns.toIndexedSeq.map(col): _*), keys)
     val newRows = updates.join(target.select(keys.map(col): _*), keys, "left_anti")
-    updated.unionByName(newRows.select(target.columns.map(col): _*))
+    updated.unionByName(newRows.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Conditional delete (`sql.py:321-332`) as an anti-filter: keep exactly

@@ -286,9 +286,9 @@ object TextOps {
     val sig = minhashSignatureFromSets(sets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = candidatePairs(sig)
-    val sa = sig.toDF(sig.columns.map {
+    val sa = sig.toDF(sig.columns.toIndexedSeq.map {
       case "doc_id" => "a"; case c => s"${c}a" }: _*)
-    val sb = sig.toDF(sig.columns.map {
+    val sb = sig.toDF(sig.columns.toIndexedSeq.map {
       case "doc_id" => "b"; case c => s"${c}b" }: _*)
     val nEq = (0 until NumHashes)
       .map(j => when(col(s"h${j}a") === col(s"h${j}b"), 1L).otherwise(0L))

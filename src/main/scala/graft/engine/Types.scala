@@ -55,7 +55,7 @@ object Types {
         spec.decimalColumns.map(_ -> (Money: DataType))
     // Single Project node; Catalyst folds it into the scan-adjacent
     // projection, so coercion costs nothing extra at scale.
-    df.select(df.columns.map { name =>
+    df.select(df.columns.toIndexedSeq.map { name =>
       target.get(name) match {
         case Some(t) => col(name).cast(t).as(name)
         case None    => col(name)
@@ -67,7 +67,7 @@ object Types {
     * DecimalType column — and only decimal columns, matching the
     * reference, which leaves floats alone — is cast to (38,20). */
   def normalizeDecimals(df: DataFrame): DataFrame =
-    df.select(df.schema.fields.map { f =>
+    df.select(df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         case _: DecimalType => col(f.name).cast(NormalizedDecimal).as(f.name)
         case _              => col(f.name)

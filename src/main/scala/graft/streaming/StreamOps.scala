@@ -87,7 +87,7 @@ object StreamOps {
               // timeouts must sit strictly beyond the current watermark
               state.setTimeoutTimestamp(math.max(
                 s.last / 1000 + gapUs / 1000,
-                state.getCurrentWatermarkMs + 1))
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
