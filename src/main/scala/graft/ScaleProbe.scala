@@ -40,7 +40,40 @@ object ScaleProbe {
       val t0 = System.nanoTime()
       val pairs = TextOps.jaccardPairs(copies(k), 0.8).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"SCALEPROBE k=$k docs=${5000 * k} pairs=$pairs ${secs}%.2f s")
+      println(f"SCALEPROBE dedup k=$k docs=${5000 * k} pairs=$pairs ${secs}%.2f s")
+    }
+
+    // ANN leg: FIXED query set (100 vectors from copy 0), corpus grows —
+    // per-query candidates are one LSH bucket (N/2^bits), so total work
+    // should scale linearly with corpus size.
+    import graft.engine.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val embBase = Sources.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    def embCopies(k: Int): DataFrame =
+      (0 until k).map { i =>
+        embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("v"))
+      }.reduce(_ unionByName _)
+    def annTopK(corpus: DataFrame): Long = {
+      val vs = corpus.withColumn("nm", Similarity.l2norm(col("v")))
+        .withColumn("bkt", Similarity.lshBucket(col("v")))
+      val q = vs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nm").as("qnm"), col("bkt"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      vs.join(broadcast(q), Seq("bkt"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", Similarity.dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .count()
+    }
+    annTopK(embCopies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val n = annTopK(embCopies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE ann k=$k corpus=${5000 * k} topk_rows=$n ${secs}%.2f s")
     }
     spark.stop()
   }
