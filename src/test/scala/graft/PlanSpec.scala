@@ -36,7 +36,8 @@ class PlanSpec extends SparkSpec {
 
   test("LSH/bucketed pair pipelines never plan a cartesian or nested loop") {
     for (q <- Seq("q_range_join", "q_simhash_near", "q_dedup_ngram",
-        "q_sim_lsh", "q_dedup_embed", "q_asof_join")) {
+        "q_sim_lsh", "q_dedup_embed", "q_asof_join",
+        "q_lateral_top", "q_exists_sql", "q_minhash_est")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
