@@ -94,6 +94,24 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join — the streaming twin of
+    * Events.rangeJoin: each error event joins the same user's click
+    * events in the following 10 minutes. Both sides carry watermarks and
+    * the join condition time-bounds both streams, so the state store
+    * retains each side only within its horizon (watermark + interval) —
+    * bounded state, the requirement for an unbounded run. */
+  def clicksAfterErrors(events: DataFrame): DataFrame = {
+    val err = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("ets"))
+    val clk = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("cts"))
+    err.join(clk, expr(
+      "user_id = c_uid AND cts > ets AND cts <= ets + INTERVAL 10 MINUTES"))
+      .select(col("err_id"), col("user_id"), col("ets"), col("cts"))
+  }
+
   /** Streaming exact dedup: drop replayed event ids inside the watermark
     * horizon — the streaming twin of the batch keyed dedup (state is one
     * entry per id, expired as the watermark advances). */

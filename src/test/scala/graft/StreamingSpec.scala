@@ -61,6 +61,23 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).n_events == 2 && out(0).user_id == 7)
   }
 
+  test("clicksAfterErrors: stream-stream interval join matches only in-window same-user clicks") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(10), 7, "error", 0.0),
+      Event(2, ts(15), 7, "click", 1.0),  // +5 min, same user → match
+      Event(3, ts(40), 7, "click", 1.0),  // +30 min → outside window
+      Event(4, ts(12), 8, "click", 1.0))  // other user → no match
+    val q = StreamOps.clicksAfterErrors(mem.toDF())
+      .writeStream.format("memory").queryName("ssj").outputMode(OutputMode.Append)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssj").select("err_id", "user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 7L)))
+  }
+
   test("sessionize: event-time timeout flushes an idle user's final session") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
