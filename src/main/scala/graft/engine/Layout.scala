@@ -36,6 +36,21 @@ object Layout {
       .partitionBy("day")
       .parquet(path)
 
+  /** Compact a parquet table to ~`targetMB` files — the small-files
+    * repair every long-lived warehouse needs (each append job leaves one
+    * file per task; scan overhead grows with file count, not bytes).
+    * Partition count derives from actual on-disk bytes, so the operation
+    * is idempotent and safe to schedule. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetMB: Int = 256): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val df = spark.read.parquet(path).repartition(parts)
+    Sinks.overwriteInPlace(spark, df, path)
+  }
+
   /** Salted equi-join of a skewed fact against a dimension: the fact
     * side gets a per-row salt, the dimension is replicated `salts`
     * times, and the join key becomes (key, salt) — one hot key now

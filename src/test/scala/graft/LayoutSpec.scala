@@ -31,6 +31,20 @@ class LayoutSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"))
   }
 
+  test("compact merges a many-file table, preserving rows (idempotent)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val df = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+    df.repartition(20).write.mode("overwrite").parquet(dir)
+    def nFiles: Int = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nFiles >= 20)
+    Layout.compact(spark, dir, targetMB = 256)
+    assert(nFiles == 1) // tiny table → one target-size file
+    assert(spark.read.parquet(dir).count() == 1000)
+    Layout.compact(spark, dir, targetMB = 256) // idempotent
+    assert(nFiles == 1 && spark.read.parquet(dir).count() == 1000)
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     // one hot key (1) dominating — the salting target
     val fact = ((1 to 500).map(_ => 1L) ++ (1 to 100).map(_.toLong))
