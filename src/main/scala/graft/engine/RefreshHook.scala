@@ -31,6 +31,20 @@ trait RefreshHook {
     }
 }
 
+object RefreshHook {
+
+  /** Refresh-history ingestion (`pbi.py:89-119` `get_refreshes`): the
+    * REST payload's `value` array of refresh records → DataFrame —
+    * JSON-records ingestion via the built-in reader, schema inferred
+    * like the reference's `pd.DataFrame(response['value'])`. */
+  def refreshHistoryFrame(spark: org.apache.spark.sql.SparkSession,
+      payloadJson: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(payloadJson).toDS())
+      .selectExpr("inline(value)")
+  }
+}
+
 /** In-memory implementation used by tests and as the default no-op. */
 final class InMemoryRefreshHook(initial: String = "Completed") extends RefreshHook {
   @volatile private var status: String = initial
