@@ -23,6 +23,7 @@ object Components {
     *              are not emitted (singletons are "no duplicates").
     * @return (id, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     // both edge directions from ONE pass over pairs (a union of two
     // projections would execute the upstream pair pipeline twice)
     val sym = pairs.select(explode(array(
@@ -30,28 +31,40 @@ object Components {
         struct(col("b").as("id"), col("a").as("nb")))).as("e"))
       .select(col("e.id").as("id"), col("e.nb").as("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbMin = sym
-        .join(labels.select(col("id").as("nb"), col("component").as("nc")), Seq("nb"))
-        .groupBy("id").agg(min(col("nc")).as("nmin"))
-      // prev label rides along so the convergence check is a filter on
-      // the same materialization — one job per round, not a second join
-      val next = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+    // The loop's frames are edge-list-sized, far smaller than the session
+    // default shuffle width assumes — and persist() blocks AQE's
+    // partition coalescing, so every tiny round would otherwise run
+    // full-width stages of near-empty tasks. Size the loop's shuffles to
+    // the measured edge count (the count also materializes the cache),
+    // restore the session default after.
+    val nEdges = sym.count()
+    val parts = math.max(1L, math.min(10000L, nEdges / 100000L + 1)).toString
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try {
+      var labels = sym.select(col("id")).distinct()
+        .withColumn("component", col("id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next.select(col("id"), col("component"))
-      i += 1
-    }
-    sym.unpersist()
-    labels
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbMin = sym
+          .join(labels.select(col("id").as("nb"), col("component").as("nc")), Seq("nb"))
+          .groupBy("id").agg(min(col("nc")).as("nmin"))
+        // prev label rides along so the convergence check is a filter on
+        // the same materialization — one job per round, not a second join
+        val next = labels.join(nbMin, Seq("id"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nmin"), col("component")))
+              .as("component"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        changed = next.filter(col("component") =!= col("prev")).count()
+        labels.unpersist()
+        labels = next.select(col("id"), col("component"))
+        i += 1
+      }
+      sym.unpersist()
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 }
