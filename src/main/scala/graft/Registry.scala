@@ -51,6 +51,17 @@ object Registry {
         | JOIN region   ON n_regionkey = r_regionkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    "q_join_partsupp" -> e(Relational.joinPartSupp,
+      """SELECT p_brand, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN part     ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation   ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "q_join_left" -> e(Relational.joinLeft,
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total

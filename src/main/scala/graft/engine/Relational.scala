@@ -83,6 +83,19 @@ object Relational {
       .agg(out6(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
 
+  /** Second star rooted at lineitem's other dims (part, supplier) —
+    * TPC-H Q9 shape: revenue by part brand × supplier nation. Supplier
+    * is bounded-small in this schema but joined unhinted like customer;
+    * nation broadcasts. */
+  def joinPartSupp(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .join(Sources.part(s, d), col("l_partkey") === col("p_partkey"))
+      .join(Sources.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Sources.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("p_brand"), col("n_name"))
+      .agg(out6(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand", "n_name")
+
   def joinLeft(s: SparkSession, d: String): DataFrame =
     cust(s, d)
       .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
