@@ -10,11 +10,23 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def canon(v):
+    # Exact canonicalization — deliberately type-sensitive, matching the
+    # driver's hash gate. float via repr (bit-exact, distinguishes -0.0);
+    # Decimal via str (scale-preserving: 1.50 != 1.5 != 1.500000), so a
+    # DECIMAL-typed output column that differs only in canonical form
+    # from the oracle FAILS here like it fails the driver (round-1 bug:
+    # pandas .df() collapsed both sides to float64 and masked this).
     if isinstance(v, float):
-        return repr(v)
+        return "f:" + repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        return "d:" + str(v)
     return str(v)
+
+def fetch(rel):
+    """Rows with columns reordered by sorted column name, exact values
+    (fetchall preserves DECIMAL as decimal.Decimal; .df() would not)."""
+    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    return [tuple(canon(row[i]) for i in order) for row in rel.fetchall()]
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -26,7 +38,7 @@ def main(outdir, sfdir):
         sql = oracle[name]
         try:
             want = con.sql(sql)
-            wdf = want.df()[sorted(want.columns)]
+            wvals = fetch(want)
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
             n_bad += 1
@@ -38,7 +50,7 @@ def main(outdir, sfdir):
             continue
         try:
             got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            gdf = got.df()[sorted(got.columns)]
+            gvals = fetch(got)
         except Exception as ex:
             print(f"FAIL {name}: spark read error: {str(ex)[:200]}")
             n_bad += 1
@@ -47,14 +59,12 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: cols oracle={sorted(want.columns)} spark={sorted(got.columns)}")
             n_bad += 1
             continue
-        if len(wdf) != len(gdf):
-            print(f"FAIL {name}: rows oracle={len(wdf)} spark={len(gdf)}")
+        if len(wvals) != len(gvals):
+            print(f"FAIL {name}: rows oracle={len(wvals)} spark={len(gvals)}")
             n_bad += 1
             continue
-        wvals = [tuple(canon(v) for v in row) for row in wdf.itertuples(index=False)]
-        gvals = [tuple(canon(v) for v in row) for row in gdf.itertuples(index=False)]
         if wvals == gvals:
-            print(f"ok   {name} ({len(wdf)} rows)")
+            print(f"ok   {name} ({len(wvals)} rows)")
             n_ok += 1
         elif sorted(wvals) == sorted(gvals):
             # order drift is a real failure: the driver hashes in row order

@@ -15,8 +15,8 @@ object Registry {
   val relational: Seq[(String, Entry)] = Seq(
     "q_scan_project" -> e(Relational.scanProject,
       """SELECT l_orderkey, l_linenumber,
-        | CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(38,20)) AS qty20,
-        | CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DECIMAL(38,20)) AS price20
+        | CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS qty20,
+        | CAST(CAST(l_extendedprice AS DECIMAL(10,2)) AS DOUBLE) AS price20
         |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin),
 
     "q_filter" -> e(Relational.filterRange,
@@ -42,7 +42,7 @@ object Registry {
     "q_join_multi" -> e(Relational.joinMulti,
       """SELECT r_name, n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
-        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS revenue,
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN orders   ON l_orderkey = o_orderkey
@@ -54,7 +54,7 @@ object Registry {
     "q_join_partsupp" -> e(Relational.joinPartSupp,
       """SELECT p_brand, n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
-        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS revenue,
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         | JOIN part     ON l_partkey = p_partkey
@@ -64,7 +64,7 @@ object Registry {
 
     "q_join_left" -> e(Relational.joinLeft,
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin),
 
@@ -82,13 +82,13 @@ object Registry {
 
     "q_agg_group" -> e(Relational.aggGroup,
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS sum_base,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
-        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS sum_disc,
+        |          * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
         |          * (1 - CAST(l_discount AS DECIMAL(10,2)))
-        |          * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DECIMAL(38,6)) AS sum_charge,
+        |          * (1 + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) / count(*) AS avg_price,
         | count(*) AS n_rows
@@ -102,7 +102,7 @@ object Registry {
     "q_agg_rollup" -> e(Relational.aggRollup,
       """SELECT COALESCE(r_name, 'ALL') AS region_name,
         | COALESCE(n_name, 'ALL') AS nation_name,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total,
         | count(*) AS n,
         | CAST(grouping(r_name) AS INT) AS g_r, CAST(grouping(n_name) AS INT) AS g_n
         |FROM orders
@@ -124,7 +124,7 @@ object Registry {
       """SELECT o_custkey, o_orderkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS run_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
@@ -157,8 +157,8 @@ object Registry {
         | CAST(day(o_orderdate) AS BIGINT) AS dy,
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
         |   AS days_since,
-        | CAST(abs(CAST(c_acctbal AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS abs_bal,
-        | CAST(round(CAST(c_acctbal AS DECIMAL(10,2)), 1) AS DECIMAL(38,6)) AS round1_bal,
+        | CAST(abs(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) AS abs_bal,
+        | CAST(round(CAST(c_acctbal AS DECIMAL(10,2)), 1) AS DOUBLE) AS round1_bal,
         | CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign_bal
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderkey % 97 = 0
@@ -172,7 +172,7 @@ object Registry {
         |   c_acctbal + CAST(100.00 AS DECIMAL(10,2)) AS c_acctbal
         |  FROM t WHERE c_custkey % 7 = 0)
         |SELECT t.c_custkey, COALESCE(u.c_name, t.c_name) AS c_name,
-        | CAST(COALESCE(u.c_acctbal, t.c_acctbal) AS DECIMAL(38,6)) AS bal6,
+        | CAST(COALESCE(u.c_acctbal, t.c_acctbal) AS DOUBLE) AS bal6,
         | t.c_mktsegment
         |FROM t LEFT JOIN u ON t.c_custkey = u.c_custkey
         |ORDER BY t.c_custkey""".stripMargin),
@@ -180,7 +180,7 @@ object Registry {
     "q_agg_cube" -> e(Relational.aggCube,
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         | COALESCE(o_orderpriority, 'ALL') AS priority,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total,
         | count(*) AS n,
         | CAST(grouping(o_orderstatus) AS INT) AS g_s,
         | CAST(grouping(o_orderpriority) AS INT) AS g_p
@@ -236,7 +236,7 @@ object Registry {
     "q_histogram" -> e(Relational.histogram,
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         | count(*) AS n,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_percentiles" -> e(Relational.percentiles,
@@ -264,7 +264,7 @@ object Registry {
 
     "q_date_funcs" -> e(Relational.dateFuncs,
       """SELECT o_orderkey,
-        | date_trunc('month', o_orderdate) AS month_start,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3,
         | last_day(CAST(o_orderdate AS DATE)) AS month_end,
         | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
@@ -278,7 +278,7 @@ object Registry {
         | count(nullif(o_orderstatus, 'P')) AS n_nonp,
         | min(nullif(o_orderstatus, 'P')) AS min_nonp,
         | CAST(sum(CASE WHEN o_orderstatus = 'P' THEN NULL
-        |   ELSE CAST(o_totalprice AS DECIMAL(10,2)) END) AS DECIMAL(38,6))
+        |   ELSE CAST(o_totalprice AS DECIMAL(10,2)) END) AS DOUBLE)
         |   AS sum_nonp,
         | COALESCE(min(CASE WHEN o_orderstatus = 'X' THEN o_orderstatus END),
         |   'none') AS fallback
@@ -310,8 +310,6 @@ object Registry {
                "l_orderkey||'_'||l_linenumber")} % 100 < 5
          |ORDER BY 1, 2, 3""".stripMargin),
 
-    "q_approx_distinct" -> Registry0.noOracle(Relational.approxDistinct),
-
     "q_upsert_keys" -> e(Relational.upsertKeys,
       """WITH t AS (SELECT c_custkey, c_name,
         |   CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
@@ -324,7 +322,7 @@ object Registry {
         |   CAST(0.00 AS DECIMAL(10,2)) AS c_acctbal, 'NEWSEG' AS c_mktsegment
         |  FROM t WHERE c_custkey % 13 = 0),
         | u AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
-        |SELECT c_custkey, c_name, CAST(bal AS DECIMAL(38,6)) AS bal6, c_mktsegment
+        |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal6, c_mktsegment
         |FROM (
         | SELECT t.c_custkey, COALESCE(u.c_name, t.c_name) AS c_name,
         |  COALESCE(u.c_acctbal, t.c_acctbal) AS bal, t.c_mktsegment

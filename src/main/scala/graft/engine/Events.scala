@@ -37,7 +37,7 @@ object Events {
       .groupBy(window(timestamp_micros(col("us")), "1 hour").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        Types.out6(sum(Types.money(col("value")))).as("total"))
+        Types.outD(sum(Types.money(col("value")))).as("total"))
       .select(unix_micros(col("w.start")).as("hour_start_us"),
         col("event_type"), col("n"), col("total"))
       .orderBy("hour_start_us", "event_type")
@@ -59,7 +59,7 @@ object Events {
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"),
-        Types.out6(sum(Types.money(col("value")))).as("total"))
+        Types.outD(sum(Types.money(col("value")))).as("total"))
   }
 
   /** Sliding-window aggregation (1-hour windows every 30 minutes): each
@@ -72,7 +72,7 @@ object Events {
       .groupBy(window(timestamp_micros(col("us")), "1 hour", "30 minutes").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        Types.out6(sum(Types.money(col("value")))).as("total"))
+        Types.outD(sum(Types.money(col("value")))).as("total"))
       .select(unix_micros(col("w.start")).as("win_start_us"),
         col("event_type"), col("n"), col("total"))
       .orderBy("win_start_us", "event_type")
@@ -158,7 +158,7 @@ object EventsRegistry {
     "q_events_window" -> e(Events.eventsWindow,
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
         | event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_events_sliding" -> e(Events.eventsSliding,
@@ -169,7 +169,7 @@ object EventsRegistry {
         |           (us // 1800000000) * 1800000000 - 1800000000]) AS ws
         |  FROM e)
         |SELECT ws AS win_start_us, event_type, count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_events_session" -> e(Events.eventsSession,
@@ -185,7 +185,7 @@ object EventsRegistry {
         |  FROM x)
         |SELECT user_id, sid, count(*) AS n_events,
         | min(us) AS start_us, max(us) AS end_us,
-        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_json_extract" -> e(Events.jsonExtract,

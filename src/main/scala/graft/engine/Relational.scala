@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *  - every query ends in a total-order sort led by a unique key.
   */
 object Relational {
-  import Types.{money, out6}
+  import Types.{money, outD}
 
   private def li(s: SparkSession, d: String) = Sources.lineitem(s, d)
   private def ord(s: SparkSession, d: String) = Sources.orders(s, d)
@@ -32,13 +32,17 @@ object Relational {
   // ---- scan / filter --------------------------------------------------
 
   /** Scan + projection + the reference's cast pipeline: caller dtype
-    * coercion then decimal(38,20) normalization (`sql.py:119-141`). */
+    * coercion then decimal(38,20) normalization (`sql.py:119-141`). The
+    * normalized decimals stay internal; the declared output is DOUBLE
+    * per the Types.outD contract (exact 2-decimal values, so the
+    * conversion is the same correctly-rounded double in both engines). */
   def scanProject(s: SparkSession, d: String): DataFrame = {
     val spec = Types.CoercionSpec(
       decimalColumns = Seq("l_quantity", "l_extendedprice"))
     Sources.extract(s, d, "lineitem", spec)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity").as("qty20"), col("l_extendedprice").as("price20"))
+        outD(col("l_quantity")).as("qty20"),
+        outD(col("l_extendedprice")).as("price20"))
       .orderBy("l_orderkey", "l_linenumber", "qty20", "price20")
   }
 
@@ -80,7 +84,7 @@ object Relational {
       .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(out6(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(outD(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
 
   /** Second star rooted at lineitem's other dims (part, supplier) —
@@ -93,7 +97,7 @@ object Relational {
       .join(Sources.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Sources.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("p_brand"), col("n_name"))
-      .agg(out6(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(outD(sum(revenue)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("p_brand", "n_name")
 
   def joinLeft(s: SparkSession, d: String): DataFrame =
@@ -101,7 +105,7 @@ object Relational {
       .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(count(col("o_orderkey")).as("n_orders"),
-        out6(sum(money(col("o_totalprice")))).as("total"))
+        outD(sum(money(col("o_totalprice")))).as("total"))
       .orderBy("c_custkey")
 
   def joinSemi(s: SparkSession, d: String): DataFrame = {
@@ -128,10 +132,10 @@ object Relational {
     val charge = revenue * (lit(1) + money(col("l_tax")))
     li(s, d).groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        out6(sum(qty)).as("sum_qty"),
-        out6(sum(price)).as("sum_base"),
-        out6(sum(revenue)).as("sum_disc"),
-        out6(sum(charge)).as("sum_charge"),
+        outD(sum(qty)).as("sum_qty"),
+        outD(sum(price)).as("sum_base"),
+        outD(sum(revenue)).as("sum_disc"),
+        outD(sum(charge)).as("sum_charge"),
         (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(price).cast("double") / count(lit(1))).as("avg_price"),
         count(lit(1)).as("n_rows"))
@@ -151,7 +155,7 @@ object Relational {
       .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(out6(sum(money(col("o_totalprice")))).as("total"),
+      .agg(outD(sum(money(col("o_totalprice")))).as("total"),
         count(lit(1)).as("n"),
         grouping(col("r_name")).cast("int").as("g_r"),
         grouping(col("n_name")).cast("int").as("g_n"))
@@ -177,7 +181,7 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ord(s, d)
-      .withColumn("run_total", out6(sum(money(col("o_totalprice"))).over(w)))
+      .withColumn("run_total", outD(sum(money(col("o_totalprice"))).over(w)))
       .select("o_custkey", "o_orderkey", "run_total")
       .orderBy("o_custkey", "o_orderkey")
   }
@@ -214,8 +218,8 @@ object Relational {
         dayofmonth(col("o_orderdate")).cast("long").as("dy"),
         datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long")
           .as("days_since"),
-        out6(abs(money(col("c_acctbal")))).as("abs_bal"),
-        out6(round(money(col("c_acctbal")), 1)).as("round1_bal"),
+        outD(abs(money(col("c_acctbal")))).as("abs_bal"),
+        outD(round(money(col("c_acctbal")), 1)).as("round1_bal"),
         when(col("c_acctbal") < 0, lit("neg")).otherwise(lit("pos")).as("sign_bal"))
       .orderBy("o_orderkey")
 
@@ -225,7 +229,7 @@ object Relational {
   def aggCube(s: SparkSession, d: String): DataFrame =
     ord(s, d)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(out6(sum(money(col("o_totalprice")))).as("total"),
+      .agg(outD(sum(money(col("o_totalprice")))).as("total"),
         count(lit(1)).as("n"),
         grouping(col("o_orderstatus")).cast("int").as("g_s"),
         grouping(col("o_orderpriority")).cast("int").as("g_p"))
@@ -307,7 +311,7 @@ object Relational {
       .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
-        out6(sum(money(col("o_totalprice")))).as("total"))
+        outD(sum(money(col("o_totalprice")))).as("total"))
       .orderBy("bin")
 
   /** Exact interpolated percentiles (median / p90). */
@@ -340,7 +344,7 @@ object Relational {
   def dateFuncs(s: SparkSession, d: String): DataFrame =
     ord(s, d).filter(col("o_orderkey") % 101 === 0)
       .select(col("o_orderkey"),
-        date_trunc("month", col("o_orderdate")).as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
         add_months(col("o_orderdate"), 3).as("plus3"),
         last_day(col("o_orderdate")).as("month_end"),
         quarter(col("o_orderdate")).cast("long").as("qtr"),
@@ -355,7 +359,7 @@ object Relational {
       .agg(
         count(nullif(col("o_orderstatus"), lit("P"))).as("n_nonp"),
         min(nullif(col("o_orderstatus"), lit("P"))).as("min_nonp"),
-        out6(sum(when(col("o_orderstatus") === "P", lit(null))
+        outD(sum(when(col("o_orderstatus") === "P", lit(null))
           .otherwise(money(col("o_totalprice"))))).as("sum_nonp"),
         coalesce(min(when(col("o_orderstatus") === "X", col("o_orderstatus"))),
           lit("none")).as("fallback"))
@@ -404,8 +408,11 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity")
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
-  /** HLL sketch next to the exact answer (no DuckDB oracle — sketch
-    * internals are engine-specific; driver records rows-only). */
+  /** HLL sketch next to the exact answer. Library function only — NOT a
+    * declared query: sketch internals are engine-specific, so there is no
+    * SQL-expressible oracle (SURVEY §2D keeps approx functions out of the
+    * exact-hash inventory). Covered by EdgeCasesSpec (sketch within 5% of
+    * the exact count). */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     li(s, d).groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
@@ -432,7 +439,7 @@ object Relational {
   def updateJoin(s: SparkSession, d: String): DataFrame =
     Mutations.applyUpdates(mutTarget(s, d), mutUpdates(s, d), Seq("c_custkey"))
       .select(col("c_custkey"), col("c_name"),
-        out6(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
+        outD(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
   /** Keyed upsert: merge + insert-of-unmatched; post-image keyset is the
@@ -451,7 +458,7 @@ object Relational {
         lit("NEWSEG").as("c_mktsegment"))
     Mutations.upsert(t, mods.unionByName(news), Seq("c_custkey"))
       .select(col("c_custkey"), col("c_name"),
-        out6(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
+        outD(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
       .orderBy("c_custkey")
   }
 }

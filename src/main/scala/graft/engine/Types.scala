@@ -26,14 +26,21 @@ object Types {
     * and any ANSI engine. */
   val Money: DecimalType = DecimalType(10, 2)
 
-  /** Canonical output type for aggregated measures. */
-  val Out: DecimalType = DecimalType(38, 6)
-
   /** Cast a 2-decimal double column to the exact Money decimal. */
   def money(c: Column): Column = c.cast(Money)
 
-  /** Final cast for aggregate outputs (exact scale-up). */
-  def out6(c: Column): Column = c.cast(Out)
+  /** Final cast for aggregate outputs.
+    *
+    * Decimal arithmetic stays INTERNAL (exact, order-free sums); the
+    * declared query OUTPUT is always DOUBLE. Decimal→double conversion is
+    * correctly rounded in both engines (Spark via BigDecimal.doubleValue;
+    * DuckDB divides the exact unscaled integer by the exactly-
+    * representable power of ten), so on identical exact decimals the
+    * output bits are identical — while DECIMAL *output* columns hash
+    * differently under the driver's canonicalization (the round-1 lesson:
+    * 16 value-exact queries were hash-red purely from DECIMAL(38,_)
+    * output types). Every oracle mirrors with CAST(... AS DOUBLE). */
+  def outD(c: Column): Column = c.cast(DoubleType)
 
   /** Caller-requested dtype coercion, the documented intent of
     * `sql.py:122-130`: cast each named column to the named type.

@@ -31,34 +31,30 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "md5_prefix28"
 
-  @inline private def pack(d: Array[Byte]): Long =
-    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
-      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
-
   override protected def nullSafeEval(v: Any): Any = {
     val bytes = child.dataType match {
       case StringType => v.asInstanceOf[UTF8String].getBytes
       case _ => v.asInstanceOf[Array[Byte]]
     }
-    pack(DigestUtils.md5(bytes))
+    Md5Prefix28.pack(DigestUtils.md5(bytes))
   }
 
+  // The packing arithmetic lives in a static helper (not inline Java):
+  // Janino mis-parses the inline form `(($digest[0] & 0xffL) << 20) | ...`
+  // as a cast-to-type and fails to compile, which silently dropped every
+  // h28 stage to interpreted eval. A plain static call sidesteps the
+  // parser ambiguity and keeps the stage inside whole-stage codegen.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, in => {
       val bytes = ctx.freshName("bytes")
-      val digest = ctx.freshName("digest")
       val toBytes = child.dataType match {
         case StringType => s"$in.getBytes()"
         case _ => in
       }
       s"""
          |byte[] $bytes = $toBytes;
-         |byte[] $digest =
-         |  org.apache.commons.codec.digest.DigestUtils.md5($bytes);
-         |${ev.value} = (($digest[0] & 0xffL) << 20)
-         |  | (($digest[1] & 0xffL) << 12)
-         |  | (($digest[2] & 0xffL) << 4)
-         |  | (($digest[3] & 0xf0L) >> 4);
+         |${ev.value} = graft.functions.Md5Prefix28.pack(
+         |  org.apache.commons.codec.digest.DigestUtils.md5($bytes));
        """.stripMargin
     })
 
@@ -68,4 +64,10 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
 
 object Md5Prefix28 {
   def h28(c: Column): Column = Bridge.column(Md5Prefix28(Bridge.expression(c)))
+
+  /** First 28 bits of an md5 digest as a long. Called from generated code
+    * via the static forwarder `graft.functions.Md5Prefix28.pack`. */
+  def pack(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+      ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
 }

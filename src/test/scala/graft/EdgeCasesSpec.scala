@@ -37,4 +37,14 @@ class EdgeCasesSpec extends SparkSpec {
     val sh = TextOps.simhashShingles(Seq((1L, "a b c d e")).toDF("doc_id", "text"))
     assert(TextOps.simhashNearPairs(sh).count() == 0)
   }
+
+  test("approxDistinct: HLL estimate within 5% of the exact count") {
+    val rows = graft.engine.Relational.approxDistinct(spark, sf)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact) <= math.max(1L, exact / 20),
+        s"approx=$approx exact=$exact")
+    }
+  }
 }

@@ -21,6 +21,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.forall(x => x >= 0 && x < (1L << 28)))
   }
 
+  test("md5_prefix28 generated Java compiles (no interpreted fallback)") {
+    // With fallback disabled, a Janino compile failure in the generated
+    // stage throws instead of silently dropping to interpreted eval —
+    // this locks in the compiled-codegen guarantee for every h28 hot path.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = spark.range(1000).selectExpr("CAST(id AS STRING) AS s")
+        .select(PortableHash.h28(col("s")).as("x"),
+          PortableHash.h28(col("s").cast("binary")).as("xb"))
+        .filter(col("x") >= 0 && col("x") < (1L << 28) && col("xb") >= 0)
+        .count()
+      assert(n == 1000)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("native md5_prefix28 equals the conv(substring(md5)) formulation") {
     val df = (Seq("", "a", "hello world", "π unicode ✓", "x" * 1000)
       ++ (0 until 200).map(i => s"doc $i token"))
