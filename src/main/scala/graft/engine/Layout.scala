@@ -40,15 +40,48 @@ object Layout {
     * repair every long-lived warehouse needs (each append job leaves one
     * file per task; scan overhead grows with file count, not bytes).
     * Partition count derives from actual on-disk bytes, so the operation
-    * is idempotent and safe to schedule. */
+    * is idempotent and safe to schedule.
+    *
+    * A Hive-partitioned layout (`col=value/` directories, e.g. from
+    * [[writePartitionedByDay]]) is detected and re-written with the same
+    * `partitionBy` chain — a naive rewrite would silently flatten the
+    * directory structure and lose partition pruning. Rows are clustered
+    * by the partition columns before the write so each partition value
+    * compacts to a single file instead of one per task. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 256): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
-    val df = spark.read.parquet(path).repartition(parts)
-    Sinks.overwriteInPlace(spark, df, path)
+    val pcols = partitionColumns(fs, p)
+    val df0 = spark.read.parquet(path)
+    val df =
+      if (pcols.isEmpty) df0.repartition(parts)
+      else df0.repartition(parts, pcols.map(col): _*)
+    Sinks.overwriteInPlace(spark, df, path, partitionBy = pcols)
+  }
+
+  /** Hive partition columns of an on-disk layout, outermost first: each
+    * directory level whose children are all `name=value` dirs with one
+    * shared name contributes that name. Empty for unpartitioned tables. */
+  private def partitionColumns(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer[String]()
+    var cur = root
+    var descend = true
+    while (descend) {
+      val dirs = fs.listStatus(cur).filter(_.isDirectory).map(_.getPath)
+        .filterNot(d => d.getName.startsWith("_") || d.getName.startsWith("."))
+      val names = dirs.map(_.getName).filter(_.contains("="))
+        .map(_.split("=", 2)(0)).distinct
+      if (dirs.nonEmpty && names.length == 1 &&
+          dirs.forall(_.getName.contains("="))) {
+        cols += names.head
+        cur = dirs.head
+      } else descend = false
+    }
+    cols.toSeq
   }
 
   /** Salted equi-join of a skewed fact against a dimension: the fact

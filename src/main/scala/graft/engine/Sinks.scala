@@ -28,12 +28,16 @@ object Sinks {
 
   /** Overwrite a table with a frame derived from that same table: Spark
     * forbids reading and overwriting one location in a single job, so
-    * stage to a sibling temp dir, then swap via filesystem rename. */
-  def overwriteInPlace(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    * stage to a sibling temp dir, then swap via filesystem rename.
+    * `partitionBy` preserves a Hive-partitioned (`col=value/`) layout. */
+  def overwriteInPlace(spark: SparkSession, df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val target = new Path(path)
     val tmp = new Path(path + ".tmp_rewrite")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
     fs.delete(target, true)
     fs.rename(tmp, target)
   }

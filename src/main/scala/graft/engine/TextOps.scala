@@ -30,10 +30,15 @@ object TextOps {
 
   /** 3-token shingles in document order (empty for docs under 3 tokens).
     *
-    * Duplicates are NOT removed: every consumer is set-semantic anyway —
-    * MinHash `min` is duplicate-insensitive and `array_intersect` /
-    * `array_union` dedup their outputs — and `array_distinct` measured
-    * ~4× the cost of the whole rest of the minhash pipeline at sf0.1.
+    * Duplicates are NOT removed — `array_distinct` measured ~4× the cost
+    * of the whole rest of the minhash pipeline at sf0.1, and the
+    * consumers tolerate it in two different ways: MinHash `min` and
+    * `array_intersect`/`array_union` are duplicate-INSENSITIVE, while
+    * [[simhashShingles]] is occurrence-WEIGHTED by design (each repeat
+    * of a shingle contributes another ±1 to every bit sum) and its
+    * DuckDB twin (`simhashShingleCtes`) deliberately mirrors the
+    * non-distinct construction. A new consumer that needs true set
+    * semantics must dedup at its own boundary.
     * Built from two `zip_with`s over `slice`s (vectorized over the
     * already-split token array) rather than `transform(sequence(...))`
     * with per-element `element_at`, which benched ~5× slower. */

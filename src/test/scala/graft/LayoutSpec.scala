@@ -45,6 +45,30 @@ class LayoutSpec extends SparkSpec {
     assert(nFiles == 1 && spark.read.parquet(dir).count() == 1000)
   }
 
+  test("compact on a Hive-partitioned table preserves layout and pruning") {
+    val dir = Files.createTempDirectory("graft_compact_part").resolve("ev").toString
+    val ev = graft.engine.Sources.events(spark, sf)
+    Layout.writePartitionedByDay(ev, dir, "ts")
+    val nRows = spark.read.parquet(dir).count()
+    // fragment each day-partition, then compact
+    graft.engine.Sinks.overwriteInPlace(spark,
+      spark.read.parquet(dir).repartition(7), dir,
+      partitionBy = Seq("day"))
+    Layout.compact(spark, dir, targetMB = 256)
+    val dayDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.nonEmpty, "partition directories must survive compact")
+    // each partition value compacts to a single file
+    assert(dayDirs.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+    val read = spark.read.parquet(dir)
+    assert(read.count() == nRows)
+    val scan = read.filter(col("day") === "2024-01-03")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"),
+      s"pruning lost after compact:\n$scan")
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     // one hot key (1) dominating — the salting target
     val fact = ((1 to 500).map(_ => 1L) ++ (1 to 100).map(_.toLong))

@@ -125,6 +125,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == byComp)
   }
 
+  test("connectedComponents throws rather than return non-converged labels") {
+    // a 6-node chain has diameter 5 — maxIter=2 cannot reach fixpoint
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      graft.engine.Components.connectedComponents(chain, maxIter = 2)
+    }
+    // and the same chain converges (single component 0) without a cap hit
+    val ok = graft.engine.Components.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ok == Set(0L))
+  }
+
   test("fingerprint is position-sensitive") {
     val df = Seq((1L, "a b"), (2L, "b a")).toDF("doc_id", "text")
     val out = TextOps.fingerprint(df).orderBy("doc_id")
