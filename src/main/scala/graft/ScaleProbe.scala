@@ -55,8 +55,9 @@ object ScaleProbe {
         embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("v"))
       }.reduce(_ unionByName _)
     def annTopK(corpus: DataFrame): Long = {
+      val bits = Similarity.lshBitsFor(corpus.count())
       val vs = corpus.withColumn("nm", Similarity.l2norm(col("v")))
-        .withColumn("bkt", Similarity.lshBucket(col("v")))
+        .withColumn("bkt", Similarity.lshBucket(col("v"), bits))
       val q = vs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nm").as("qnm"), col("bkt"))
@@ -74,6 +75,28 @@ object ScaleProbe {
       val n = annTopK(embCopies(k))
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALEPROBE ann k=$k corpus=${5000 * k} topk_rows=$n ${secs}%.2f s")
+    }
+
+    // Embedding near-dup leg: candidate-PAIR counts must grow ~linearly
+    // with the corpus — the adaptive LSH bit count (lshBitsFor) bounds
+    // expected bucket occupancy, so same-bucket pairs are O(N), where a
+    // fixed bit count would give N²/2^bits.
+    def embPairs(corpus: DataFrame): (Int, Long, Long) = {
+      val n = corpus.count()
+      val bits = Similarity.lshBitsFor(n)
+      val vs = corpus.withColumn("nm", Similarity.l2norm(col("v")))
+        .withColumn("bkt", Similarity.lshBucket(col("v"), bits))
+      val x = vs.select(col("bkt"), col("vec_id").as("a"))
+      val y = vs.select(col("bkt"), col("vec_id").as("b"))
+      val cand = x.join(y, Seq("bkt")).filter(col("a") < col("b")).count()
+      (bits, n, cand)
+    }
+    embPairs(embCopies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (bits, n, cand) = embPairs(embCopies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE embdedup k=$k corpus=$n bits=$bits cand_pairs=$cand ${secs}%.2f s")
     }
     spark.stop()
   }

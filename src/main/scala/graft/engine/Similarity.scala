@@ -8,13 +8,23 @@ import org.apache.spark.sql.functions._
   * cosine top-k as the correctness baseline and a sign-LSH bucketed
   * variant as the scale path (SURVEY.md §2D).
   *
-  * Scale notes: the brute-force path broadcasts the (small) query set —
-  * a BroadcastNestedLoopJoin that streams the big side once, no shuffle
-  * of the corpus. The LSH path reduces candidates per query from N to
-  * N/2^bits via an equi-join on the bucket id; at 100 TB you'd raise the
-  * bit count and add multi-probe, but the plan shape is already the
-  * scalable one. All vector math uses codegen'd higher-order functions
-  * (`zip_with`/`aggregate`) — no UDF, stays inside whole-stage codegen.
+  * Scale notes — every parameter that touches asymptotics is CONSTANT or
+  * grows logarithmically, never linearly, with the corpus:
+  *  - the query set is the FIXED first [[NumQueries]] vector ids, so the
+  *    broadcast stays broadcast-sized and brute-force work is O(N·Q),
+  *    not the O(N²/c) a percentage-sampled query side degrades to;
+  *  - IVF uses a FIXED [[NumCentroids]]-sized centroid sample (top-K by
+  *    portable hash — an O(N log K) selection), so the assignment pass
+  *    is O(N·K), the classic coarse-quantization shape;
+  *  - the embedding-LSH bit count is derived from the corpus size
+  *    ([[lshBitsFor]]): expected bucket occupancy stays ≤
+  *    [[TargetBucket]], so within-bucket all-pairs work is ≤
+  *    N·TargetBucket/2 — linear in N (fixed 8 bits would be N²/256).
+  * The brute-force path broadcasts the query set — a
+  * BroadcastNestedLoopJoin that streams the big side once, no shuffle of
+  * the corpus. All vector math is a codegen'd native expression
+  * ([[graft.functions.DotProduct]]) — no UDF, stays inside whole-stage
+  * codegen.
   */
 object Similarity {
 
@@ -41,28 +51,52 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nm", l2norm(col("v")))
 
-  /** Deterministic sign-LSH projection weights: 8 pseudo-random integer
+  /** Deterministic sign-LSH projection weights: pseudo-random integer
     * vectors derived from a fixed LCG (portable across engines). */
   def lshWeight(j: Int, i: Int): Long =
     ((1103515245L * (j * 64 + i) + 12345L) % 2048L) - 1024L
 
-  val LshBits = 8
+  /** Floor / cap on the adaptive LSH bit count. 24 bits of headroom
+    * covers ~2 billion vectors at the target occupancy. */
+  val MinLshBits = 8
+  val MaxLshBits = 24
 
-  /** 8-bit sign-LSH bucket id of a double-array embedding. */
-  def lshBucket(v: Column): Column =
-    (0 until LshBits).map { j =>
+  /** Target expected bucket occupancy for the near-dup LSH blocking. */
+  val TargetBucket = 128L
+
+  /** Fixed ANN demo parameters — CONSTANTS, deliberately not fractions
+    * of the corpus (a `vec_id % 50` query side makes broadcast size and
+    * total work grow with N: O(N²/50) — the round-1 scale bug). */
+  val NumQueries = 16
+  val NumCentroids = 64
+
+  /** Smallest bit count in [MinLshBits, MaxLshBits] whose expected
+    * bucket occupancy n/2^bits is ≤ [[TargetBucket]] — pure integer
+    * comparisons, mirrored verbatim by the oracle SQL (each comparison
+    * term is a threshold `n > TargetBucket·2^b`, monotone in b, so the
+    * count of passed thresholds IS the number of extra bits needed). */
+  def lshBitsFor(n: Long): Int =
+    MinLshBits + (MinLshBits until MaxLshBits)
+      .count(b => n > (TargetBucket << b))
+
+  /** Sign-LSH bucket id of a double-array embedding over `bits`
+    * hyperplanes. */
+  def lshBucket(v: Column, bits: Int = MinLshBits): Column =
+    (0 until bits).map { j =>
       val w = array((0 until 64).map(i => lit(lshWeight(j, i).toDouble)): _*)
-      when(dot(v, w) >= 0, lit(1 << j)).otherwise(lit(0))
+      when(dot(v, w) >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def queriesEvery(vs: DataFrame, every: Int): DataFrame =
-    vs.filter(col("vec_id") % every === 0)
+  /** The fixed query set: the first [[NumQueries]] vector ids. */
+  private def queriesFixed(vs: DataFrame): DataFrame =
+    vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nm").as("qnm"))
 
-  /** Brute-force cosine top-k: every `every`-th vector queries the corpus. */
-  def simTopK(s: SparkSession, d: String, every: Int = 50, k: Int = 5): DataFrame = {
+  /** Brute-force cosine top-k of the fixed query set over the whole
+    * corpus: O(N·Q) streamed once past the broadcast queries. */
+  def simTopK(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val vs = vectors(s, d)
-    val q = queriesEvery(vs, every)
+    val q = queriesFixed(vs)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     vs.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -73,10 +107,13 @@ object Similarity {
       .orderBy("q_id", "rk", "vec_id")
   }
 
-  /** LSH-bucketed ANN top-k: candidates restricted to the query's bucket. */
-  def simLsh(s: SparkSession, d: String, every: Int = 50, k: Int = 3): DataFrame = {
-    val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v")))
-    val q = vs.filter(col("vec_id") % every === 0)
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's
+    * bucket. Adaptive bit count keeps per-query candidates ≤ ~
+    * [[TargetBucket]] as the corpus grows. */
+  def simLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
+    val q = vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nm").as("qnm"), col("bkt"))
     val w = Window.partitionBy(col("q_id"))
@@ -91,17 +128,20 @@ object Similarity {
       .orderBy("q_id", "rk", "vec_id")
   }
 
-  /** IVF-style ANN: a small deterministic centroid set (every
-    * `centroidEvery`-th vector) is broadcast; one pass assigns each
-    * vector to its nearest centroid (max cosine, min-centroid-id
+  /** IVF-style ANN: a FIXED-size deterministic centroid sample — the
+    * [[NumCentroids]] smallest (h28('c_'||vec_id), vec_id) keys, an
+    * O(N log K) top-K selection — is broadcast; one O(N·K) pass assigns
+    * each vector to its nearest centroid (max cosine, min-centroid-id
     * tie-break); queries then search only their own cell. At 100 TB the
     * centroid table stays broadcast-sized and the assignment is a single
     * scan — the classic coarse-quantization shape (probe more cells by
-    * relaxing the rank-1 filter). */
-  def simIvf(s: SparkSession, d: String, centroidEvery: Int = 50,
-      queryEvery: Int = 50, k: Int = 3): DataFrame = {
+    * relaxing the rank-1 filter; raise K, which only grows the broadcast,
+    * never the shuffle). */
+  def simIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val vs = vectors(s, d)
-    val cents = vs.filter(col("vec_id") % centroidEvery === 1)
+    val cents = vs
+      .withColumn("ck", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
+      .orderBy(col("ck"), col("vec_id")).limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
@@ -115,7 +155,7 @@ object Similarity {
       .filter(col("c_rk") === 1)
       .select(col("vec_id"), col("v"), col("nm"), col("c_id").as("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val q = assigned.filter(col("vec_id") % queryEvery === 0)
+    val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nm").as("qnm"), col("cell"))
     val wTop = Window.partitionBy(col("q_id"))
@@ -131,9 +171,14 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs, LSH-blocked (never O(n²)): same-bucket
-    * pairs (a < b) whose cosine clears the threshold. */
+    * pairs (a < b) whose cosine clears the threshold. The bucket bit
+    * count grows with log(N) ([[lshBitsFor]]), bounding within-bucket
+    * pairs at ~N·TargetBucket/2. Single-projection blocking trades
+    * recall for that bound; [[dedupEmbedBanded]] is the recall-preserving
+    * OR-construction over independent projection bands. */
   def dedupEmbed(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
-    val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v")))
+    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
     val x = vs.select(col("bkt"), col("vec_id").as("a"),
       col("v").as("va"), col("nm").as("na"))
     val y = vs.select(col("bkt"), col("vec_id").as("b"),
@@ -143,6 +188,40 @@ object Similarity {
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("bkt"), round(col("cos"), 4).as("cos4"))
+      .orderBy("a", "b")
+  }
+
+  /** Multi-band OR-construction near-dup pairs (library operator): `bands`
+    * independent sign-LSH projections of `bits` hyperplanes each; a pair
+    * is a candidate if it collides in ANY band, then exact cosine
+    * verifies. Per-pair collision probability rises from p = (1-θ/π)^bits
+    * to 1-(1-p)^bands while candidate work stays linear
+    * (bands·N·occupancy/2) — the standard recall/cost dial when the
+    * adaptive bit count of [[dedupEmbed]] would otherwise cost recall.
+    * Input: a (vec_id, v, nm) frame from [[vectors]]. */
+  def dedupEmbedBanded(vs: DataFrame, bands: Int, bits: Int,
+      threshold: Double): DataFrame = {
+    val banded = (0 until bands).map { bd =>
+      val bkt = (0 until bits).map { j =>
+        val w = array((0 until 64).map(i =>
+          lit(lshWeight(bd * bits + j, i).toDouble)): _*)
+        when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      vs.select(col("vec_id"), lit(bd).as("band"), bkt.as("bkt"))
+    }.reduce(_ unionByName _)
+    val cand = banded.select(col("band"), col("bkt"), col("vec_id").as("a"))
+      .join(banded.select(col("band"), col("bkt"), col("vec_id").as("b")),
+        Seq("band", "bkt"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    cand
+      .join(vs.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nm").as("na")), Seq("a"))
+      .join(vs.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nm").as("nb")), Seq("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 4).as("cos4"))
       .orderBy("a", "b")
   }
 }

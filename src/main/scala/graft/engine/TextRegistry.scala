@@ -68,11 +68,24 @@ object TextRegistry {
        |  FROM cand JOIN ss sa ON sa.doc_id = a JOIN ss sb ON sb.doc_id = b)""".stripMargin
   }
 
-  private def duckLshBucket(v: String): String =
-    (0 until Similarity.LshBits).map { j =>
+  /** DuckDB mirror of [[Similarity.lshBitsFor]]: MinLshBits + the count
+    * of occupancy thresholds passed — exact integer comparisons, so both
+    * engines derive the identical bit count from their own corpus count. */
+  private val duckBitsCte = {
+    val terms = (Similarity.MinLshBits until Similarity.MaxLshBits)
+      .map(b => s"(CASE WHEN c > ${Similarity.TargetBucket << b} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"bi AS (SELECT ${Similarity.MinLshBits} + $terms AS b " +
+      "FROM (SELECT count(*) AS c FROM embeddings))"
+  }
+
+  /** Adaptive-bit sign-LSH bucket: projection j contributes 2^j only when
+    * j < b (the scalar from the `bi` CTE). */
+  private def duckLshBucketDyn(v: String): String =
+    (0 until Similarity.MaxLshBits).map { j =>
       val terms = s"list_sum(list_transform(range(1,65), i -> $v[i] * " +
         s"(((1103515245*(${j * 64} + (i-1)) + 12345) % 2048) - 1024)))"
-      s"(CASE WHEN $terms >= 0 THEN ${1 << j} ELSE 0 END)"
+      s"(CASE WHEN $j < b AND $terms >= 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private val embCtes =
@@ -255,7 +268,8 @@ object TextRegistry {
 
     "q_sim_topk" -> e((s, d) => Similarity.simTopK(s, d),
       s"""WITH $embCtes,
-         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm FROM n WHERE vec_id % 50 = 0),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm FROM n
+         |   WHERE vec_id < ${Similarity.NumQueries}),
          | s AS (SELECT q_id, vec_id, list_dot_product(qv, v)/(qnm*nm) AS cos
          |   FROM q JOIN n ON vec_id != q_id),
          | r AS (SELECT q_id, vec_id, cos,
@@ -266,9 +280,11 @@ object TextRegistry {
 
     "q_sim_lsh" -> e((s, d) => Similarity.simLsh(s, d),
       s"""WITH $embCtes,
-         | nb AS (SELECT vec_id, v, nm, ${duckLshBucket("v")} AS bkt FROM n),
+         | $duckBitsCte,
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucketDyn("v")} AS bkt
+         |   FROM n CROSS JOIN bi),
          | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm, bkt FROM nb
-         |   WHERE vec_id % 50 = 0),
+         |   WHERE vec_id < ${Similarity.NumQueries}),
          | s AS (SELECT q.q_id, nb.vec_id, nb.bkt,
          |   list_dot_product(q.qv, nb.v)/(q.qnm*nb.nm) AS cos
          |  FROM q JOIN nb ON q.bkt = nb.bkt AND nb.vec_id != q.q_id),
@@ -281,7 +297,8 @@ object TextRegistry {
     "q_sim_ivf" -> e((s, d) => Similarity.simIvf(s, d),
       s"""WITH $embCtes,
          | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n
-         |   WHERE vec_id % 50 = 1),
+         |   ORDER BY ${duckH28("'c_'||vec_id")}, vec_id
+         |   LIMIT ${Similarity.NumCentroids}),
          | asg AS (SELECT vec_id, v, nm, c_id AS cell FROM (
          |   SELECT n.vec_id, n.v, n.nm, c.c_id,
          |    row_number() OVER (PARTITION BY n.vec_id
@@ -289,7 +306,7 @@ object TextRegistry {
          |      AS c_rk
          |   FROM n CROSS JOIN c) x WHERE c_rk = 1),
          | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm, cell FROM asg
-         |   WHERE vec_id % 50 = 0),
+         |   WHERE vec_id < ${Similarity.NumQueries}),
          | s AS (SELECT q.q_id, a.vec_id, a.cell,
          |   list_dot_product(q.qv, a.v)/(q.qnm*a.nm) AS cos
          |  FROM q JOIN asg a ON q.cell = a.cell AND a.vec_id != q.q_id),
@@ -301,7 +318,9 @@ object TextRegistry {
 
     "q_dedup_embed" -> e((s, d) => Similarity.dedupEmbed(s, d),
       s"""WITH $embCtes,
-         | nb AS (SELECT vec_id, v, nm, ${duckLshBucket("v")} AS bkt FROM n),
+         | $duckBitsCte,
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucketDyn("v")} AS bkt
+         |   FROM n CROSS JOIN bi),
          | p AS (SELECT a.vec_id AS a, b.vec_id AS b, a.bkt AS bkt,
          |   list_dot_product(a.v, b.v)/(a.nm*b.nm) AS cos
          |  FROM nb a JOIN nb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)

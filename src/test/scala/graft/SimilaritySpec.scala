@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("simTopK returns k neighbors per query, best-first, excluding self") {
-    val out = Similarity.simTopK(spark, sf, every = 50, k = 5)
+    val out = Similarity.simTopK(spark, sf, k = 5)
     val rows = out.select("q_id", "vec_id", "rk", "cos4")
       .as[(Long, Long, Long, Double)].collect()
     assert(rows.nonEmpty)
@@ -34,7 +34,7 @@ class SimilaritySpec extends SparkSpec {
   test("LSH buckets partition the corpus; ANN results come from own bucket") {
     val vs = Similarity.vectors(spark, sf)
       .withColumn("bkt", Similarity.lshBucket(col("v")))
-    val buckets = vs.select("bkt").as[Int].collect()
+    val buckets = vs.select("bkt").as[Long].collect()
     assert(buckets.forall(b => b >= 0 && b < 256))
     assert(buckets.distinct.length > 1)
   }
@@ -43,5 +43,29 @@ class SimilaritySpec extends SparkSpec {
     val out = Similarity.dedupEmbed(spark, sf, threshold = 0.3)
     assert(out.filter(col("cos4") < 0.29).count() == 0)
     assert(out.filter(col("a") >= col("b")).count() == 0)
+  }
+
+  test("lshBitsFor: occupancy-driven, floored, capped, monotone") {
+    import Similarity.{lshBitsFor, MinLshBits, MaxLshBits, TargetBucket}
+    assert(lshBitsFor(0) == MinLshBits)
+    assert(lshBitsFor(TargetBucket << MinLshBits) == MinLshBits)
+    assert(lshBitsFor((TargetBucket << MinLshBits) + 1) == MinLshBits + 1)
+    assert(lshBitsFor(Long.MaxValue / 4) == MaxLshBits)
+    // expected occupancy n / 2^bits stays ≤ TargetBucket until the cap
+    (10 to 36).map(1L << _).foreach { n =>
+      val b = lshBitsFor(n)
+      assert(b == MaxLshBits || (n >> b) <= TargetBucket, s"n=$n bits=$b")
+    }
+  }
+
+  test("dedupEmbedBanded: more bands find a superset of verified pairs") {
+    val vs = Similarity.vectors(spark, sf)
+    def pairs(bands: Int) =
+      Similarity.dedupEmbedBanded(vs, bands, bits = 8, threshold = 0.3)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+    val one = pairs(1)
+    val four = pairs(4)
+    assert(one.subsetOf(four), "OR-construction can only add candidates")
+    assert(four.nonEmpty)
   }
 }
