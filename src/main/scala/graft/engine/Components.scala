@@ -46,34 +46,45 @@ object Components {
     // any query running concurrently on the same session).
     val nEdges = sym0.count()
     val parts = math.max(1L, math.min(10000L, nEdges / 100000L + 1)).toInt
-    val sym = sym0.repartition(parts, col("nb"))
+    // Self-loops fold the "keep my own label" term into the neighbor
+    // minimum, so each round is ONE co-partitioned join + agg — the
+    // previous shape needed a second (left) join back onto the old
+    // labels, roughly doubling per-round stages.
+    val nodes = sym0.select(col("id")).distinct()
+    val sym = sym0.unionByName(nodes.withColumn("nb", col("id")))
+      .repartition(parts, col("nb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("id")).repartition(parts, col("id")).distinct()
+    var labels = nodes.repartition(parts, col("id"))
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+    // Labels only ever decrease, so the label sum decreases strictly
+    // every non-converged round: convergence check = one scalar agg on
+    // the round's materialization, no prev-vs-next join. Exact decimal
+    // sum — a long could wrap at extreme id×node scales.
+    def labelSum(df: DataFrame): BigDecimal = {
+      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (v == null) BigDecimal(0) else BigDecimal(v)
+    }
+    var prevSum: Option[BigDecimal] = None
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbMin = sym
-        .join(labels.select(col("id").as("nb"), col("component").as("nc")), Seq("nb"))
-        .select(col("id"), col("nc"))
+    while (!converged && i < maxIter) {
+      val next = sym
+        .join(labels.select(col("id").as("nb"), col("component")), Seq("nb"))
+        .select(col("id"), col("component"))
         .repartition(parts, col("id"))
-        .groupBy("id").agg(min(col("nc")).as("nmin"))
-      // prev label rides along so the convergence check is a filter on
-      // the same materialization — one job per round, not a second join
-      val next = labels.join(nbMin, Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nmin"), col("component")))
-            .as("component"))
+        .groupBy("id").agg(min(col("component")).as("component"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("component") =!= col("prev")).count()
+      val s = labelSum(next)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist()
-      labels = next.select(col("id"), col("component"))
+      labels = next
       i += 1
     }
     sym0.unpersist()
     sym.unpersist()
-    if (changed > 0) {
+    if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +

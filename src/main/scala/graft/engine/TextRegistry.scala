@@ -27,10 +27,11 @@ object TextRegistry {
        | sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id)""".stripMargin
   }
 
+  // popcount form, matching TextOps.simhashBits: bit set iff 2·S_b > n
   private val duckSimhashSums = (0 until 28).map(b =>
-    s"sum(CASE WHEN ((x >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b").mkString(", ")
+    s"sum((x >> $b) & 1) AS s$b").mkString(", ") + ", count(*) AS n"
   private val duckSimhashPack = (0 until 28).map(b =>
-    s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"(CASE WHEN 2*s$b > n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
 
   /** Unigram simhash CTE chain ending in `sh(doc_id, simhash)`. */
   private val simhashCtes: String =
