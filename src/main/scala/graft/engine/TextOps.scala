@@ -122,6 +122,50 @@ object TextOps {
       .select(col("a"), col("b"), col("jacc"))
   }
 
+  // ---- shared materialized stages ------------------------------------
+  // The five LSH/dedup queries share the split→shingle→hash prefix; each
+  // stage below is parquet-materialized once per JVM ([[Stages]]) so the
+  // prefix is computed once per corpus, not once per query — the 100 TB
+  // shape: a signature table checkpointed beside the corpus, consumed by
+  // every downstream dedup pass. Values are identical to the unshared
+  // pipeline (the stage is the same deterministic frame).
+
+  /** doc_id → 3-token shingle array, materialized once per corpus. */
+  def sharedShingleSets(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "shingle_sets", d)(
+      shingleSets(Sources.documents(s, d)))
+
+  /** MinHash signature table from the materialized shingle sets. */
+  def sharedSignature(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "minhash_sig", d)(
+      minhashSignatureFromSets(sharedShingleSets(s, d)))
+
+  /** LSH candidate pairs `(a, b, n_eq, jacc)` — signature agreement
+    * count and exact n-gram Jaccard for every banding candidate; the
+    * common start of q_dedup_ngram, q_minhash_est and q_dup_clusters.
+    * Parquet-backed, so the band self-join and the four set/signature
+    * joins read O(docs) files instead of re-running the corpus scan. */
+  def sharedCandPairs(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "cand_pairs", d) {
+      val sets = sharedShingleSets(s, d)
+      val sig = sharedSignature(s, d)
+      val sa = sig.toDF(sig.columns.toIndexedSeq.map {
+        case "doc_id" => "a"; case c => s"${c}a" }: _*)
+      val sb = sig.toDF(sig.columns.toIndexedSeq.map {
+        case "doc_id" => "b"; case c => s"${c}b" }: _*)
+      val nEq = (0 until NumHashes)
+        .map(j => when(col(s"h${j}a") === col(s"h${j}b"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      candidatePairs(sig)
+        .join(sa, Seq("a")).join(sb, Seq("b"))
+        .withColumn("n_eq", nEq)
+        .join(sets.select(col("doc_id").as("a"), col("s").as("ssa")), Seq("a"))
+        .join(sets.select(col("doc_id").as("b"), col("s").as("ssb")), Seq("b"))
+        .select(col("a"), col("b"), col("n_eq"),
+          (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
+            size(array_union(col("ssa"), col("ssb")))).as("jacc"))
+    }
+
   /** 28-bit simhash over a (doc_id, x) feature-hash table: bit b of the
     * signature is set iff bit b is 1 in the majority of feature hashes.
     * One doc_id-keyed hash agg with map-side partials.
@@ -249,10 +293,11 @@ object TextOps {
   }
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    minhashSignature(Sources.documents(s, d)).orderBy("doc_id")
+    sharedSignature(s, d).orderBy("doc_id")
 
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    jaccardPairs(Sources.documents(s, d), 0.8).orderBy("a", "b")
+    sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
+      .select("a", "b", "jacc").orderBy("a", "b")
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3, with
     * candidates from band-LSH over the 28-bit shingle signature — 4
@@ -282,8 +327,10 @@ object TextOps {
   }
 
   def simhashNear(s: SparkSession, d: String): DataFrame = {
-    val sh = simhashShingles(Sources.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = Stages.materialize(s, "simhash_shingle", d)(
+      simhashBits(sharedShingleSets(s, d)
+        .select(col("doc_id"), explode(col("s")).as("sh"))
+        .withColumn("x", h28(col("sh")))))
     simhashNearPairs(sh).orderBy("a", "b")
   }
 
@@ -292,29 +339,11 @@ object TextOps {
     * next to the exact n-gram Jaccard — the number you look at when
     * tuning bands/rows before a 100 TB run. Both columns are exact
     * integer ratios (bit-deterministic cross-engine). */
-  def minhashEstimate(s: SparkSession, d: String): DataFrame = {
-    val sets = shingleSets(Sources.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatureFromSets(sets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(sig)
-    val sa = sig.toDF(sig.columns.toIndexedSeq.map {
-      case "doc_id" => "a"; case c => s"${c}a" }: _*)
-    val sb = sig.toDF(sig.columns.toIndexedSeq.map {
-      case "doc_id" => "b"; case c => s"${c}b" }: _*)
-    val nEq = (0 until NumHashes)
-      .map(j => when(col(s"h${j}a") === col(s"h${j}b"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    cand.join(sa, Seq("a")).join(sb, Seq("b"))
-      .withColumn("n_eq", nEq)
-      .join(sets.select(col("doc_id").as("a"), col("s").as("ssa")), Seq("a"))
-      .join(sets.select(col("doc_id").as("b"), col("s").as("ssb")), Seq("b"))
+  def minhashEstimate(s: SparkSession, d: String): DataFrame =
+    sharedCandPairs(s, d)
       .select(col("a"), col("b"), col("n_eq"),
-        (col("n_eq").cast("double") / NumHashes).as("est"),
-        (size(array_intersect(col("ssa"), col("ssb"))).cast("double") /
-          size(array_union(col("ssa"), col("ssb")))).as("jacc"))
+        (col("n_eq").cast("double") / NumHashes).as("est"), col("jacc"))
       .orderBy("a", "b")
-  }
 
   /** Duplicate clusters: MinHash+LSH candidates → exact Jaccard ≥ 0.8 →
     * connected components → one row per cluster (canonical = min doc_id).
@@ -322,7 +351,8 @@ object TextOps {
     * representative per group. */
   def dupClusters(s: SparkSession, d: String): DataFrame =
     Components.connectedComponents(
-        jaccardPairs(Sources.documents(s, d), 0.8).select(col("a"), col("b")))
+        sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
+          .select(col("a"), col("b")))
       .groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster")
