@@ -1,0 +1,46 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Sources, Stages, TextOps}
+
+/** The materialized-stage cache must be transparent: parquet-backed
+  * stages give byte-identical values to the unshared pipeline, build
+  * exactly once per (stage, dir) per JVM, and survive a full
+  * `spark.catalog.clearCache()` (the bench harness clears between
+  * queries — the whole point of the checkpoint). */
+class StagesSpec extends SparkSpec {
+
+  test("materialize builds once per key and survives clearCache") {
+    val builds = new AtomicInteger(0)
+    def stage() = Stages.materialize(spark, "spec_count", "/tmp/spec-in") {
+      builds.incrementAndGet()
+      spark.range(10).toDF("id")
+    }
+    assert(stage().count() == 10)
+    spark.catalog.clearCache()
+    assert(stage().count() == 10)
+    assert(builds.get() == 1)
+    // distinct dir -> distinct stage
+    Stages.materialize(spark, "spec_count", "/tmp/spec-in2") {
+      builds.incrementAndGet()
+      spark.range(3).toDF("id")
+    }
+    assert(builds.get() == 2)
+  }
+
+  test("shared shingle/signature/pair stages equal the unshared pipeline") {
+    val docs = Sources.documents(spark, sf)
+    val sig0 = TextOps.minhashSignature(docs)
+    val sig1 = TextOps.sharedSignature(spark, sf)
+    assert(sig0.exceptAll(sig1).count() == 0 && sig1.exceptAll(sig0).count() == 0)
+
+    val pairs0 = TextOps.jaccardPairs(docs, 0.8)
+      .select(col("a"), col("b"), col("jacc"))
+    val pairs1 = TextOps.sharedCandPairs(spark, sf)
+      .filter(col("jacc") >= 0.8).select(col("a"), col("b"), col("jacc"))
+    assert(pairs0.exceptAll(pairs1).count() == 0 &&
+      pairs1.exceptAll(pairs0).count() == 0)
+  }
+}
