@@ -98,21 +98,11 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact n-gram Jaccard verification of LSH candidates.
-    *
-    * The signature and shingle-set tables are persisted: both sides of
-    * the band self-join (and the two candidate-set joins) would otherwise
-    * recompute the full explode+hash pipeline — 8 scans instead of 1.
-    * Both tables are O(docs), tiny next to the corpus, so at scale this
-    * is a cache/checkpoint of the signature table — standard practice.
-    */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sets = shingleSets(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = candidatePairs(
-      minhashSignatureFromSets(sets)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    cand
+  /** Exact n-gram Jaccard verification of LSH candidates, from
+    * already-built shingle-set and signature tables. */
+  def jaccardPairsFrom(sets: DataFrame, sig: DataFrame,
+      threshold: Double): DataFrame =
+    candidatePairs(sig)
       .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
       .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
       .withColumn("jacc",
@@ -120,6 +110,63 @@ object TextOps {
           size(array_union(col("sa"), col("sb"))))
       .filter(col("jacc") >= threshold)
       .select(col("a"), col("b"), col("jacc"))
+
+  /** Exact n-gram Jaccard verification of LSH candidates.
+    *
+    * The signature and shingle-set tables are persisted: both sides of
+    * the band self-join (and the two candidate-set joins) would otherwise
+    * recompute the full explode+hash pipeline — 8 scans instead of 1.
+    * Both tables are O(docs), tiny next to the corpus, so at scale this
+    * is a cache/checkpoint of the signature table — standard practice
+    * (and what the declared queries do via [[Stages]]).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = shingleSets(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatureFromSets(sets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    jaccardPairsFrom(sets, sig, threshold)
+  }
+
+  /** Incremental near-dup dedup: filter a NEW batch of documents against
+    * an already-indexed corpus — the operation a training-data pipeline
+    * runs when the next crawl batch arrives, and the reason the corpus
+    * signature table is materialized ([[Stages]]) rather than rebuilt.
+    *
+    * A batch doc is dropped when it near-dups (exact shingle Jaccard ≥
+    * `threshold`, candidates from LSH banding) either any corpus doc or
+    * an earlier batch doc (smaller `doc_id`), regardless of whether that
+    * earlier doc itself survives — the single-pass greedy semantics every
+    * large-scale dedup uses; transitive cluster-level keep-one is the
+    * batch [[dupClusters]] operator's job.
+    *
+    * Scale: only the batch is shingled fresh; the corpus contributes its
+    * O(|docs|) signature and shingle-set tables. The candidate join
+    * shuffles (band, sig) keys — batch bands against corpus bands — so
+    * per-batch cost is O(batch + collisions), never O(corpus). */
+  def dedupIncremental(newDocs: DataFrame, corpusSets: DataFrame,
+      corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bSets = shingleSets(newDocs).persist(mem)
+    val bSig = minhashSignatureFromSets(bSets).persist(mem)
+    val bBands = minhashBands(bSig)
+    val cBands = minhashBands(corpusSig)
+    // batch vs corpus: any band collision, verified by exact Jaccard
+    val vsCorpus = bBands.alias("x")
+      .join(cBands.alias("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .join(bSets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(corpusSets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .filter(size(array_intersect(col("sa"), col("sb"))) /
+        size(array_union(col("sa"), col("sb"))) >= threshold)
+      .select(col("a").as("doc_id"))
+    // batch vs earlier batch doc: standard keep-first pair drop
+    val inBatch = jaccardPairsFrom(bSets, bSig, threshold)
+      .select(col("b").as("doc_id"))
+    newDocs.join(vsCorpus.unionByName(inBatch).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   // ---- shared materialized stages ------------------------------------

@@ -30,6 +30,27 @@ class StagesSpec extends SparkSpec {
     assert(builds.get() == 2)
   }
 
+  test("dedupIncremental drops corpus dups and keep-first batch dups") {
+    import spark.implicits._
+    def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, doc(0, 50)), (2L, doc(100, 50)), (3L, doc(200, 50)))
+      .toDF("doc_id", "text")
+    val cSets = TextOps.shingleSets(corpus)
+    val cSig = TextOps.minhashSignatureFromSets(cSets)
+    val nearOf2 = (doc(100, 49).split(" ") :+ "zzz").mkString(" ")
+    val batch = Seq(
+      (101L, doc(0, 50)),   // exact dup of corpus doc 1 -> dropped
+      (102L, doc(300, 50)), // novel -> kept
+      (103L, doc(300, 50)), // dup of batch doc 102 -> dropped (keep-first)
+      (104L, doc(400, 50)), // novel -> kept
+      (105L, nearOf2))      // 49/50-token near-dup of corpus doc 2 -> dropped
+      .toDF("doc_id", "text")
+    val kept = TextOps.dedupIncremental(batch, cSets, cSig, 0.8)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(102L, 104L))
+  }
+
   test("shared shingle/signature/pair stages equal the unshared pipeline") {
     val docs = Sources.documents(spark, sf)
     val sig0 = TextOps.minhashSignature(docs)
