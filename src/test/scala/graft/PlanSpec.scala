@@ -49,4 +49,13 @@ class PlanSpec extends SparkSpec {
     // streams the corpus once against a broadcast query table
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
+    // the threshold filter must reach the stage's parquet scan — the
+    // shared-stage rework keeps the query a pushed-filter file read, not
+    // a recomputation of the shingle pipeline
+    val p = plan("q_dedup_ngram")
+    assert(p.contains("graft-stages"), "stage checkpoint not read")
+    assert(p.contains("GreaterThanOrEqual(jacc,0.8)"), "jacc filter not pushed")
+  }
 }
