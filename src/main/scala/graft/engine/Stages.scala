@@ -24,22 +24,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Stages {
 
-  private lazy val root: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-stages")
-    p.toFile.deleteOnExit()
-    p.toString
-  }
+  /** Checkpoint root. Defaults to a process-private temp dir; on a
+    * cluster set `-Dgraft.stages.dir=s3://…/stages` (any Hadoop-FS URI
+    * Spark can write) so stages land beside the corpus and outlive the
+    * driver JVM — later jobs then reuse them via [[materialize]]'s
+    * deterministic per-(stage, dir) naming. */
+  private lazy val root: String =
+    sys.props.get("graft.stages.dir").getOrElse {
+      val p = java.nio.file.Files.createTempDirectory("graft-stages")
+      p.toFile.deleteOnExit()
+      p.toString
+    }
 
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** The parquet-backed stage `stage` of input directory `dir`: built by
-    * `build` exactly once per JVM, read from files afterwards. */
+    * `build` at most once per root (a committed `_SUCCESS` from an
+    * earlier JVM is reused when the root is persistent), read from files
+    * afterwards. */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val key = s"$stage|$dir"
     val path = done.computeIfAbsent(key, _ => {
-      val p = s"$root/$stage-${java.lang.Integer.toHexString(key.hashCode)}"
-      build.write.mode("overwrite").parquet(p)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val p = s"$root/$stage-$digest"
+      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) build.write.mode("overwrite").parquet(p)
       p
     })
     s.read.parquet(path)
