@@ -50,9 +50,20 @@ object ScaleProbe {
     import org.apache.spark.sql.expressions.Window
     val embBase = Sources.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // per-copy cyclic rotation of the 64 dims — norm-preserving and
+    // cosine-invariant WITHIN a copy (same rotation both sides), so each
+    // copy keeps the base corpus's near-dup structure, while across
+    // copies rotated vectors decorrelate — the same constant-density
+    // construction as the text leg's Caesar shift (identical copies
+    // would be true near-dups of each other, making pair growth
+    // genuinely quadratic and the probe meaningless)
     def embCopies(k: Int): DataFrame =
       (0 until k).map { i =>
-        embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"), col("v"))
+        val r = i % 64
+        val rot = if (r == 0) col("v")
+          else concat(slice(col("v"), r + 1, 64 - r), slice(col("v"), 1, r))
+        embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+          rot.as("v"))
       }.reduce(_ unionByName _)
     def annTopK(corpus: DataFrame): Long = {
       val bits = Similarity.lshBitsFor(corpus.count())
@@ -91,8 +102,12 @@ object ScaleProbe {
       val cand = x.join(y, Seq("bkt")).filter(col("a") < col("b")).count()
       (bits, n, cand)
     }
-    embPairs(embCopies(1)) // warm
-    Seq(1, 2, 4).foreach { k =>
+    // 2×/4×/8× straddles a bit-count threshold at every doubling (base
+    // corpus 2000, TargetBucket 16 ⇒ thresholds at 4096/8192/16384), so
+    // the probe exercises the adaptive mechanism rather than sitting
+    // inside one bucket-count plateau where growth is locally quadratic.
+    embPairs(embCopies(2)) // warm
+    Seq(2, 4, 8).foreach { k =>
       val t0 = System.nanoTime()
       val (bits, n, cand) = embPairs(embCopies(k))
       val secs = (System.nanoTime() - t0) / 1e9

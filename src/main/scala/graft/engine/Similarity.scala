@@ -51,18 +51,36 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nm", l2norm(col("v")))
 
-  /** Deterministic sign-LSH projection weights: pseudo-random integer
-    * vectors derived from a fixed LCG (portable across engines). */
-  def lshWeight(j: Int, i: Int): Long =
-    ((1103515245L * (j * 64 + i) + 12345L) % 2048L) - 1024L
+  /** Deterministic sign-LSH projection weights in [-1024, 1024): a
+    * 64-bit multiply-xorshift mix of the flat index. An earlier LCG on
+    * consecutive indices made every hyperplane an arithmetic progression
+    * mod 2048 — hyperplanes were mutually correlated, buckets skewed ~5×
+    * on isotropic data, and adding bits failed to split hot buckets
+    * (measured via ScaleProbe's embdedup leg). The mix runs in Scala at
+    * plan-build time only; the oracle SQL receives the literal weight
+    * lists, so the two engines share values by construction. */
+  def lshWeight(j: Int, i: Int): Long = {
+    var x = (j * 64 + i + 1).toLong * 0x9E3779B97F4A7C15L
+    x ^= (x >>> 32)
+    x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 29)
+    ((x % 2048L) + 2048L) % 2048L - 1024L
+  }
 
   /** Floor / cap on the adaptive LSH bit count. 24 bits of headroom
     * covers ~2 billion vectors at the target occupancy. */
   val MinLshBits = 8
   val MaxLshBits = 24
 
-  /** Target expected bucket occupancy for the near-dup LSH blocking. */
-  val TargetBucket = 128L
+  /** Target expected bucket occupancy for the near-dup LSH blocking.
+    * Small on purpose: between bit-count thresholds the same-bucket pair
+    * count grows with occupancy² (the sawtooth inherent to power-of-two
+    * blocking), so a tight target keeps the envelope tight — pairs stay
+    * ≤ skew·N·occupancy with occupancy ∈ (TargetBucket/2, TargetBucket].
+    * The recall cost of finer buckets is the documented dial: raise
+    * recall with [[dedupEmbedBanded]]'s OR-construction, not coarser
+    * buckets. */
+  val TargetBucket = 16L
 
   /** Fixed ANN demo parameters — CONSTANTS, deliberately not fractions
     * of the corpus (a `vec_id % 50` query side makes broadcast size and

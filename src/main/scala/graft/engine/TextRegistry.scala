@@ -81,12 +81,15 @@ object TextRegistry {
   }
 
   /** Adaptive-bit sign-LSH bucket: projection j contributes 2^j only when
-    * j < b (the scalar from the `bi` CTE). */
+    * j < b (the scalar from the `bi` CTE). The weight vectors are
+    * emitted as literal lists from [[Similarity.lshWeight]] — single-
+    * sourced values, no formula duplicated into SQL. */
   private def duckLshBucketDyn(v: String): String =
     (0 until Similarity.MaxLshBits).map { j =>
-      val terms = s"list_sum(list_transform(range(1,65), i -> $v[i] * " +
-        s"(((1103515245*(${j * 64} + (i-1)) + 12345) % 2048) - 1024)))"
-      s"(CASE WHEN $j < b AND $terms >= 0 THEN ${1L << j} ELSE 0 END)"
+      val ws = (0 until 64).map(i => s"${Similarity.lshWeight(j, i)}.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN $j < b AND list_dot_product($v, $ws) >= 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   private val embCtes =
