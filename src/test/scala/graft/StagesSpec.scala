@@ -46,9 +46,15 @@ class StagesSpec extends SparkSpec {
       (104L, doc(400, 50)), // novel -> kept
       (105L, nearOf2))      // 49/50-token near-dup of corpus doc 2 -> dropped
       .toDF("doc_id", "text")
-    val kept = TextOps.dedupIncremental(batch, cSets, cSig, 0.8)
-      .select("doc_id").as[Long].collect().sorted
+    val result = TextOps.dedupIncremental(batch, cSets, cSig, 0.8)
+    val kept = result.select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(102L, 104L))
+    // the incremental path must stay equi-join shaped: batch bands
+    // against corpus bands, never a pairwise compare
+    val p = result.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
   }
 
   test("shared shingle/signature/pair stages equal the unshared pipeline") {
