@@ -62,15 +62,23 @@ object TextOps {
       .select(col("doc_id"), shingles3(col("toks")).as("s"))
 
   /** MinHash signature (doc_id, h0..h11) from a shingle-set table —
-    * one shuffle (doc_id hash agg with partial min map-side). Taking
-    * the sets table (not the raw docs) lets [[jaccardPairs]] derive
-    * signatures from its already-persisted sets instead of re-running
-    * the split+shingle pipeline a second time. */
+    * computed STATELESSLY per row with array HOFs: one `transform`
+    * hashes each shingle once, then 12 `array_min`s take the family
+    * minima. Zero shuffle — the signature is a pure map over the corpus
+    * scan, where the explode + doc_id groupBy formulation it replaces
+    * shuffled every shingle hash (values identical: same minima over
+    * the same multiset). Docs with no shingles (< 3 tokens) drop out,
+    * matching the explode semantics. The hash array is materialized in
+    * its own projection first — a spliced `transform(h28(...))` would
+    * re-hash per array_min ([[shingleSets]]'s lesson). Stateless also
+    * means stream-safe: the same column expressions work on a streaming
+    * frame with no watermark or state store. */
   def minhashSignatureFromSets(sets: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(j => min(minhashJ(col("x"), j)).as(s"h$j"))
-    sets.select(col("doc_id"), explode(col("s")).as("sh"))
-      .withColumn("x", h28(col("sh")))
-      .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val hx = sets.filter(size(col("s")) > 0)
+      .select(col("doc_id"), transform(col("s"), sh => h28(sh)).as("hx"))
+    val sigs = (0 until NumHashes).map(j =>
+      array_min(transform(col("hx"), x => minhashJ(x, j))).as(s"h$j"))
+    hx.select(col("doc_id") +: sigs: _*)
   }
 
   /** MinHash signature straight from documents. */
