@@ -118,6 +118,51 @@ object StreamOps {
   def dedupEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
 
+  /** Streaming near-dup filter against a FROZEN corpus index — the
+    * streaming twin of `TextOps.dedupIncremental`'s corpus leg: documents
+    * arriving on the stream are dropped when they near-dup (exact shingle
+    * Jaccard ≥ `threshold`, candidates from MinHash LSH banding) any doc
+    * in the materialized corpus index (`TextOps.sharedShingleSets` /
+    * `sharedSignature`, or any frame with their schemas).
+    *
+    * Fully STATELESS: the signature is computed per row with array HOFs
+    * (no groupBy, no state store, no watermark needed), each of the 4
+    * band checks is a stream-static LEFT ANTI join whose condition embeds
+    * the exact-Jaccard verification, and a row survives only if no band
+    * verifies a dup — identical semantics to the batch corpus leg. Docs
+    * under 3 tokens have null signatures, match nothing, and pass
+    * through. In-stream (batch-to-batch) dedup is a separate concern:
+    * compose with [[dedupEvents]]-style `dropDuplicates` on a normalized
+    * text hash inside a watermark. */
+  def dedupStreamAgainstCorpus(docs: DataFrame, corpusSets: DataFrame,
+      corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import graft.engine.TextOps.{tokens, shingles3, Bands, NumHashes}
+    import graft.engine.PortableHash.{h28, minhashJ}
+    val withS = docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("s", shingles3(col("toks")))
+      .drop("toks")
+      .withColumn("hx", transform(col("s"), sh => h28(sh)))
+    val withSig = (0 until NumHashes).foldLeft(withS) { (df, j) =>
+      df.withColumn(s"h$j", array_min(transform(col("hx"), x => minhashJ(x, j))))
+    }
+    def bandKey(pfx: String, b: Int) = concat_ws("_",
+      col(s"$pfx${3 * b}"), col(s"$pfx${3 * b + 1}"), col(s"$pfx${3 * b + 2}"))
+    val helperCols = Seq("s", "hx") ++ (0 until NumHashes).map(j => s"h$j")
+    val kept = (0 until Bands).foldLeft(withSig) { (cur, b) =>
+      val idx = corpusSig
+        .select(col("doc_id").as("c_id"), bandKey("h", b).as("c_sig"))
+        .join(corpusSets.select(col("doc_id").as("c_id"), col("s").as("c_s")),
+          Seq("c_id"))
+      cur.join(idx,
+        bandKey("h", b) === col("c_sig") &&
+          size(array_intersect(col("s"), col("c_s"))) /
+            size(array_union(col("s"), col("c_s"))) >= threshold,
+        "left_anti")
+    }
+    kept.drop(helperCols: _*)
+  }
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

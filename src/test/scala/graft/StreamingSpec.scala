@@ -96,4 +96,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.exists(s => s.user_id == 7 && s.n_events == 1),
       s"expected user 7's final session flushed by timeout, got ${out.toSeq}")
   }
+
+  test("dedupStreamAgainstCorpus drops corpus near-dups, passes novel/short docs") {
+    implicit val sq = spark.sqlContext
+    def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, doc(0, 50)), (2L, doc(100, 50)))
+      .toDF("doc_id", "text")
+    val cSets = graft.engine.TextOps.shingleSets(corpus)
+    val cSig = graft.engine.TextOps.minhashSignatureFromSets(cSets)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.dedupStreamAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), cSets, cSig)
+      .writeStream.format("memory").queryName("sdd").outputMode(OutputMode.Append)
+      .start()
+    val nearOf1 = (doc(0, 49).split(" ") :+ "zzz").mkString(" ")
+    mem.addData(
+      (201L, doc(0, 50)),   // exact dup of corpus doc 1 -> dropped
+      (202L, doc(300, 50)), // novel -> kept
+      (203L, nearOf1),      // near-dup of corpus doc 1 -> dropped
+      (204L, "a b"))        // under 3 tokens: no shingles -> kept
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("sdd").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(202L, 204L), s"got ${kept.toSeq}")
+  }
 }
