@@ -56,6 +56,31 @@ object PropertySpecs extends Properties("graft") {
     }
 
   /** applyUpdates is idempotent for any update set. */
+  private val docsGen: Gen[List[String]] = Gen.listOfN(6,
+    Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" ")))
+
+  /** The stateless (array-HOF) signature equals the explode + groupBy
+    * formulation it replaced — same minima over the same multiset. */
+  property("stateless minhash signature == explode/groupBy signature") =
+    forAll(docsGen) { texts =>
+      import org.apache.spark.sql.functions._
+      import graft.engine.{PortableHash, TextOps}
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sets = TextOps.shingleSets(docs)
+      val viaAgg = {
+        val aggs = (0 until TextOps.NumHashes)
+          .map(j => min(PortableHash.minhashJ(col("x"), j)).as(s"h$j"))
+        sets.select(col("doc_id"), explode(col("s")).as("sh"))
+          .withColumn("x", PortableHash.h28(col("sh")))
+          .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      }
+      val viaRow = TextOps.minhashSignatureFromSets(sets)
+      val a = viaAgg.collect().map(_.toSeq).toSet
+      val b = viaRow.collect().map(_.toSeq).toSet
+      Prop(a == b) :| s"agg=$a row=$b"
+    }
+
   property("applyUpdates twice == once") =
     forAll(kvGen, kvGen) { (ts, us) =>
       val target = ts.distinctBy(_._1).toDF("k", "v")
