@@ -185,15 +185,25 @@ object TextOps {
   // every downstream dedup pass. Values are identical to the unshared
   // pipeline (the stage is the same deterministic frame).
 
-  /** doc_id → 3-token shingle array, materialized once per corpus. */
+  /** doc_id → 3-token shingle array + its h28 hash array, materialized
+    * once per corpus. Storing `hx` beside `s` means the whole dedup
+    * family hashes each shingle exactly once per corpus: the signature
+    * and simhash stages read stored hashes instead of re-running md5
+    * over every shingle. */
   def sharedShingleSets(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "shingle_sets", d)(
-      shingleSets(Sources.documents(s, d)))
+      shingleSets(Sources.documents(s, d))
+        .withColumn("hx", transform(col("s"), sh => h28(sh))))
 
-  /** MinHash signature table from the materialized shingle sets. */
+  /** MinHash signature table from the materialized shingle sets — the
+    * stateless array_min form over the STORED hash array. */
   def sharedSignature(s: SparkSession, d: String): DataFrame =
-    Stages.materialize(s, "minhash_sig", d)(
-      minhashSignatureFromSets(sharedShingleSets(s, d)))
+    Stages.materialize(s, "minhash_sig", d) {
+      val hx = sharedShingleSets(s, d).filter(size(col("s")) > 0)
+      val sigs = (0 until NumHashes).map(j =>
+        array_min(transform(col("hx"), x => minhashJ(x, j))).as(s"h$j"))
+      hx.select(col("doc_id") +: sigs: _*)
+    }
 
   /** LSH candidate pairs `(a, b, n_eq, jacc)` — signature agreement
     * count and exact n-gram Jaccard for every banding candidate; the
@@ -384,8 +394,7 @@ object TextOps {
   def simhashNear(s: SparkSession, d: String): DataFrame = {
     val sh = Stages.materialize(s, "simhash_shingle", d)(
       simhashBits(sharedShingleSets(s, d)
-        .select(col("doc_id"), explode(col("s")).as("sh"))
-        .withColumn("x", h28(col("sh")))))
+        .select(col("doc_id"), explode(col("hx")).as("x"))))
     simhashNearPairs(sh).orderBy("a", "b")
   }
 
