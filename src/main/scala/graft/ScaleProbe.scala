@@ -65,27 +65,29 @@ object ScaleProbe {
         embBase.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
           rot.as("v"))
       }.reduce(_ unionByName _)
-    def annTopK(corpus: DataFrame): Long = {
-      val bits = Similarity.lshBitsFor(corpus.count())
+    def annTopK(corpus: DataFrame): (Long, Long) = {
+      val n = corpus.count()
+      val bits = Similarity.lshBitsFor(n)
       val vs = corpus.withColumn("nm", Similarity.l2norm(col("v")))
         .withColumn("bkt", Similarity.lshBucket(col("v"), bits))
       val q = vs.filter(col("vec_id") % 50 === 0 && col("vec_id") < 10000000L)
         .select(col("vec_id").as("q_id"), col("v").as("qv"),
           col("nm").as("qnm"), col("bkt"))
       val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      vs.join(broadcast(q), Seq("bkt"))
+      val rows = vs.join(broadcast(q), Seq("bkt"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("cos", Similarity.dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .count()
+      (n, rows)
     }
     annTopK(embCopies(1)) // warm
     Seq(1, 2, 4).foreach { k =>
       val t0 = System.nanoTime()
-      val n = annTopK(embCopies(k))
+      val (n, rows) = annTopK(embCopies(k))
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"SCALEPROBE ann k=$k corpus=${5000 * k} topk_rows=$n ${secs}%.2f s")
+      println(f"SCALEPROBE ann k=$k corpus=$n topk_rows=$rows ${secs}%.2f s")
     }
 
     // Embedding near-dup leg: candidate-PAIR counts must grow ~linearly

@@ -45,9 +45,14 @@ object Layout {
     * A Hive-partitioned layout (`col=value/` directories, e.g. from
     * [[writePartitionedByDay]]) is detected and re-written with the same
     * `partitionBy` chain — a naive rewrite would silently flatten the
-    * directory structure and lose partition pruning. Rows are clustered
-    * by the partition columns before the write so each partition value
-    * compacts to a single file instead of one per task. */
+    * directory structure and lose partition pruning. Rows cluster on
+    * (partition columns, salt) where the salt fans each value across
+    * ~`parts / |values|` writers: clustering on the partition columns
+    * alone would collapse EVERY value to a single file — a 100 GB day
+    * becomes one 100 GB parquet file and later scans of that day lose
+    * all parallelism — while no clustering leaves one file per value
+    * per task. The salt keeps per-value file sizes near `targetMB` at
+    * both extremes. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 256): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -58,7 +63,15 @@ object Layout {
     val df0 = spark.read.parquet(path)
     val df =
       if (pcols.isEmpty) df0.repartition(parts)
-      else df0.repartition(parts, pcols.map(col): _*)
+      else {
+        val nValues =
+          math.max(1L, df0.select(pcols.map(col): _*).distinct().count())
+        val saltN = math.max(1L, math.ceil(parts.toDouble / nValues).toLong)
+        df0.withColumn("__salt",
+            pmod(monotonically_increasing_id(), lit(saltN)))
+          .repartition(parts, (pcols.map(col) :+ col("__salt")): _*)
+          .drop("__salt")
+      }
     Sinks.overwriteInPlace(spark, df, path, partitionBy = pcols)
   }
 

@@ -14,21 +14,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * At 100 TB the standard practice is to materialize the signature table
   * once — an O(docs)-sized parquet on the object store, tiny next to the
   * corpus — and let every downstream dedup consumer scan that instead of
-  * re-deriving it. This object is that checkpoint, scoped to the JVM:
-  * the first consumer of a (stage, input-dir) pair computes the stage
-  * and writes it as parquet under a process-private temp directory;
+  * re-deriving it. This object is that checkpoint: the first consumer of
+  * a (stage, input-dir) pair computes the stage and writes it as parquet;
   * every later consumer reads the files. Being parquet-backed, the stage
   * survives `spark.catalog.clearCache()`, and the result is value-
   * identical to the unshared pipeline — the stage IS the same
   * deterministic frame, round-tripped through its own schema.
+  *
+  * Stage paths are content-keyed: the digest covers the stage name, the
+  * input dir AND a fingerprint of the input's file listing (name, size,
+  * mtime of every file), so regenerating the corpus under the same path
+  * yields a different stage path rather than silently serving stale
+  * data. Writers build into a private temp path and rename into place;
+  * a loser of the rename race adopts the winner's committed output.
   */
 object Stages {
 
   /** Checkpoint root. Defaults to a process-private temp dir; on a
     * cluster set `-Dgraft.stages.dir=s3://…/stages` (any Hadoop-FS URI
     * Spark can write) so stages land beside the corpus and outlive the
-    * driver JVM — later jobs then reuse them via [[materialize]]'s
-    * deterministic per-(stage, dir) naming. */
+    * driver JVM — later jobs reuse them via the content-keyed naming. */
   private lazy val root: String =
     sys.props.get("graft.stages.dir").getOrElse {
       val p = java.nio.file.Files.createTempDirectory("graft-stages")
@@ -37,27 +42,66 @@ object Stages {
     }
 
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val buildLock = new Object
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+
+  /** Fingerprint of the input directory's (recursive) file listing —
+    * path, length, mtime per file. Listing only; never reads data. */
+  private def fingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    val parts = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next()
+      parts += s"${f.getPath}|${f.getLen}|${f.getModificationTime}"
+    }
+    md5hex(parts.result().sorted.mkString("\n"))
+  }
 
   /** The parquet-backed stage `stage` of input directory `dir`: built by
-    * `build` at most once per root (a committed `_SUCCESS` from an
-    * earlier JVM is reused when the root is persistent), read from files
-    * afterwards. */
+    * `build` at most once per content key (a committed `_SUCCESS` from
+    * an earlier JVM is reused when the root is persistent), read from
+    * files afterwards. Builds are serialized under one lock — reentrant,
+    * so a stage may materialize its own prerequisite stages inside its
+    * build (a nested ConcurrentHashMap.computeIfAbsent here would throw
+    * "Recursive update" whenever two stage keys share a bin). */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     val key = s"$stage|$dir"
-    val path = done.computeIfAbsent(key, _ => {
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(key.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-      val p = s"$root/$stage-$digest"
-      val marker = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(marker)) build.write.mode("overwrite").parquet(p)
-      p
-    })
+    val cached = done.get(key)
+    val path = if (cached != null) cached else buildLock.synchronized {
+      val again = done.get(key)
+      if (again != null) again
+      else {
+        val p = s"$root/$stage-${md5hex(s"$key|${fingerprint(s, dir)}")}"
+        val target = new org.apache.hadoop.fs.Path(p)
+        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
+        if (!fs.exists(committed)) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$p.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          build.write.mode("overwrite").parquet(tmp.toString)
+          // a target without _SUCCESS is a crashed writer's debris
+          if (fs.exists(target) && !fs.exists(committed)) fs.delete(target, true)
+          // adopt a concurrent winner's output; otherwise move ours in
+          if (fs.exists(committed) || !fs.rename(tmp, target))
+            fs.delete(tmp, true)
+        }
+        done.put(key, p)
+        p
+      }
+    }
     s.read.parquet(path)
   }
 
-  /** Drop all memoized stages (test isolation). Files are left for the
-    * temp-dir reaper; only the memo map is cleared. */
+  /** Drop the memo map (test isolation). Safe because stage paths are
+    * content-keyed: rebuilt inputs produce new paths, so clearing the
+    * map never resurrects stale data — files are left for the temp-dir
+    * reaper (or the persistent root's own lifecycle policy). */
   def reset(): Unit = done.clear()
 }

@@ -61,24 +61,35 @@ object TextOps {
     docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), shingles3(col("toks")).as("s"))
 
+  /** Add MinHash signature columns h0..h11 to any frame carrying an
+    * `hx` shingle-hash-array column — the SINGLE definition of the
+    * signature construction (batch, shared-stage and streaming paths
+    * all route here). Stateless per row: 12 `array_min`s over
+    * `transform`s of the stored hashes — zero shuffle, no state, so the
+    * same expressions work on a streaming frame. An empty/null `hx`
+    * yields null signature columns; callers choose to filter (batch
+    * signature tables) or keep (streaming pass-through of sub-3-token
+    * docs). */
+  def withSignatureFromHx(df: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(df) { (d, j) =>
+      d.withColumn(s"h$j",
+        array_min(transform(col("hx"), x => minhashJ(x, j))))
+    }
+
   /** MinHash signature (doc_id, h0..h11) from a shingle-set table —
-    * computed STATELESSLY per row with array HOFs: one `transform`
-    * hashes each shingle once, then 12 `array_min`s take the family
-    * minima. Zero shuffle — the signature is a pure map over the corpus
-    * scan, where the explode + doc_id groupBy formulation it replaces
-    * shuffled every shingle hash (values identical: same minima over
-    * the same multiset). Docs with no shingles (< 3 tokens) drop out,
-    * matching the explode semantics. The hash array is materialized in
-    * its own projection first — a spliced `transform(h28(...))` would
-    * re-hash per array_min ([[shingleSets]]'s lesson). Stateless also
-    * means stream-safe: the same column expressions work on a streaming
-    * frame with no watermark or state store. */
+    * computed STATELESSLY per row via [[withSignatureFromHx]]. Zero
+    * shuffle — the signature is a pure map over the corpus scan, where
+    * the explode + doc_id groupBy formulation it replaces shuffled
+    * every shingle hash (values identical: same minima over the same
+    * multiset). Docs with no shingles (< 3 tokens) drop out, matching
+    * the explode semantics. The hash array is materialized in its own
+    * projection first — a spliced `transform(h28(...))` would re-hash
+    * per array_min ([[shingleSets]]'s lesson). */
   def minhashSignatureFromSets(sets: DataFrame): DataFrame = {
     val hx = sets.filter(size(col("s")) > 0)
       .select(col("doc_id"), transform(col("s"), sh => h28(sh)).as("hx"))
-    val sigs = (0 until NumHashes).map(j =>
-      array_min(transform(col("hx"), x => minhashJ(x, j))).as(s"h$j"))
-    hx.select(col("doc_id") +: sigs: _*)
+    withSignatureFromHx(hx)
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*)
   }
 
   /** MinHash signature straight from documents. */
@@ -195,14 +206,12 @@ object TextOps {
       shingleSets(Sources.documents(s, d))
         .withColumn("hx", transform(col("s"), sh => h28(sh))))
 
-  /** MinHash signature table from the materialized shingle sets — the
-    * stateless array_min form over the STORED hash array. */
+  /** MinHash signature table from the materialized shingle sets —
+    * [[withSignatureFromHx]] over the STORED hash array. */
   def sharedSignature(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "minhash_sig", d) {
-      val hx = sharedShingleSets(s, d).filter(size(col("s")) > 0)
-      val sigs = (0 until NumHashes).map(j =>
-        array_min(transform(col("hx"), x => minhashJ(x, j))).as(s"h$j"))
-      hx.select(col("doc_id") +: sigs: _*)
+      withSignatureFromHx(sharedShingleSets(s, d).filter(size(col("s")) > 0))
+        .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*)
     }
 
   /** LSH candidate pairs `(a, b, n_eq, jacc)` — signature agreement

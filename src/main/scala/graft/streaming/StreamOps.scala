@@ -136,16 +136,13 @@ object StreamOps {
     * text hash inside a watermark. */
   def dedupStreamAgainstCorpus(docs: DataFrame, corpusSets: DataFrame,
       corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
-    import graft.engine.TextOps.{tokens, shingles3, Bands, NumHashes}
-    import graft.engine.PortableHash.{h28, minhashJ}
-    val withS = docs
+    import graft.engine.TextOps.{tokens, shingles3, withSignatureFromHx, Bands, NumHashes}
+    import graft.engine.PortableHash.h28
+    val withSig = withSignatureFromHx(docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("s", shingles3(col("toks")))
       .drop("toks")
-      .withColumn("hx", transform(col("s"), sh => h28(sh)))
-    val withSig = (0 until NumHashes).foldLeft(withS) { (df, j) =>
-      df.withColumn(s"h$j", array_min(transform(col("hx"), x => minhashJ(x, j))))
-    }
+      .withColumn("hx", transform(col("s"), sh => h28(sh))))
     def bandKey(pfx: String, b: Int) = concat_ws("_",
       col(s"$pfx${3 * b}"), col(s"$pfx${3 * b + 1}"), col(s"$pfx${3 * b + 2}"))
     val helperCols = Seq("s", "hx") ++ (0 until NumHashes).map(j => s"h$j")

@@ -6,7 +6,10 @@ import org.apache.spark.sql.types.DecimalType
   * DECIMAL-typed output columns canonicalize engine-specifically under
   * the driver's hash, so decimal arithmetic must stay internal and the
   * final projection must emit only BIGINT/DOUBLE/STRING/DATE/BOOLEAN.
-  * Schema-only check — plans are analyzed, not executed. */
+  * Only schemas are asserted, but CONSTRUCTING some queries runs real
+  * work (the similarity queries count the corpus for the adaptive bit
+  * count; the dedup queries materialize their shared stages), so this
+  * spec also doubles as a smoke test of every query's plan-build path. */
 class ContractSpec extends SparkSpec {
 
   test("no declared query emits a DECIMAL-typed output column") {

@@ -30,6 +30,18 @@ class StagesSpec extends SparkSpec {
     assert(builds.get() == 2)
   }
 
+  test("a stage may materialize its prerequisite stage inside its build") {
+    // regression: with the memo as a bare ConcurrentHashMap.computeIfAbsent,
+    // this nesting threw IllegalStateException("Recursive update") whenever
+    // the two keys shared a hash bin (data-directory dependent)
+    val out = Stages.materialize(spark, "spec_outer", "/tmp/spec-nest") {
+      Stages.materialize(spark, "spec_inner", "/tmp/spec-nest") {
+        spark.range(7).toDF("id")
+      }.selectExpr("id * 2 AS id2")
+    }
+    assert(out.count() == 7)
+  }
+
   test("dedupIncremental drops corpus dups and keep-first batch dups") {
     import spark.implicits._
     def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
