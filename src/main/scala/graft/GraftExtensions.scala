@@ -22,10 +22,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_product requires 2 arguments, got ${exprs.length}")
+        // cast here so SQL over the raw float-array embeddings column
+        // works (the expression itself requires array<double>)
+        val target = org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)
+        DotProduct(
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(0), target),
+          org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), target))
+      }))
     ext.injectFunction((
       FunctionIdentifier("md5_prefix28"),
       new ExpressionInfo(classOf[Md5Prefix28].getName, "md5_prefix28"),
-      (exprs: Seq[Expression]) => Md5Prefix28(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1,
+          s"md5_prefix28 requires 1 argument, got ${exprs.length}")
+        Md5Prefix28(exprs.head)
+      }))
   }
 }

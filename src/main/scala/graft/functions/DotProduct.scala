@@ -17,9 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * beats UDF beats closure" rung for the similarity hot path (used by
   * `graft.engine.Similarity` for dot products and norms).
   *
-  * Summation order is left-to-right, bit-identical to the fold it
-  * replaces, so oracle-checked results are unchanged.
-  */
+  * Semantics match the HOF fold exactly, including its null behavior:
+  * summation is left-to-right (bit-identical results on well-formed
+  * input), arrays of different lengths yield NULL (`zip_with` pads the
+  * shorter side with nulls, which null the fold), and a null element on
+  * either side yields NULL. The SQL registration (`GraftExtensions`)
+  * casts arguments to array<double>, so `dot_product` over the raw
+  * float-array embeddings column works; Column-API callers cast via
+  * `Similarity.vectors`. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -36,15 +41,27 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL is produced even for non-null inputs (length mismatch / null
+  // element), so nullability cannot be derived from the children
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_product"
+
+  private def elementsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
+    val checkNulls = elementsNullable
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       dot += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -56,13 +73,23 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      // element null checks compile in only when a side's schema admits
+      // null elements — the common non-null case keeps the tight loop
+      val nullCheck = if (elementsNullable)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+      else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.commons.codec.digest.DigestUtils
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -36,7 +35,7 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
       case StringType => v.asInstanceOf[UTF8String].getBytes
       case _ => v.asInstanceOf[Array[Byte]]
     }
-    Md5Prefix28.pack(DigestUtils.md5(bytes))
+    Md5Prefix28.digest28(bytes)
   }
 
   // The packing arithmetic lives in a static helper (not inline Java):
@@ -53,8 +52,7 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
       }
       s"""
          |byte[] $bytes = $toBytes;
-         |${ev.value} = graft.functions.Md5Prefix28.pack(
-         |  org.apache.commons.codec.digest.DigestUtils.md5($bytes));
+         |${ev.value} = graft.functions.Md5Prefix28.digest28($bytes);
        """.stripMargin
     })
 
@@ -65,8 +63,20 @@ case class Md5Prefix28(child: Expression) extends UnaryExpression {
 object Md5Prefix28 {
   def h28(c: Column): Column = Bridge.column(Md5Prefix28(Bridge.expression(c)))
 
-  /** First 28 bits of an md5 digest as a long. Called from generated code
-    * via the static forwarder `graft.functions.Md5Prefix28.pack`. */
+  // per-thread reused MessageDigest: DigestUtils.md5 did a JCA provider
+  // lookup + MessageDigest allocation PER ROW — the dominant remaining
+  // per-row allocation in the hash hot path after the hex-string
+  // round-trip was removed. digest() leaves the instance reset.
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 28 bits of md5(bytes) as a long. Called from generated code
+    * via this static forwarder. */
+  def digest28(bytes: Array[Byte]): Long = pack(md.get().digest(bytes))
+
+  /** First 28 bits of an md5 digest as a long. */
   def pack(d: Array[Byte]): Long =
     ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
       ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)

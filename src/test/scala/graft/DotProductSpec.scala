@@ -27,6 +27,20 @@ class DotProductSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("length mismatch and null elements yield null, matching the HOF fold") {
+    val mismatch = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val m = mismatch.select(
+      DotProduct.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(m.isNullAt(0) && m.isNullAt(1))
+    val withNull = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))))
+      .toDF("a", "b")
+    val n = withNull.select(
+      DotProduct.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof")).collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("registers as a SQL function via the session function registry") {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => graft.functions.DotProduct(exprs.head, exprs(1)),

@@ -26,6 +26,21 @@ class WeightedMeanSpec extends SparkSpec {
     assert(ds.select(WeightedMean.toColumn).head().isNaN)
   }
 
+  test("non-finite inputs and cents-squared overflow fail loudly") {
+    // math.round(NaN) is 0 — without the guard a NaN row would silently
+    // contribute value 0 at full weight
+    intercept[ArithmeticException] {
+      WeightedMean.reduce(WeightedMean.zero, (Double.NaN, 2.0))
+    }
+    intercept[ArithmeticException] {
+      WeightedMean.reduce(WeightedMean.zero, (Double.PositiveInfinity, 1.0))
+    }
+    // cents² product past Long.MaxValue would wrap negative
+    intercept[ArithmeticException] {
+      WeightedMean.reduce(WeightedMean.zero, (1e8, 1e8))
+    }
+  }
+
   test("usable as a grouped typed aggregation") {
     val li = graft.engine.Sources.lineitem(spark, sf)
       .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
