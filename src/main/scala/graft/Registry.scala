@@ -28,9 +28,11 @@ object Registry {
         |ORDER BY 1, 2, 3, 4""".stripMargin),
 
     "q_delete_filter" -> e(Relational.deleteFilter,
+      // NOT COALESCE(pred, FALSE): DELETE removes only IS-TRUE rows, so
+      // NULL-predicate rows stay — mirrors Mutations.deleteWhere
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
         |FROM lineitem
-        |WHERE NOT (l_returnflag = 'A' AND l_quantity >= 30.0)
+        |WHERE NOT COALESCE(l_returnflag = 'A' AND l_quantity >= 30.0, FALSE)
         |ORDER BY 1, 2, 3, 4""".stripMargin),
 
     "q_join_inner" -> e(Relational.joinInner,
@@ -75,9 +77,12 @@ object Registry {
         |ORDER BY c_custkey""".stripMargin),
 
     "q_join_anti" -> e(Relational.joinAnti,
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN
-        | (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+      // NOT EXISTS, not NOT IN: a NULL key on the subquery side empties
+      // NOT IN (three-valued logic) while left_anti ignores it
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS
+        | (SELECT 1 FROM orders
+        |  WHERE o_orderstatus = 'P' AND o_custkey = c.c_custkey)
         |ORDER BY c_custkey""".stripMargin),
 
     "q_agg_group" -> e(Relational.aggGroup,
@@ -206,8 +211,10 @@ object Registry {
         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
 
     "q_regex_extract" -> e(Relational.regexExtract,
+      // TRY_CAST: Spark's cast('' as long) is NULL on a non-matching row
+      // where DuckDB's CAST('' AS BIGINT) hard-errors the whole query
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+        | CAST(sum(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
         |   AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -317,10 +324,11 @@ object Registry {
         | mods AS (SELECT c_custkey, 'UPD_' || c_name AS c_name,
         |   c_acctbal + CAST(100.00 AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
         |  FROM t WHERE c_custkey % 7 = 0),
-        | news AS (SELECT c_custkey + 100000 AS c_custkey,
+        | mx AS (SELECT max(c_custkey) + 1 AS m FROM t),
+        | news AS (SELECT c_custkey + m AS c_custkey,
         |   'NEW_' || c_name AS c_name,
         |   CAST(0.00 AS DECIMAL(10,2)) AS c_acctbal, 'NEWSEG' AS c_mktsegment
-        |  FROM t WHERE c_custkey % 13 = 0),
+        |  FROM t CROSS JOIN mx WHERE c_custkey % 13 = 0),
         | u AS (SELECT * FROM mods UNION ALL SELECT * FROM news)
         |SELECT c_custkey, c_name, CAST(bal AS DOUBLE) AS bal6, c_mktsegment
         |FROM (

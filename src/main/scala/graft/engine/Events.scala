@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.LongType
 
 /** Time-semantics queries over the `events` table (SURVEY.md §2C): batch
   * tumbling-window aggregation, gap-based sessionization, and JSON
@@ -16,18 +16,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
   */
 object Events {
 
-  /** events with `us` = epoch microseconds (exact long). */
-  private def ev(s: SparkSession, d: String): DataFrame = {
-    val e = Sources.events(s, d)
-    val us = e.schema("ts").dataType match {
-      case TimestampNTZType =>
-        // NTZ has no epoch; with the session fixed to UTC the wall time
-        // IS the epoch time.
-        unix_micros(to_utc_timestamp(col("ts").cast("timestamp"), "UTC"))
-      case _ => unix_micros(col("ts").cast("timestamp"))
-    }
-    e.withColumn("us", us.cast(LongType))
-  }
+  /** events with `us` = epoch microseconds (exact long). The session
+    * time zone must be UTC for cross-engine parity (the Verify/Bench
+    * mains and the test session all pin it): DuckDB's oracle takes
+    * `epoch_us` of the naive timestamp, and a non-UTC session would
+    * shift every cast here by the zone offset. (An earlier TimestampNTZ
+    * branch wrapped the cast in `to_utc_timestamp(_, "UTC")`, which is
+    * the identity — it delivered nothing the plain cast doesn't.) */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Sources.events(s, d).withColumn("us",
+      unix_micros(col("ts").cast("timestamp")).cast(LongType))
 
   /** Tumbling 1-hour window aggregation (batch stand-in for a streaming
     * windowed count; epoch-aligned so `window().start` ==

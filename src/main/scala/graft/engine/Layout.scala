@@ -78,7 +78,7 @@ object Layout {
   /** Hive partition columns of an on-disk layout, outermost first: each
     * directory level whose children are all `name=value` dirs with one
     * shared name contributes that name. Empty for unpartitioned tables. */
-  private def partitionColumns(fs: org.apache.hadoop.fs.FileSystem,
+  private[engine] def partitionColumns(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Seq[String] = {
     val cols = scala.collection.mutable.ArrayBuffer[String]()
     var cur = root

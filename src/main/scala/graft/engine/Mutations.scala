@@ -28,6 +28,16 @@ object Mutations {
     * KNOW the side is tiny can pass `hintBroadcast = true`. */
   def applyUpdates(target: DataFrame, updates: DataFrame, keys: Seq[String],
       hintBroadcast: Boolean = false): DataFrame = {
+    // a misspelled updates column would otherwise be dropped silently by
+    // the projection below — the caller would believe the update applied
+    require(updates.columns.toSet.subsetOf(target.columns.toSet),
+      s"updates columns ${updates.columns.toSet -- target.columns.toSet} " +
+        "not present in target")
+    require(keys.forall(updates.columns.contains),
+      s"updates must carry the key columns $keys")
+    // CONTRACT: updates carries at most one row per key — a duplicate key
+    // fans the left join out and multiplies target rows, which a per-row
+    // UPDATE can never do. Deduplicate upstream (e.g. keep-latest CDC).
     val updatedCols = updates.columns.filterNot(keys.contains)
     val t = target.alias("t")
     val u0 = updates.alias("u")
@@ -45,14 +55,18 @@ object Mutations {
     * the post-image keyset is the union of both keysets). Updates must
     * carry the full target schema for the insert half. */
   def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val updated = applyUpdates(target, updates.select(updates.columns.toIndexedSeq.map(col): _*), keys)
+    val updated = applyUpdates(target, updates, keys)
     val newRows = updates.join(target.select(keys.map(col): _*), keys, "left_anti")
     updated.unionByName(newRows.select(target.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Conditional delete (`sql.py:321-332`) as an anti-filter: keep exactly
-    * the rows NOT matching the caller's predicate string. Catalyst parses
-    * the predicate (`expr`), so filters still push down to the scan. */
+    * the rows NOT matching the caller's predicate string. SQL DELETE
+    * removes only rows where the predicate IS TRUE — rows where it
+    * evaluates NULL (nullable columns) are KEPT, so the kept-set filter
+    * is `NOT coalesce(pred, false)`; a plain `!pred` would silently
+    * delete the NULL rows too. Catalyst parses the predicate (`expr`),
+    * so filters still push down to the scan. */
   def deleteWhere(table: DataFrame, conditions: String): DataFrame =
-    table.filter(!expr(conditions))
+    table.filter(!coalesce(expr(conditions), lit(false)))
 }

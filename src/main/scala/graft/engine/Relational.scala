@@ -443,16 +443,24 @@ object Relational {
       .orderBy("c_custkey")
 
   /** Keyed upsert: merge + insert-of-unmatched; post-image keyset is the
-    * union of target and updates keys. */
+    * union of target and updates keys. New keys are offset by
+    * max(c_custkey) — scale-proof where a fixed +100000 collides with
+    * real custkeys once the warehouse passes 100k customers (and the
+    * colliding rows' merge result diverges from the oracle). The max is
+    * a broadcast scalar, mirrored by the oracle's `mx` CTE. */
   def upsertKeys(s: SparkSession, d: String): DataFrame = {
     val t = mutTarget(s, d)
+    // max+1: custkey 0 passes the %13 filter, so a plain max offset
+    // would collide the first new key with the max customer
+    val mx = t.agg((max(col("c_custkey")) + 1L).as("mx"))
     val mods = t.filter(col("c_custkey") % 7 === 0)
       .select(col("c_custkey"),
         concat(lit("UPD_"), col("c_name")).as("c_name"),
         (col("c_acctbal") + money(lit(100.0))).as("c_acctbal"),
         col("c_mktsegment"))
     val news = t.filter(col("c_custkey") % 13 === 0)
-      .select((col("c_custkey") + 100000L).as("c_custkey"),
+      .crossJoin(broadcast(mx))
+      .select((col("c_custkey") + col("mx")).as("c_custkey"),
         concat(lit("NEW_"), col("c_name")).as("c_name"),
         money(lit(0.0)).as("c_acctbal"),
         lit("NEWSEG").as("c_mktsegment"))

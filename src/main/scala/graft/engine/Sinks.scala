@@ -29,23 +29,44 @@ object Sinks {
   /** Overwrite a table with a frame derived from that same table: Spark
     * forbids reading and overwriting one location in a single job, so
     * stage to a sibling temp dir, then swap via filesystem rename.
-    * `partitionBy` preserves a Hive-partitioned (`col=value/`) layout. */
+    * `partitionBy` preserves a Hive-partitioned (`col=value/`) layout.
+    *
+    * The swap goes through a backup rename with every FS result checked
+    * — `fs.delete`/`fs.rename` report failure by RETURNING FALSE, not by
+    * throwing, so the naive delete-then-rename sequence could delete the
+    * table, fail the rename (cross-volume tmp, permissions, concurrent
+    * writer), and return "success" with the data stranded in the temp
+    * dir. A crash mid-swap leaves either the original or the backup on
+    * disk — never nothing. */
   def overwriteInPlace(spark: SparkSession, df: DataFrame, path: String,
       partitionBy: Seq[String] = Nil): Unit = {
     val target = new Path(path)
     val tmp = new Path(path + ".tmp_rewrite")
+    val backup = new Path(path + ".pre_rewrite")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (fs.exists(backup) && !fs.delete(backup, true))
+      throw new java.io.IOException(s"could not remove stale backup $backup")
+    if (fs.exists(target) && !fs.rename(target, backup))
+      throw new java.io.IOException(s"could not move $target aside to $backup")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(backup, target) // restore; original is intact
+      throw new java.io.IOException(s"could not move rewritten $tmp into $target")
+    }
+    fs.delete(backup, true)
   }
 
-  /** TRUNCATE TABLE (`sql.py:301`): table survives, rows don't. */
+  /** TRUNCATE TABLE (`sql.py:301`): table survives, rows don't — and a
+    * Hive-partitioned layout survives as a partitioned (empty) table
+    * rather than being flattened. */
   def truncate(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val empty = spark.read.parquet(path).limit(0)
-    overwriteInPlace(spark, empty, path)
+    overwriteInPlace(spark, empty, path,
+      partitionBy = Layout.partitionColumns(fs, p))
   }
 
   /** DELETE FROM without predicate (`sql.py:316`) — same visible state as

@@ -40,6 +40,14 @@ object Sources {
     * Spark's Parquet reader does not model natively; read it as raw
     * nanos (legacy long mode) and truncate to microseconds — matching
     * what DuckDB's reader does when it casts TIMESTAMP_NS to TIMESTAMP.
+    *
+    * The `nanosAsLong` flag is DELIBERATELY session-sticky: it has to be
+    * in effect whenever a plan over this frame is analyzed or executed,
+    * and the frames returned here are lazy, so a set/restore around the
+    * read would break later execution. The flag only affects nano-
+    * precision parquet columns — which stock Spark cannot read at all
+    * (it errors) — so no working behavior is changed for other reads;
+    * they surface as LongType instead of failing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
