@@ -31,6 +31,10 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
 
   private val log = Log()
 
+  // views THIS engine registered — disconnect must not drop a caller's
+  // own temp views, which share the session catalog
+  private val registered = scala.collection.mutable.Set.empty[String]
+
   private def tablePath(table: String): String = s"$warehouse/$table.parquet"
 
   /** "Open the connection": register every `<table>.parquet` under the
@@ -45,6 +49,7 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
       .map(_.stripSuffix(".parquet")).sorted
     tables.foreach { t =>
       spark.read.parquet(tablePath(t)).createOrReplaceTempView(t)
+      registered += t
     }
     log.message = s"Connected: ${tables.size} tables registered"
     log.status = "success"
@@ -52,18 +57,28 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     tables
   }
 
-  /** Drop the registered views (`disconnect`, `sql.py:62-85`; the session
-    * itself belongs to the caller, like the reference's engine). */
+  /** Drop the views THIS engine registered (`disconnect`,
+    * `sql.py:62-85`; the session itself belongs to the caller, like the
+    * reference's engine — so a caller's own temp views survive). */
   def disconnect(): Unit = {
-    spark.catalog.listTables().collect()
-      .filter(_.isTemporary).foreach(t => spark.catalog.dropTempView(t.name))
+    registered.foreach(spark.catalog.dropTempView)
+    registered.clear()
     log.message = "Disconnected"; log.status = "success"; log.printMessage()
   }
 
   /** Arbitrary-SQL extract with the reference's post-processing pipeline
     * (`sql.py:88-171`): run query → caller dtype coercion → decimal
     * (38,20) normalization → optional progress callback. Returns None on
-    * error (logged), like the reference. */
+    * error (logged), like the reference — for errors surfaced by this
+    * call (parse/analysis, and full execution when `progress` is set);
+    * without a progress callback the returned frame is LAZY, so a
+    * runtime-only failure (e.g. a corrupt file) surfaces at the caller's
+    * first action, as with any DataFrame.
+    *
+    * When `progress` is set the frame must execute once to drive the
+    * callback, so it is persisted first — the caller's subsequent action
+    * reads the cache instead of re-running the query (unpersist when
+    * done). */
   def getData(
       query: String,
       spec: Types.CoercionSpec = Types.CoercionSpec(),
@@ -71,6 +86,7 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     Try {
       val df = Types.normalizeDecimals(Types.coerce(spark.sql(query), spec))
       progress.foreach { cb =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         ProgressReporter.withProgress(spark)(cb)(df.count())
       }
       df
@@ -86,7 +102,9 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
   /** Chunked append (`insert_data`, `sql.py:174-188`): `chunkRows` maps
     * the reference's chunk size onto a partition count. */
   def insertData(table: String, records: DataFrame, chunkRows: Int = 10000): Unit = {
-    val parts = math.max(1, (records.count() / math.max(1, chunkRows)).toInt)
+    // ceil, not floor: floor put up to 2·chunkRows-1 rows in one chunk
+    val n = records.count()
+    val parts = math.max(1L, (n + chunkRows - 1) / math.max(1, chunkRows)).toInt
     Sinks.append(records, tablePath(table), parts)
   }
 
@@ -95,6 +113,10 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     * like the reference's `list[dict]`. */
   def updateData(table: String, records: Seq[Row], keys: Seq[String]): Unit = {
     require(records.nonEmpty, "update records must be non-empty")
+    require(records.head.schema != null,
+      "update records must carry a schema (build rows with a case class, " +
+        "Row + RowEncoder, or createDataFrame with an explicit StructType; " +
+        "bare Row(...) has no schema)")
     val target = spark.read.parquet(tablePath(table))
     val updates = spark.createDataFrame(
       spark.sparkContext.parallelize(records), records.head.schema)

@@ -26,14 +26,23 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
 
+    require(left.schema(leftKey).dataType == right.schema(rightKey).dataType,
+      s"as-of join keys must share a type: $leftKey is " +
+        s"${left.schema(leftKey).dataType.sql}, $rightKey is " +
+        s"${right.schema(rightKey).dataType.sql} (cast one side explicitly)")
     val leftCols = left.columns.toSeq
-    val rightSide = right.select(
-      col(rightKey).cast("long").as("__k"),
+    // keys keep their native type (an earlier cast("long") nulled string
+    // keys, collapsing every row into one window partition and matching
+    // across keys). Null-key right rows can never match under SQL join
+    // semantics, so they are dropped; null-key left rows survive with a
+    // null match (their partition holds no right rows).
+    val rightSide = right.filter(col(rightKey).isNotNull).select(
+      col(rightKey).as("__k"),
       col(rightTime).cast("long").as("__t"),
       lit(0).as("__tag"),
       struct(rightCols.map(col): _*).as("__rpay"))
     val leftSide0 = left.select(
-      col(leftKey).cast("long").as("__k"),
+      col(leftKey).as("__k"),
       col(leftTime).cast("long").as("__t"),
       lit(1).as("__tag"),
       struct(leftCols.map(col): _*).as("__lpay"))

@@ -26,6 +26,17 @@ object Components {
     *              THROWS — partial labels are wrong answers, not results.
     * @return (id, component) — component = min node id reachable. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
+    // the label-sum convergence check needs an exact integer sum: a
+    // non-numeric id would cast to null (ANSI off), making the sum a
+    // constant and convergence a false positive after two rounds —
+    // refuse rather than silently return partial labels. Hash string
+    // ids to long (e.g. xxhash64) before calling.
+    pairs.schema.fields.take(2).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"connectedComponents requires integral node ids; " +
+          s"column ${f.name} is ${f.dataType.sql}")
+    }
     // both edge directions from ONE pass over pairs (a union of two
     // projections would execute the upstream pair pipeline twice)
     val sym0 = pairs.select(explode(array(

@@ -72,12 +72,25 @@ object Types {
 
   /** The decimal(38,20) normalization pass (`sql.py:132-141`): every
     * DecimalType column — and only decimal columns, matching the
-    * reference, which leaves floats alone — is cast to (38,20). */
+    * reference, which leaves floats alone — is cast to (38,20).
+    *
+    * Overflow fails LOUDLY: (38,20) holds 18 integer digits, and with
+    * ANSI off Spark's cast silently nulls a value that doesn't fit —
+    * data corruption the reference's Python decimal path would raise
+    * on. The guard costs one null-check per decimal cell, folded into
+    * the same scan-adjacent projection. */
   def normalizeDecimals(df: DataFrame): DataFrame =
     df.select(df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
-        case _: DecimalType => col(f.name).cast(NormalizedDecimal).as(f.name)
-        case _              => col(f.name)
+        case _: DecimalType =>
+          val c = col(f.name).cast(NormalizedDecimal)
+          when(col(f.name).isNotNull && c.isNull,
+            raise_error(concat(
+              lit(s"decimal overflow normalizing column ${f.name} to " +
+                "(38,20), value "),
+              col(f.name).cast("string"))).cast(NormalizedDecimal))
+            .otherwise(c).as(f.name)
+        case _ => col(f.name)
       }
     }: _*)
 }

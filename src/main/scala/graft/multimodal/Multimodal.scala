@@ -59,8 +59,12 @@ object Multimodal {
       // decoder init would happen here, once per partition
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val (w, h, f, n) = decodeImageStub(bytes)
-        Row.fromSeq(r.toSeq :+ Row(w, h, f, n))
+        // null payload -> null metadata, not an executor NPE
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val (w, h, f, n) = decodeImageStub(bytes)
+          Row.fromSeq(r.toSeq :+ Row(w, h, f, n))
+        }
       }
     }(enc)
   }
@@ -78,14 +82,17 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        val hist = new Array[Float](16)
-        var i = 0
-        while (i < bytes.length) {
-          hist((bytes(i) & 0xff) >> 4) += 1f
-          i += 1
+        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        else {
+          val hist = new Array[Float](16)
+          var i = 0
+          while (i < bytes.length) {
+            hist((bytes(i) & 0xff) >> 4) += 1f
+            i += 1
+          }
+          val n = math.max(1, bytes.length).toFloat
+          Row.fromSeq(r.toSeq :+ hist.map(_ / n).toSeq)
         }
-        val n = math.max(1, bytes.length).toFloat
-        Row.fromSeq(r.toSeq :+ hist.map(_ / n).toSeq)
       }
     }(enc)
   }

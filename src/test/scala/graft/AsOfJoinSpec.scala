@@ -38,4 +38,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() == 4)
     assert(out.select("id").distinct().count() == 4)
   }
+
+  test("string keys join natively; null right keys never match") {
+    // regression: keys were cast("long"), nulling string keys and
+    // collapsing every row into one window partition
+    val l = Seq(("a", 5L, 1L), ("b", 5L, 2L)).toDF("k", "t", "id")
+    val r = Seq((Option("a"), 1L, 10L), (Option("b"), 2L, 20L),
+      (Option.empty[String], 3L, 99L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asofLatest(l, r, "k", "k", "t", "t",
+        Seq("rid"), Seq("rid"))
+      .select("id", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // each key matches its own right row; the null-key right row (rid
+    // 99, latest of all) matches nobody
+    assert(out == Map(1L -> 10L, 2L -> 20L))
+  }
 }

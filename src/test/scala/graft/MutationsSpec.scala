@@ -45,4 +45,12 @@ class MutationsSpec extends SparkSpec {
     val twice = Mutations.deleteWhere(once, "k % 2 = 0")
     assert(once.orderBy("k").collect().sameElements(twice.orderBy("k").collect()))
   }
+
+  test("deleteWhere keeps rows whose predicate is NULL (SQL DELETE semantics)") {
+    val t = Seq((1L, Some("A")), (2L, Option.empty[String]), (3L, Some("B")))
+      .toDF("k", "flag")
+    val out = Mutations.deleteWhere(t, "flag = 'A'")
+    // DELETE removes only IS-TRUE rows; the NULL-flag row stays
+    assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+  }
 }
