@@ -46,34 +46,62 @@ object Layout {
     * [[writePartitionedByDay]]) is detected and re-written with the same
     * `partitionBy` chain — a naive rewrite would silently flatten the
     * directory structure and lose partition pruning. Rows cluster on
-    * (partition columns, salt) where the salt fans each value across
-    * ~`parts / |values|` writers: clustering on the partition columns
-    * alone would collapse EVERY value to a single file — a 100 GB day
-    * becomes one 100 GB parquet file and later scans of that day lose
-    * all parallelism — while no clustering leaves one file per value
-    * per task. The salt keeps per-value file sizes near `targetMB` at
-    * both extremes. */
+    * (partition columns, salt) with a PER-VALUE salt count derived from
+    * that value's on-disk bytes (a metadata-only directory walk — no
+    * Spark job): clustering on the partition columns alone would
+    * collapse every value to a single file (a 100 GB day becomes one
+    * 100 GB parquet file and loses scan parallelism), while one global
+    * salt sized from the average would under-split hot values and
+    * shatter cold ones. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetMB: Int = 256): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val targetBytes = targetMB.toLong * 1024 * 1024
     val bytes = fs.getContentSummary(p).getLength
-    val parts = math.max(1, (bytes / (targetMB.toLong * 1024 * 1024)).toInt)
+    val parts = math.max(1, (bytes / targetBytes).toInt)
     val pcols = partitionColumns(fs, p)
     val df0 = spark.read.parquet(path)
     val df =
       if (pcols.isEmpty) df0.repartition(parts)
       else {
-        val nValues =
-          math.max(1L, df0.select(pcols.map(col): _*).distinct().count())
-        val saltN = math.max(1L, math.ceil(parts.toDouble / nValues).toLong)
-        df0.withColumn("__salt",
-            pmod(monotonically_increasing_id(), lit(saltN)))
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val leaves = leafPartitions(fs, p, pcols.length).map { case (vals, lp) =>
+          val b = fs.getContentSummary(lp).getLength
+          Row.fromSeq(vals :+ math.max(1L, (b + targetBytes - 1) / targetBytes))
+        }
+        val saltSchema = StructType(
+          pcols.map(c => StructField(s"__v_$c", StringType)) :+
+            StructField("__saltN", LongType))
+        val saltDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(leaves, 1), saltSchema)
+        val joinCond = pcols.map(c =>
+          col(c).cast("string") === col(s"__v_$c")).reduce(_ && _)
+        df0.join(broadcast(saltDf), joinCond, "left")
+          .withColumn("__salt", pmod(monotonically_increasing_id(),
+            coalesce(col("__saltN"), lit(1L))))
           .repartition(parts, (pcols.map(col) :+ col("__salt")): _*)
-          .drop("__salt")
+          .drop(("__salt" +: "__saltN" +: pcols.map(c => s"__v_$c")): _*)
       }
     Sinks.overwriteInPlace(spark, df, path, partitionBy = pcols)
   }
+
+  /** (partition values outermost-first, leaf dir) for each `col=value/`
+    * leaf at `depth` levels below `root` — Hive-escaped values decoded. */
+  private def leafPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      depth: Int): Seq[(Seq[String], org.apache.hadoop.fs.Path)] =
+    if (depth == 0) Seq((Nil, root))
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .flatMap { d =>
+        val v = java.net.URLDecoder.decode(
+          d.getPath.getName.split("=", 2)(1), "UTF-8")
+        leafPartitions(fs, d.getPath, depth - 1).map {
+          case (vs, lp) => (v +: vs, lp)
+        }
+      }
 
   /** Hive partition columns of an on-disk layout, outermost first: each
     * directory level whose children are all `name=value` dirs with one

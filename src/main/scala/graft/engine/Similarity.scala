@@ -67,10 +67,12 @@ object Similarity {
     ((x % 2048L) + 2048L) % 2048L - 1024L
   }
 
-  /** Floor / cap on the adaptive LSH bit count. 24 bits of headroom
-    * covers ~2 billion vectors at the target occupancy. */
+  /** Floor / cap on the adaptive LSH bit count. 28 bits of headroom
+    * covers ~2^28 · TargetBucket ≈ 4.3 billion vectors at the target
+    * occupancy; past the cap, occupancy (and the within-bucket pair
+    * envelope) grows linearly with the corpus. */
   val MinLshBits = 8
-  val MaxLshBits = 24
+  val MaxLshBits = 28
 
   /** Target expected bucket occupancy for the near-dup LSH blocking.
     * Small on purpose: between bit-count thresholds the same-bucket pair

@@ -72,13 +72,17 @@ object Stages {
     * "Recursive update" whenever two stage keys share a bin). */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
-    val key = s"$stage|$dir"
+    // the fingerprint is part of the MEMO key, not just the path: keyed
+    // by (stage, dir) alone, a long-lived driver would keep serving the
+    // old stage after the corpus under `dir` is regenerated. Costs one
+    // metadata-only listing per call.
+    val key = s"$stage|$dir|${fingerprint(s, dir)}"
     val cached = done.get(key)
     val path = if (cached != null) cached else buildLock.synchronized {
       val again = done.get(key)
       if (again != null) again
       else {
-        val p = s"$root/$stage-${md5hex(s"$key|${fingerprint(s, dir)}")}"
+        val p = s"$root/$stage-${md5hex(key)}"
         val target = new org.apache.hadoop.fs.Path(p)
         val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
         val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")

@@ -51,7 +51,12 @@ object TextOps {
       (ab, c) => concat(ab, lit(" "), c))
   }
 
-  /** doc_id → its distinct-shingle array. The token array is materialized
+  /** doc_id → its shingle array — NOT distinct ([[shingles3]]'s doc):
+    * occurrence-weighted by construction; consumers are either
+    * duplicate-insensitive (min, array_intersect/union) or deliberately
+    * occurrence-weighted with a matching oracle (shingle simhash). A
+    * set-semantic consumer must dedup at its own boundary.
+    * The token array is materialized
     * in its own projection first: splicing `split(text)` into the shingle
     * lambda would re-split the text for every element_at call — O(tokens²)
     * per document (observed 4× slowdown at sf0.1). CollapseProject keeps
@@ -137,7 +142,10 @@ object TextOps {
     * recompute the full explode+hash pipeline — 8 scans instead of 1.
     * Both tables are O(docs), tiny next to the corpus, so at scale this
     * is a cache/checkpoint of the signature table — standard practice
-    * (and what the declared queries do via [[Stages]]).
+    * (and what the declared queries do via [[Stages]]). The persisted
+    * frames live until the caller clears them (`spark.catalog.
+    * clearCache()` or unpersist) — repeated callers on a long-lived
+    * session should prefer the [[Stages]]-backed query paths.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sets = shingleSets(docs)
@@ -165,9 +173,13 @@ object TextOps {
     * per-batch cost is O(batch + collisions), never O(corpus). */
   def dedupIncremental(newDocs: DataFrame, corpusSets: DataFrame,
       corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val bSets = shingleSets(newDocs).persist(mem)
-    val bSig = minhashSignatureFromSets(bSets).persist(mem)
+    // deliberately NOT persisted: the batch tables are re-derived by the
+    // few joins below, but the batch is small by definition, and this
+    // function's use case — one call per arriving batch on a long-lived
+    // driver — would leak a pinned cache entry per call (CacheManager
+    // never auto-drops plans).
+    val bSets = shingleSets(newDocs)
+    val bSig = minhashSignatureFromSets(bSets)
     val bBands = minhashBands(bSig)
     val cBands = minhashBands(corpusSig)
     // batch vs corpus: any band collision, verified by exact Jaccard
