@@ -157,23 +157,34 @@ object Similarity {
     * scan — the classic coarse-quantization shape (probe more cells by
     * relaxing the rank-1 filter; raise K, which only grows the broadcast,
     * never the shuffle). */
-  def simIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val vs = vectors(s, d)
-    val cents = vs
-      .withColumn("ck", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
+  /** The fixed centroid sample: the [[NumCentroids]] smallest
+    * (h28('c_'||vec_id), vec_id) keys — an O(N log K) selection whose
+    * result is broadcast-sized by construction. */
+  private def centroidsFixed(vs: DataFrame): DataFrame =
+    vs.withColumn("ck", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
       .orderBy(col("ck"), col("vec_id")).limit(NumCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
+
+  /** One O(N·K) pass assigning every vector to its nearest fixed
+    * centroid (max cosine, min-centroid-id tie-break): (vec_id, v, nm,
+    * cell). Shared by [[simIvf]] and [[kmeansStep]]. */
+  def assignCells(vs: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    // persisted: both the query side and the corpus side of the cell
-    // join derive from it — without the persist each branch re-runs the
-    // N×C assignment pass (at cluster scale this is the checkpoint of
-    // the assignment table, SCALE.md "what we would change first")
-    val assigned = vs.join(broadcast(cents), lit(true))
+    vs.join(broadcast(centroidsFixed(vs)), lit(true))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
       .withColumn("c_rk", row_number().over(wAssign))
       .filter(col("c_rk") === 1)
       .select(col("vec_id"), col("v"), col("nm"), col("c_id").as("cell"))
+  }
+
+  def simIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val vs = vectors(s, d)
+    // persisted: both the query side and the corpus side of the cell
+    // join derive from it — without the persist each branch re-runs the
+    // N×C assignment pass (at cluster scale this is the checkpoint of
+    // the assignment table, SCALE.md "what we would change first")
+    val assigned = assignCells(vs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = assigned.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -189,6 +200,40 @@ object Similarity {
         round(col("cos"), 4).as("cos4"))
       .orderBy("q_id", "rk", "vec_id")
   }
+
+  /** Fixed-point scale for the k-means update's exact sums: six decimal
+    * digits — enough that the quantization error (≤ 1e-6 per component)
+    * is far below any clustering decision, while a 64-bit sum holds
+    * ~9·10^12 unit-norm components per cell before overflow. */
+  val KmeansFixedPoint = 1000000L
+
+  /** One distributed Lloyd iteration from the fixed centroid sample: the
+    * centroid-update half of k-means (assign each vector to its nearest
+    * centroid, then recompute each cell's component-wise mean) — the
+    * canonical iterative-ML step a training pipeline runs to cluster an
+    * embedding corpus.
+    *
+    * Output: (cell, pos, n, sq, m6) — per (cell, 1-based component)
+    * the member count, the EXACT fixed-point component sum, and the mean
+    * (sq / (10^6·n)). Components are quantized to fixed point BEFORE
+    * summing so the aggregation is pure integer arithmetic — the sum is
+    * order-independent, hence bit-deterministic under any partitioning
+    * and identical cross-engine, where a floating sum would drift with
+    * shuffle order.
+    *
+    * Scale: one O(N·K) broadcast assignment pass + one hash agg on
+    * (cell, pos) — N·64 long-keyed rows with map-side partials, output
+    * K·64 rows. No join back to the corpus, no window over it. */
+  def kmeansStep(s: SparkSession, d: String): DataFrame =
+    assignCells(vectors(s, d))
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "xv")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
+        floor(col("xv") * KmeansFixedPoint).as("q"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      .withColumn("m6", col("sq").cast("double") / (col("n") * KmeansFixedPoint))
+      .select("cell", "pos", "n", "sq", "m6")
+      .orderBy("cell", "pos")
 
   /** Embedding near-dup pairs, LSH-blocked (never O(n²)): same-bucket
     * pairs (a < b) whose cosine clears the threshold. The bucket bit

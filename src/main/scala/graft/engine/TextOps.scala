@@ -252,6 +252,45 @@ object TextOps {
             size(array_union(col("ssa"), col("ssb")))).as("jacc"))
     }
 
+  /** Size of the fixed benchmark set for the contamination check — a
+    * CONSTANT (the first [[BenchmarkDocs]] doc_ids stand in for a held-
+    * out eval suite), deliberately not a corpus fraction: the benchmark
+    * n-gram set must stay broadcast-sized however big the corpus grows
+    * (the [[Similarity.NumQueries]] discipline). */
+  val BenchmarkDocs = 64L
+
+  /** Benchmark-contamination check: for every corpus document, how many
+    * of its distinct shingle hashes also occur in the benchmark set —
+    * the n-gram-overlap decontamination pass every training-data
+    * pipeline runs against its eval suites before training.
+    *
+    * Scale: the benchmark's distinct-hash table is benchmark-sized and
+    * broadcast, so the corpus side is ONE map-side semi join per
+    * exploded shingle (the distributed form of "bloom filter of
+    * benchmark n-grams"), followed by a doc_id-keyed count of HITS only;
+    * per-doc totals come from `array_distinct` on the stored hash array
+    * — no corpus-wide shuffle anywhere. Distinctness is taken over the
+    * 28-bit HASHES on both engines (the oracle mirrors this), so an
+    * in-document hash collision cannot split the engines. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val sets = sharedShingleSets(s, d).filter(size(col("s")) > 0)
+    val bm = sets.filter(col("doc_id") < BenchmarkDocs)
+      .select(explode(col("hx")).as("x")).distinct()
+    val corpus = sets.filter(col("doc_id") >= BenchmarkDocs)
+      .select(col("doc_id"), array_distinct(col("hx")).as("xd"))
+    val hits = corpus.select(col("doc_id"), explode(col("xd")).as("x"))
+      .join(broadcast(bm), Seq("x"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    corpus.select(col("doc_id"), size(col("xd")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("hit_frac", col("n_hit").cast("double") / col("n_sh"))
+      .withColumn("flag",
+        when(col("n_hit") > 0, lit("contaminated")).otherwise(lit("clean")))
+      .select("doc_id", "n_sh", "n_hit", "hit_frac", "flag")
+      .orderBy("doc_id")
+  }
+
   /** 28-bit simhash over a (doc_id, x) feature-hash table: bit b of the
     * signature is set iff bit b is 1 in the majority of feature hashes.
     * One doc_id-keyed hash agg with map-side partials.
@@ -361,6 +400,50 @@ object TextOps {
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     fingerprint(Sources.documents(s, d)).orderBy("doc_id")
 
+  /** 2-token shingles in document order (empty for docs under 2 tokens)
+    * — same vectorized zip_with-over-slices construction as
+    * [[shingles3]], non-distinct (occurrence-weighted consumers). */
+  def shingles2(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** Per-document repetition signals — the Gopher-style quality filters
+    * a curation pipeline applies before training: duplicate-token
+    * fraction (1 − distinct/total) and top-bigram fraction (most
+    * frequent 2-gram's share of all 2-grams). Highly repetitive
+    * documents (boilerplate, keyword stuffing, generation loops) score
+    * high on both. Every ratio is an exact integer quotient cast to
+    * double — bit-deterministic cross-engine. Two doc_id-keyed hash
+    * aggs with map-side partials; docs with a single token have no
+    * bigrams and drop out (mirrored by the oracle's inner join). */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_tok"),
+        count(lit(1)).as("n_uniq"), max("c").as("max_tok"))
+    val big = toks.select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("max_big"))
+    uni.join(big, Seq("doc_id"))
+      .withColumn("dup_frac",
+        (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok"))
+      .withColumn("big_frac", col("max_big").cast("double") / col("n_big"))
+      .withColumn("grade",
+        when(col("big_frac") >= RepetitiveBigramFrac, lit("repetitive"))
+          .otherwise(lit("ok")))
+      .select("doc_id", "n_tok", "n_uniq", "max_tok", "n_big", "max_big",
+        "dup_frac", "big_frac", "grade")
+      .orderBy("doc_id")
+  }
+
+  /** Top-bigram share at/above which a document is graded repetitive
+    * (the corpus distribution at sf0.01 spans 0.011–0.167). */
+  val RepetitiveBigramFrac = 0.08
+
   /** Exact dedup keep-first. The dedup key is md5(normalized text), not
     * the text itself: the window then partitions on a 128-bit digest, so
     * Catalyst prunes the text column *before* the exchange — at corpus
@@ -375,6 +458,28 @@ object TextOps {
       .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy(col("nk"))))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("dup_cnt"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** Cross-source exact dedup with provenance priority: one surviving
+    * document per normalized content key, preferring the most trusted
+    * source (lowest numeric suffix — stand-in for the wiki > books >
+    * crawl ranking a real pipeline uses) and breaking ties on doc_id.
+    * Same scale shape as [[dedupExact]]: the window and count partition
+    * on a 16-byte md5 digest of the content, so the shuffle never
+    * carries document text; the survivor pick and the group stats share
+    * the digest partitioning. */
+  def crossSourceDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.documents(s, d)
+      .withColumn("nk", md5(lower(trim(col("text")))))
+      .withColumn("prio", substring(col("source"), 4, 8).cast("int"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("prio"), col("doc_id"))
+    val stats = base.groupBy("nk").agg(count(lit(1)).as("n_dups"),
+      countDistinct(col("source")).as("n_sources"))
+    base.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(stats, Seq("nk"))
+      .select("doc_id", "source", "n_dups", "n_sources")
       .orderBy("doc_id")
   }
 

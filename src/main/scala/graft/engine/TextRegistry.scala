@@ -142,6 +142,53 @@ object TextRegistry {
         |      WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS grade
         |FROM g ORDER BY doc_id""".stripMargin),
 
+    "q_repetition" -> e(TextOps.repetitionStats,
+      s"""WITH $toksCte,
+         | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         | ug AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+         | us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |   count(*) AS n_uniq, max(c) AS max_tok FROM ug GROUP BY 1),
+         | b AS (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(toks)-1,0)+1),
+         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         | bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+         |   max(c) AS max_big FROM bgc GROUP BY 1)
+         |SELECT doc_id, n_tok, n_uniq, max_tok, n_big, max_big,
+         | CAST(n_tok - n_uniq AS DOUBLE)/n_tok AS dup_frac,
+         | CAST(max_big AS DOUBLE)/n_big AS big_frac,
+         | CASE WHEN CAST(max_big AS DOUBLE)/n_big >= ${TextOps.RepetitiveBigramFrac}
+         |   THEN 'repetitive' ELSE 'ok' END AS grade
+         |FROM us JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "q_cross_dedup" -> e(TextOps.crossSourceDedup,
+      """WITH x AS (SELECT doc_id, source, lower(trim(text)) AS k,
+        |   CAST(substr(source, 4) AS INT) AS prio FROM documents),
+        | g AS (SELECT k, count(*) AS n_dups,
+        |   count(DISTINCT source) AS n_sources FROM x GROUP BY 1),
+        | r AS (SELECT doc_id, source, k, row_number() OVER (
+        |    PARTITION BY k ORDER BY prio, doc_id) AS rn FROM x)
+        |SELECT r.doc_id, r.source, g.n_dups, g.n_sources
+        |FROM r JOIN g USING (k) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+
+    "q_contaminate" -> e(TextOps.contamination,
+      s"""WITH $toksCte,
+         | ss AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-2,0)+1),
+         |   i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) AS s FROM t),
+         | sh AS (SELECT doc_id, unnest(s) AS sh FROM ss WHERE len(s) > 0),
+         | hx AS (SELECT DISTINCT doc_id, ${duckH28("sh")} AS x FROM sh),
+         | bm AS (SELECT DISTINCT x FROM hx WHERE doc_id < ${TextOps.BenchmarkDocs}),
+         | tot AS (SELECT doc_id, count(*) AS n_sh FROM hx
+         |   WHERE doc_id >= ${TextOps.BenchmarkDocs} GROUP BY 1),
+         | hits AS (SELECT doc_id, count(*) AS n_hit FROM hx
+         |   WHERE doc_id >= ${TextOps.BenchmarkDocs}
+         |    AND x IN (SELECT x FROM bm) GROUP BY 1)
+         |SELECT t.doc_id, t.n_sh, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(coalesce(h.n_hit, 0) AS DOUBLE)/t.n_sh AS hit_frac,
+         | CASE WHEN coalesce(h.n_hit, 0) > 0 THEN 'contaminated' ELSE 'clean' END
+         |   AS flag
+         |FROM tot t LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""".stripMargin),
+
     "q_fingerprint" -> e(TextOps.fingerprintQ,
       s"""WITH $toksCte
          |SELECT doc_id, CAST(list_sum(list_transform(range(1, len(toks)+1),
@@ -319,6 +366,26 @@ object TextRegistry {
          |  FROM s)
          |SELECT q_id, vec_id, cell, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
          |FROM r WHERE rk <= 3 ORDER BY q_id, rk, vec_id""".stripMargin),
+
+    "q_kmeans_step" -> e((s, d) => Similarity.kmeansStep(s, d),
+      s"""WITH $embCtes,
+         | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n
+         |   ORDER BY ${duckH28("'c_'||vec_id")}, vec_id
+         |   LIMIT ${Similarity.NumCentroids}),
+         | asg AS (SELECT vec_id, v, cell FROM (
+         |   SELECT n.vec_id, n.v, c.c_id AS cell,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv)/(n.nm*c.cnm) DESC, c.c_id)
+         |      AS c_rk
+         |   FROM n CROSS JOIN c) x WHERE c_rk = 1),
+         | px AS (SELECT cell, i AS pos,
+         |   CAST(floor(v[i]*${Similarity.KmeansFixedPoint}) AS BIGINT) AS q
+         |  FROM asg CROSS JOIN range(1, 65) t(i)),
+         | g AS (SELECT cell, pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq
+         |  FROM px GROUP BY 1, 2)
+         |SELECT cell, pos, n, sq,
+         | CAST(sq AS DOUBLE)/(n*${Similarity.KmeansFixedPoint}) AS m6
+         |FROM g ORDER BY cell, pos""".stripMargin),
 
     "q_dedup_embed" -> e((s, d) => Similarity.dedupEmbed(s, d),
       s"""WITH $embCtes,

@@ -58,6 +58,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansStep: exact fixed-point cell means, identical vectors share a cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 10 -> same cell
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.kmeansStep(spark, dir)
+      .select("cell", "pos", "n", "sq", "m6")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // every vector is its own centroid here; 10 and 11 tie at cos=1 with
+    // both identical centroids and the min-c_id break lands both in cell 10
+    assert(out.length == 8) // 2 cells × 4 components
+    val cell10 = out.filter(_._1 == 10L).sortBy(_._2)
+    assert(cell10.forall(_._3 == 2L))
+    assert(cell10.map(_._4).toSeq == Seq(2000000L, 0L, 0L, 0L))
+    assert(cell10.map(_._5).toSeq == Seq(1.0, 0.0, 0.0, 0.0))
+    val cell20 = out.filter(_._1 == 20L).sortBy(_._2)
+    assert(cell20.forall(_._3 == 1L))
+    assert(cell20.map(_._5).toSeq == Seq(0.0, 1.0, 0.0, 0.0))
+  }
+
   test("dedupEmbedBanded: more bands find a superset of verified pairs") {
     val vs = Similarity.vectors(spark, sf)
     def pairs(bands: Int) =

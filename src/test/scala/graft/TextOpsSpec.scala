@@ -143,4 +143,62 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     assert(out(0)._2 != out(1)._2)
   }
+
+  /** Write a documents.parquet with the full corpus schema under a fresh
+    * temp dir and return the dir (the shape dir-parameterized operators
+    * read). */
+  private def docsDir(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("repetitionStats: counts, fractions and the repetitive grade") {
+    val d = docsDir(Seq(
+      (0L, "x y x y x y", "src0"),
+      (1L, (0 until 30).map(i => s"w$i").mkString(" "), "src0")))
+    val out = TextOps.repetitionStats(spark, d).collect()
+    // doc 0: 6 tokens, 2 uniq, max token 3; bigrams x_y ×3, y_x ×2
+    val r0 = out(0)
+    assert(r0.getLong(1) == 6 && r0.getLong(2) == 2 && r0.getLong(3) == 3)
+    assert(r0.getLong(4) == 5 && r0.getLong(5) == 3)
+    assert(r0.getDouble(6) == 4.0 / 6 && r0.getDouble(7) == 3.0 / 5)
+    assert(r0.getString(8) == "repetitive")
+    // doc 1: all distinct, every bigram unique -> ok
+    val r1 = out(1)
+    assert(r1.getLong(2) == 30 && r1.getLong(3) == 1)
+    assert(r1.getDouble(6) == 0.0 && r1.getString(8) == "ok")
+  }
+
+  test("crossSourceDedup keeps the highest-priority source per content") {
+    val d = docsDir(Seq(
+      (5L, "same exact content here", "src12"),
+      (6L, "same exact content here", "src3"),
+      (7L, "same exact content here", "src3"),
+      (8L, "a different document", "src19")))
+    val out = TextOps.crossSourceDedup(spark, d).collect()
+    assert(out.length == 2)
+    // survivor of the dup group: src3 beats src12, doc 6 beats doc 7
+    assert(out(0).getLong(0) == 6L && out(0).getString(1) == "src3")
+    assert(out(0).getLong(2) == 3L && out(0).getLong(3) == 2L)
+    assert(out(1).getLong(0) == 8L && out(1).getLong(2) == 1L)
+  }
+
+  test("contamination counts distinct shingle-hash overlap vs benchmark") {
+    // doc 0 is benchmark (doc_id < BenchmarkDocs); docs 100/101 are corpus
+    val d = docsDir(Seq(
+      (0L, "a b c d e", "src0"), // benchmark shingles: abc bcd cde
+      (100L, "a b c x y", "src1"), // shares exactly "a b c" -> 1 of 3
+      (101L, "p q r s t", "src1"), // disjoint -> clean
+      (102L, "u v", "src1"))) // under 3 tokens -> excluded
+    val out = TextOps.contamination(spark, d).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 101L))
+    val hit = out(0)
+    assert(hit.getLong(1) == 3 && hit.getLong(2) == 1)
+    assert(hit.getDouble(3) == 1.0 / 3 && hit.getString(4) == "contaminated")
+    assert(out(1).getLong(2) == 0 && out(1).getString(4) == "clean")
+  }
 }
