@@ -87,7 +87,10 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
       val df = Types.normalizeDecimals(Types.coerce(spark.sql(query), spec))
       progress.foreach { cb =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        ProgressReporter.withProgress(spark)(cb)(df.count())
+        // a failing counted query must not leak a pinned cache entry on
+        // a long-lived session — unpersist before surfacing the error
+        try ProgressReporter.withProgress(spark)(cb)(df.count())
+        catch { case e: Throwable => df.unpersist(); throw e }
       }
       df
     } match {

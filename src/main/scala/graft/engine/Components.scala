@@ -31,7 +31,11 @@ object Components {
     // constant and convergence a false positive after two rounds —
     // refuse rather than silently return partial labels. Hash string
     // ids to long (e.g. xxhash64) before calling.
-    pairs.schema.fields.take(2).foreach { f =>
+    // look the edge columns up BY NAME — the algorithm reads "a"/"b" by
+    // name, so a positional check would type-check the wrong columns on
+    // a frame with extra or reordered columns (schema(name) also gives a
+    // clear error when a column is absent)
+    Seq("a", "b").map(pairs.schema(_)).foreach { f =>
       require(f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType,
         s"connectedComponents requires integral node ids; " +

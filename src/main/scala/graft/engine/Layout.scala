@@ -61,7 +61,24 @@ object Layout {
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / targetBytes).toInt)
     val pcols = partitionColumns(fs, p)
-    val df0 = spark.read.parquet(path)
+    // Read partition values AS THE RAW DIRECTORY STRINGS (inference off):
+    // with inference on, Spark canonicalizes values ("01" → int 1), so
+    // (a) the per-value salt join against the directory-walk strings
+    // silently misses and the hot value collapses to one file, and (b)
+    // the rewrite re-encodes the canonical form, renaming `id=01/` to
+    // `id=1/` under the reader's feet. Partition schema is resolved
+    // eagerly inside read.parquet, so a scoped set/restore is safe.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.getOption(inferKey)
+    val df0 =
+      if (pcols.isEmpty) spark.read.parquet(path)
+      else try {
+        spark.conf.set(inferKey, "false")
+        spark.read.parquet(path)
+      } finally inferPrev match {
+        case Some(v) => spark.conf.set(inferKey, v)
+        case None    => spark.conf.unset(inferKey)
+      }
     val df =
       if (pcols.isEmpty) df0.repartition(parts)
       else {
@@ -76,8 +93,10 @@ object Layout {
             StructField("__saltN", LongType))
         val saltDf = spark.createDataFrame(
           spark.sparkContext.parallelize(leaves, 1), saltSchema)
+        // null-safe: a `__HIVE_DEFAULT_PARTITION__` directory reads back
+        // as null, which `===` would never match
         val joinCond = pcols.map(c =>
-          col(c).cast("string") === col(s"__v_$c")).reduce(_ && _)
+          col(c).cast("string") <=> col(s"__v_$c")).reduce(_ && _)
         df0.join(broadcast(saltDf), joinCond, "left")
           .withColumn("__salt", pmod(monotonically_increasing_id(),
             coalesce(col("__saltN"), lit(1L))))
@@ -96,8 +115,10 @@ object Layout {
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap { d =>
-        val v = java.net.URLDecoder.decode(
+        val raw = java.net.URLDecoder.decode(
           d.getPath.getName.split("=", 2)(1), "UTF-8")
+        // Spark reads the Hive null-sentinel directory back as null
+        val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
         leafPartitions(fs, d.getPath, depth - 1).map {
           case (vs, lp) => (v +: vs, lp)
         }

@@ -25,8 +25,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * input dir AND a fingerprint of the input's file listing (name, size,
   * mtime of every file), so regenerating the corpus under the same path
   * yields a different stage path rather than silently serving stale
-  * data. Writers build into a private temp path and rename into place;
-  * a loser of the rename race adopts the winner's committed output.
+  * data. Writers build into a private attempt directory and PUBLISH via
+  * a pointer file written with create-exclusive semantics — never by
+  * renaming a directory onto the target path. A directory rename has a
+  * cross-process TOCTOU: if another JVM commits between our existence
+  * check and our rename, HDFS `rename(tmp, target)` moves tmp *inside*
+  * the committed target (and still returns true), leaving stray debris
+  * in the stage output. With a pointer file, the loser of the publish
+  * race just deletes its own attempt and reads the winner's.
   */
 object Stages {
 
@@ -64,12 +70,25 @@ object Stages {
   }
 
   /** The parquet-backed stage `stage` of input directory `dir`: built by
-    * `build` at most once per content key (a committed `_SUCCESS` from
-    * an earlier JVM is reused when the root is persistent), read from
-    * files afterwards. Builds are serialized under one lock — reentrant,
-    * so a stage may materialize its own prerequisite stages inside its
-    * build (a nested ConcurrentHashMap.computeIfAbsent here would throw
-    * "Recursive update" whenever two stage keys share a bin). */
+    * `build` at most once per content key (a pointer published by an
+    * earlier JVM is reused when the root is persistent), read from files
+    * afterwards. Builds are serialized under one lock — reentrant, so a
+    * stage may materialize its own prerequisite stages inside its build
+    * (a nested ConcurrentHashMap.computeIfAbsent here would throw
+    * "Recursive update" whenever two stage keys share a bin).
+    *
+    * Cross-JVM publish protocol (shared persistent root): each writer
+    * builds into its own UNIQUE attempt directory, then races to create
+    * `<stage>.ptr` with `fs.create(overwrite = false)` — atomic
+    * create-exclusive on HDFS and local filesystems. Exactly one writer
+    * wins; losers delete their attempt and follow the winner's pointer.
+    * No step ever renames onto a path another process may own, so there
+    * is no window in which a second committer can nest debris inside a
+    * committed stage. The pointer itself is written via a unique temp
+    * file + file rename so readers never observe a half-written pointer
+    * (a file-onto-existing-file rename either fails — HDFS — or is an
+    * atomic whole-file replace — POSIX — and both attempt paths are
+    * complete, valid outputs). */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     // the fingerprint is part of the MEMO key, not just the path: keyed
@@ -83,24 +102,54 @@ object Stages {
       if (again != null) again
       else {
         val p = s"$root/$stage-${md5hex(key)}"
-        val target = new org.apache.hadoop.fs.Path(p)
-        val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val committed = new org.apache.hadoop.fs.Path(p, "_SUCCESS")
-        if (!fs.exists(committed)) {
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$p.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-          build.write.mode("overwrite").parquet(tmp.toString)
-          // a target without _SUCCESS is a crashed writer's debris
-          if (fs.exists(target) && !fs.exists(committed)) fs.delete(target, true)
-          // adopt a concurrent winner's output; otherwise move ours in
-          if (fs.exists(committed) || !fs.rename(tmp, target))
-            fs.delete(tmp, true)
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val ptr = new org.apache.hadoop.fs.Path(s"$p.ptr")
+        if (!fs.exists(ptr)) {
+          val attempt = new org.apache.hadoop.fs.Path(
+            s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
+          build.write.mode("overwrite").parquet(attempt.toString)
+          publish(fs, ptr, attempt.toString)
+          // the WINNER is whoever the pointer names after the race —
+          // never inferred from rename's return value, which differs
+          // across filesystems (HDFS fails onto an existing file; POSIX
+          // replaces it and reports success). A losing attempt is a
+          // complete, valid output nobody references: delete it.
+          if (readPointer(fs, ptr) != attempt.toString)
+            fs.delete(attempt, true)
         }
-        done.put(key, p)
-        p
+        val resolved = readPointer(fs, ptr)
+        done.put(key, resolved)
+        resolved
       }
     }
     s.read.parquet(path)
+  }
+
+  /** Best-effort race to publish `content` at `ptr` via unique temp file
+    * + rename; losing (pointer already present) is normal. */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+      ptr: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$ptr.w-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val renamed = try fs.rename(tmp, ptr) catch {
+      case _: java.io.IOException => false
+    }
+    if (!renamed) fs.delete(tmp, false)
+  }
+
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      ptr: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(ptr)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8").trim
+    } finally in.close()
   }
 
   /** Drop the memo map (test isolation). Safe because stage paths are

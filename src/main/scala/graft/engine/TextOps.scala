@@ -470,10 +470,14 @@ object TextOps {
     * carries document text; the survivor pick and the group stats share
     * the digest partitioning. */
   def crossSourceDedup(s: SparkSession, d: String): DataFrame = {
+    // try-parse + NULLS LAST on BOTH sides (here and the DuckDB oracle):
+    // a malformed 'srcN' suffix must lose the priority race, not win it
+    // (Spark ASC sorts NULLS FIRST) nor hard-error the oracle's CAST.
     val base = Sources.documents(s, d)
       .withColumn("nk", md5(lower(trim(col("text")))))
-      .withColumn("prio", substring(col("source"), 4, 8).cast("int"))
-    val w = Window.partitionBy(col("nk")).orderBy(col("prio"), col("doc_id"))
+      .withColumn("prio", expr("try_cast(substring(source, 4) AS int)"))
+    val w = Window.partitionBy(col("nk"))
+      .orderBy(col("prio").asc_nulls_last, col("doc_id"))
     val stats = base.groupBy("nk").agg(count(lit(1)).as("n_dups"),
       countDistinct(col("source")).as("n_sources"))
     base.withColumn("rn", row_number().over(w))

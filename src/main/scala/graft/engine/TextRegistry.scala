@@ -163,11 +163,11 @@ object TextRegistry {
 
     "q_cross_dedup" -> e(TextOps.crossSourceDedup,
       """WITH x AS (SELECT doc_id, source, lower(trim(text)) AS k,
-        |   CAST(substr(source, 4) AS INT) AS prio FROM documents),
+        |   TRY_CAST(substr(source, 4) AS INT) AS prio FROM documents),
         | g AS (SELECT k, count(*) AS n_dups,
         |   count(DISTINCT source) AS n_sources FROM x GROUP BY 1),
         | r AS (SELECT doc_id, source, k, row_number() OVER (
-        |    PARTITION BY k ORDER BY prio, doc_id) AS rn FROM x)
+        |    PARTITION BY k ORDER BY prio ASC NULLS LAST, doc_id) AS rn FROM x)
         |SELECT r.doc_id, r.source, g.n_dups, g.n_sources
         |FROM r JOIN g USING (k) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
 
