@@ -291,41 +291,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** 28-bit simhash over a (doc_id, x) feature-hash table: bit b of the
-    * signature is set iff bit b is 1 in the majority of feature hashes.
-    * One doc_id-keyed hash agg with map-side partials.
+  /** 28-bit simhash of a feature-hash ARRAY column: bit b of the
+    * signature is set iff bit b is 1 in the majority of feature hashes
+    * — popcount form, sum((x>>b)&1) with bit set iff 2·S_b > n
+    * (equivalent to the signed ±1 formulation: the ±1 sum is 2·S_b − n).
     *
-    * Formulated as branch-free popcounts — sum((x>>b)&1), bit set iff
-    * 2·S_b > n — rather than signed ±1 CASE sums (equivalent: the ±1 sum
-    * is 2·S_b − n). The 28 CASE aggregates generated a Janino method big
-    * enough that its compile time dominated cold bench runs; the
-    * shift-and-sum form compiles in a fraction of it. */
-  private def simhashBits(feats: DataFrame): DataFrame = {
-    val bitSums = (0 until 28).map(b =>
-      sum(shiftright(col("x"), b).bitwiseAND(1)).as(s"s$b"))
-    val aggs = bitSums.tail :+ count(lit(1)).as("n")
-    val packed = (0 until 28).map(b =>
-      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    feats.groupBy(col("doc_id")).agg(bitSums.head, aggs: _*)
-      .select(col("doc_id"), packed.as("simhash"))
+    * Computed STATELESSLY per row as 28 `aggregate` folds over the
+    * array. The explode + doc_id groupBy it replaces shuffled one row
+    * per feature across the corpus; this form is a pure map over the
+    * corpus scan — zero shuffle, stream-safe, and measured faster even
+    * at sf0.1 (identical values: same majority over the same multiset).
+    * An empty array yields signature 0 — callers that must drop
+    * feature-less docs filter before calling. */
+  def simhashOfHashes(hx: Column): Column = {
+    val n = size(hx)
+    (0 until 28).map { b =>
+      val s = aggregate(hx, lit(0L),
+        (acc, x) => acc + shiftright(x, b).bitwiseAND(1L))
+      when(s * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** SimHash over distinct unigram tokens. */
   def simhash(docs: DataFrame): DataFrame =
-    simhashBits(docs.select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("x", h28(col("tok"))))
+    docs.select(col("doc_id"),
+        transform(array_distinct(tokens(col("text"))), t => h28(t)).as("ux"))
+      .select(col("doc_id"), simhashOfHashes(col("ux")).as("simhash"))
 
   /** SimHash over 3-token shingles — far more discriminative than
     * unigrams when documents share a vocabulary (measured on the test
     * corpus: unigram signatures collapse — ~half of all pairs within
     * hamming 6 — while shingle signatures separate planted near-dups
-    * (≤4 bits) from background (≥6 bits)). */
+    * (≤4 bits) from background (≥6 bits)). Occurrence-weighted (the
+    * shingle array is non-distinct, [[shingles3]]'s doc). Docs with no
+    * shingles are dropped, matching the explode+groupBy semantics this
+    * replaces. */
   def simhashShingles(docs: DataFrame): DataFrame =
-    simhashBits(shingleSets(docs)
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-      .withColumn("x", h28(col("sh"))))
+    shingleSets(docs).filter(size(col("s")) > 0)
+      .select(col("doc_id"), transform(col("s"), sh => h28(sh)).as("hx"))
+      .select(col("doc_id"), simhashOfHashes(col("hx")).as("simhash"))
 
   /** Rolling-weight document fingerprint: Σ h28(tok_i)·w(i mod 16) mod P,
     * w(k) = (1103515245·k + 12345) mod P. */
@@ -473,16 +477,23 @@ object TextOps {
     // try-parse + NULLS LAST on BOTH sides (here and the DuckDB oracle):
     // a malformed 'srcN' suffix must lose the priority race, not win it
     // (Spark ASC sorts NULLS FIRST) nor hard-error the oracle's CAST.
+    // ONE corpus scan: the group stats ride the same nk partition as the
+    // survivor window (count + collect_set over the unbounded frame), so
+    // the text is scanned and md5'd once — the previous groupBy+join-back
+    // formulation scanned and hashed the corpus twice. At 100 TB the md5
+    // pass over document text dominates; everything after the exchange
+    // carries only (doc_id, source, 16-byte nk, prio).
     val base = Sources.documents(s, d)
       .withColumn("nk", md5(lower(trim(col("text")))))
       .withColumn("prio", expr("try_cast(substring(source, 4) AS int)"))
     val w = Window.partitionBy(col("nk"))
       .orderBy(col("prio").asc_nulls_last, col("doc_id"))
-    val stats = base.groupBy("nk").agg(count(lit(1)).as("n_dups"),
-      countDistinct(col("source")).as("n_sources"))
+    val wAll = Window.partitionBy(col("nk"))
     base.withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(wAll))
+      .withColumn("n_sources",
+        size(collect_set(col("source")).over(wAll)).cast(LongType))
       .filter(col("rn") === 1)
-      .join(stats, Seq("nk"))
       .select("doc_id", "source", "n_dups", "n_sources")
       .orderBy("doc_id")
   }
@@ -522,9 +533,11 @@ object TextOps {
   }
 
   def simhashNear(s: SparkSession, d: String): DataFrame = {
+    // per-row fold over the STORED hash array — the stage build is a
+    // pure map over the shingle_sets scan (no explode, no shuffle)
     val sh = Stages.materialize(s, "simhash_shingle", d)(
-      simhashBits(sharedShingleSets(s, d)
-        .select(col("doc_id"), explode(col("hx")).as("x"))))
+      sharedShingleSets(s, d).filter(size(col("s")) > 0)
+        .select(col("doc_id"), simhashOfHashes(col("hx")).as("simhash")))
     simhashNearPairs(sh).orderBy("a", "b")
   }
 
