@@ -235,6 +235,90 @@ object Similarity {
       .select("cell", "pos", "n", "sq", "m6")
       .orderBy("cell", "pos")
 
+  /** Neighbors per query for the kNN label vote. */
+  val KnnK = 10
+
+  /** kNN label assignment: for each fixed query vector, the majority
+    * label among its [[KnnK]] nearest neighbors by cosine (tie → more
+    * votes wins, then smaller label) — the weak-supervision /
+    * label-propagation pass a training pipeline uses to extend a small
+    * labeled seed set over an unlabeled corpus. Same scale shape as
+    * [[simTopK]]: the query side is a fixed-size broadcast, the corpus
+    * streams past it once, and the vote is a tiny (Q·K-row) aggregation.
+    * Output: (q_id, label — the query's own, pred_label, n_votes). */
+  def knnLabel(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nm", l2norm(col("v")))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nm").as("qnm"), col("label").as("q_label"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val neighbors = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= KnnK)
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    neighbors.groupBy(col("q_id"), col("q_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("q_id"), col("q_label").as("label"),
+        col("label").as("pred_label"), col("n_votes"))
+      .orderBy("q_id")
+  }
+
+  /** Product-quantization geometry: 64 dims = [[PqSubspaces]] subspaces
+    * of [[PqSubDim]] dims, [[PqCodebook]] codewords per subspace (a
+    * 4-bit code per subspace — 4 bytes per vector instead of 256). */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodebook = 16
+
+  /** Product-quantization encoding: per (vector, subspace), the nearest
+    * of [[PqCodebook]] codewords by squared L2 over that subspace's 8
+    * components — the compression step that lets an ANN index hold
+    * billion-vector corpora in memory. The codebook is a deterministic
+    * hash-ranked sample (the [[centroidsFixed]] discipline: FIXED size,
+    * an O(N log K) selection, broadcast); encoding is one O(N·16·8)
+    * map-side pass — no shuffle of the corpus, output is 8 small rows
+    * per vector. (A production codebook comes from k-means — the
+    * [[kmeansStep]] operator — this operator is the encoding pass.)
+    * Output: (vec_id, sub, code, d26 = round(L2², 6)). */
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val subIdx = (0 until PqSubspaces).map { k =>
+      struct(lit(k.toLong).as("sub"),
+        slice(col("v"), k * PqSubDim + 1, PqSubDim).as("sv"))
+    }
+    // codewords: 16 hash-ranked sample vectors, code id = rank order
+    val wCode = Window.orderBy(col("ck"), col("vec_id"))
+    val codebook = vs
+      .withColumn("ck", PortableHash.h28(concat(lit("pq_"), col("vec_id"))))
+      .orderBy(col("ck"), col("vec_id")).limit(PqCodebook)
+      .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+      .select(col("code"), explode(array(subIdx: _*)).as("cs"))
+      .select(col("code"), col("cs.sub").as("sub"), col("cs.sv").as("cv"))
+    val corpus = vs
+      .select(col("vec_id"), explode(array(subIdx: _*)).as("xs"))
+      .select(col("vec_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
+    val d2 = aggregate(
+      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wBest = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("code"))
+    corpus.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"),
+        round(col("d2"), 6).as("d26"))
+      .orderBy("vec_id", "sub")
+  }
+
   /** Embedding near-dup pairs, LSH-blocked (never O(n²)): same-bucket
     * pairs (a < b) whose cosine clears the threshold. The bucket bit
     * count grows with log(N) ([[lshBitsFor]]), bounding within-bucket

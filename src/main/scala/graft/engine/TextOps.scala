@@ -646,6 +646,137 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Token-window chunking parameters: window of [[ChunkSize]] tokens
+    * advancing by [[ChunkStride]] (16-token overlap) — the pre-training
+    * preprocessing step that turns variable-length documents into
+    * model-context-sized pieces. */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** Chunk every document into overlapping token windows: one output row
+    * per (doc, window start), with the chunk's token count and an md5
+    * signature of its text (the signature, not the text, keeps the
+    * output — and any downstream chunk-level dedup shuffle — small).
+    * Start positions are 0, stride, 2·stride, … while they land inside
+    * the document, so every token is covered and the tail chunk may be
+    * short. Pure map + bounded explode (fan-out = ⌈n_tok/stride⌉):
+    * shuffle-free, linear in corpus token count. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n_tok - 1) DIV $ChunkStride"))))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast(LongType).as("n_tok_chunk"),
+        md5(concat_ws(" ", col("chunk"))).as("sig"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 256L
+
+  /** Sequence packing (concat-and-chop): lay documents end-to-end in
+    * deterministic (source, doc_id) order and cut every [[PackBudget]]
+    * tokens — each doc reports the sequence its first token lands in and
+    * the offset within it. Packing is PER SOURCE: the running sum is a
+    * window over the source partition, so at 100 TB each shard packs
+    * independently (the global-order variant would serialize the corpus
+    * through one partition — exactly the non-scalable shape this
+    * avoids; real pipelines pack within shards for the same reason).
+    * One shuffle on source, no joins. */
+  def packSeqs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .withColumn("seq_id", expr(s"tok_start DIV $PackBudget"))
+      .withColumn("seq_off", col("tok_start") % PackBudget)
+      .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
+      .orderBy("doc_id")
+  }
+
+  /** Max documents kept per source by [[domainCap]]. */
+  val DomainCap = 15L
+
+  /** Per-domain capping: keep at most [[DomainCap]] documents per
+    * source, chosen by deterministic hash rank (an unbiased, reproducible
+    * sample — not "first N", which would bias toward old doc_ids). The
+    * balancing pass a curation pipeline runs so one dominant crawl
+    * domain cannot swamp the mixture. Rank filter gets the partial
+    * WindowGroupLimit push-down: each map task keeps ≤ cap rows per
+    * source before the exchange, so the shuffle carries O(sources·cap),
+    * not the corpus. */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Sources.documents(s, d)
+      .withColumn("hk", h28(concat(lit("cap_"), col("doc_id"))))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= DomainCap)
+      .select("source", "rk", "doc_id", "n_chars")
+      .orderBy("source", "rk")
+  }
+
+  /** Curation funnel report: how many documents (and tokens) survive
+    * each successive filter stage — the observability table a pipeline
+    * owner reads before committing a 100 TB run. Stages nest (each
+    * applies on top of the previous):
+    *   0 all → 1 n_tok ≥ 30 → 2 type-token ratio ≥ 0.4 →
+    *   3 not repetitive (top-bigram share < [[RepetitiveBigramFrac]]) →
+    *   4 exact-dedup survivor (keep-first among stage-3 survivors).
+    * One pass computes per-doc flags (two explode+aggs + one digest
+    * window); the report is a 5-way indicator aggregation of that single
+    * flag table — no per-stage rescans. */
+  def filterFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
+    val big = toks
+      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("max_big"))
+    val flags = docs.select(col("doc_id"), col("text"))
+      .join(uni, Seq("doc_id"))
+      .join(big, Seq("doc_id"), "left")
+      .withColumn("big_frac",
+        coalesce(col("max_big").cast("double") / col("n_big"), lit(0.0)))
+      .withColumn("q1", col("n_tok") >= 30)
+      .withColumn("q2", col("q1") &&
+        col("n_uniq").cast("double") / col("n_tok") >= 0.4)
+      .withColumn("q3", col("q2") && col("big_frac") < RepetitiveBigramFrac)
+    // dedup rank only among stage-3 survivors (the funnel order a real
+    // pipeline uses: cheap filters first, the shuffle-bearing dedup last
+    // over the smallest surviving set)
+    val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
+    val dd = flags.filter(col("q3"))
+      .withColumn("nk", md5(lower(trim(col("text")))))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), (col("rn") === 1).as("q4"))
+    val staged = flags.join(dd, Seq("doc_id"), "left")
+      .withColumn("q4", coalesce(col("q4"), lit(false)))
+      .select(col("n_tok"), explode(array(
+        struct(lit(0L).as("stage"), lit("all").as("name"), lit(true).as("pass")),
+        struct(lit(1L).as("stage"), lit("min_tokens").as("name"), col("q1").as("pass")),
+        struct(lit(2L).as("stage"), lit("ttr").as("name"), col("q2").as("pass")),
+        struct(lit(3L).as("stage"), lit("repetition").as("name"), col("q3").as("pass")),
+        struct(lit(4L).as("stage"), lit("exact_dedup").as("name"), col("q4").as("pass"))
+      )).as("st"))
+      .select(col("st.stage").as("stage"), col("st.name").as("name"),
+        col("st.pass").as("pass"), col("n_tok"))
+    staged.groupBy("stage", "name")
+      .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("pass"), col("n_tok")).otherwise(0L)).as("total_tok"))
+      .orderBy("stage")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata. The
     * payload here derives from `text` (the container ships no media
     * libs); the schema/partitioning/metadata path is the real thing. */

@@ -27,7 +27,7 @@ object TextRegistry {
        | sig AS (SELECT doc_id, $mins FROM hx GROUP BY doc_id)""".stripMargin
   }
 
-  // popcount form, matching TextOps.simhashBits: bit set iff 2·S_b > n
+  // popcount form, matching TextOps.simhashOfHashes: bit set iff 2·S_b > n
   private val duckSimhashSums = (0 until 28).map(b =>
     s"sum((x >> $b) & 1) AS s$b").mkString(", ") + ", count(*) AS n"
   private val duckSimhashPack = (0 until 28).map(b =>
@@ -311,6 +311,121 @@ object TextRegistry {
         | CAST(sum(n_uniq) AS BIGINT) AS total_uniq,
         | CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM dd WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin),
+
+    "q_chunk_docs" -> e(TextOps.chunkDocs,
+      s"""WITH $toksCte,
+         | c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+         | u AS (SELECT doc_id, toks,
+         |   unnest(range(0, (n_tok - 1) // ${TextOps.ChunkStride} + 1)) AS chunk_id
+         |  FROM c),
+         | s AS (SELECT doc_id, chunk_id,
+         |   toks[chunk_id*${TextOps.ChunkStride}+1 :
+         |        least(chunk_id*${TextOps.ChunkStride}+${TextOps.ChunkSize},
+         |              len(toks))] AS chunk
+         |  FROM u)
+         |SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tok_chunk,
+         | md5(array_to_string(chunk, ' ')) AS sig
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
+
+    "q_pack_seqs" -> e(TextOps.packSeqs,
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
+         | c AS (SELECT doc_id, source, n_tok,
+         |   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
+         |  FROM t)
+         |SELECT doc_id, source, n_tok,
+         | (tok_end - n_tok) // ${TextOps.PackBudget} AS seq_id,
+         | (tok_end - n_tok) % ${TextOps.PackBudget} AS seq_off
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    "q_domain_cap" -> e(TextOps.domainCap, {
+      val h = duckH28("'cap_'||doc_id")
+      s"""WITH a AS (SELECT source, doc_id, n_chars, $h AS hk FROM documents),
+         | r AS (SELECT source, doc_id, n_chars, CAST(row_number() OVER (
+         |    PARTITION BY source ORDER BY hk, doc_id) AS BIGINT) AS rk FROM a)
+         |SELECT source, rk, doc_id, n_chars FROM r
+         |WHERE rk <= ${TextOps.DomainCap} ORDER BY source, rk""".stripMargin
+    }),
+
+    "q_filter_funnel" -> e(TextOps.filterFunnel,
+      s"""WITH $toksCte,
+         | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         | ug AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
+         |  FROM u GROUP BY 1),
+         | b AS (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(toks)-1,0)+1),
+         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         | bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
+         |   max(c) AS max_big FROM bgc GROUP BY 1),
+         | f AS (SELECT d.doc_id, d.text, ug.n_tok,
+         |   coalesce(CAST(bs.max_big AS DOUBLE)/bs.n_big, 0.0) AS big_frac,
+         |   (ug.n_tok >= 30) AS q1,
+         |   (ug.n_tok >= 30 AND CAST(ug.n_uniq AS DOUBLE)/ug.n_tok >= 0.4) AS q2,
+         |   (ug.n_tok >= 30 AND CAST(ug.n_uniq AS DOUBLE)/ug.n_tok >= 0.4
+         |     AND coalesce(CAST(bs.max_big AS DOUBLE)/bs.n_big, 0.0)
+         |       < ${TextOps.RepetitiveBigramFrac}) AS q3
+         |  FROM documents d JOIN ug USING (doc_id) LEFT JOIN bs USING (doc_id)),
+         | dd AS (SELECT doc_id, (row_number() OVER (
+         |    PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1) AS q4
+         |  FROM f WHERE q3),
+         | fl AS (SELECT f.n_tok, f.q1, f.q2, f.q3,
+         |   coalesce(dd.q4, false) AS q4
+         |  FROM f LEFT JOIN dd USING (doc_id)),
+         | st AS (
+         |  SELECT 0 AS stage, 'all' AS name, true AS pass, n_tok FROM fl
+         |  UNION ALL SELECT 1, 'min_tokens', q1, n_tok FROM fl
+         |  UNION ALL SELECT 2, 'ttr', q2, n_tok FROM fl
+         |  UNION ALL SELECT 3, 'repetition', q3, n_tok FROM fl
+         |  UNION ALL SELECT 4, 'exact_dedup', q4, n_tok FROM fl)
+         |SELECT CAST(stage AS BIGINT) AS stage, name,
+         | CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         | CAST(sum(CASE WHEN pass THEN n_tok ELSE 0 END) AS BIGINT) AS total_tok
+         |FROM st GROUP BY 1, 2 ORDER BY stage""".stripMargin),
+
+    "q_knn_label" -> e((s, d) => Similarity.knnLabel(s, d),
+      s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   CAST(label AS BIGINT) AS label FROM embeddings),
+         | nl AS (SELECT vec_id, v, label,
+         |   sqrt(list_dot_product(v, v)) AS nm FROM el),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm,
+         |   label AS q_label FROM nl WHERE vec_id < ${Similarity.NumQueries}),
+         | sc AS (SELECT q.q_id, q.q_label, nl.vec_id, nl.label,
+         |   list_dot_product(q.qv, nl.v)/(q.qnm*nl.nm) AS cos
+         |  FROM q JOIN nl ON nl.vec_id != q.q_id),
+         | r AS (SELECT q_id, q_label, label, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM sc),
+         | v AS (SELECT q_id, q_label, label, count(*) AS n_votes
+         |  FROM r WHERE rk <= ${Similarity.KnnK} GROUP BY 1, 2, 3),
+         | p AS (SELECT q_id, q_label, label, n_votes, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr FROM v)
+         |SELECT q_id, q_label AS label, p.label AS pred_label, n_votes
+         |FROM p WHERE vr = 1 ORDER BY q_id""".stripMargin),
+
+    "q_pq_codes" -> e((s, d) => Similarity.pqCodes(s, d), {
+      val sd = Similarity.PqSubDim
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | ck AS (SELECT vec_id, v, ${duckH28("'pq_'||vec_id")} AS hk FROM e),
+         | cw AS (SELECT v, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1
+         |     AS BIGINT) AS code
+         |  FROM ck ORDER BY hk, vec_id LIMIT ${Similarity.PqCodebook}),
+         | cs AS (SELECT code, sub, cv FROM cw
+         |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS sub)
+         |  CROSS JOIN LATERAL (SELECT v[sub*$sd+1 : sub*$sd+$sd] AS cv)),
+         | xs AS (SELECT vec_id, sub, sv FROM e
+         |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS sub)
+         |  CROSS JOIN LATERAL (SELECT v[sub*$sd+1 : sub*$sd+$sd] AS sv)),
+         | d AS (SELECT vec_id, xs.sub, code,
+         |   list_sum(list_transform(range(1, $sd + 1),
+         |     i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS d2
+         |  FROM xs JOIN cs ON xs.sub = cs.sub),
+         | r AS (SELECT vec_id, sub, code, d2, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rk FROM d)
+         |SELECT vec_id, sub, code, round(d2, 6) AS d26
+         |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
+    }),
 
     "q_binary_meta" -> e(TextOps.binaryMeta,
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Similarity, TextOps}
+
+/** Unit tests for the round-3 operators: chunking, packing, domain
+  * capping, funnel report, kNN label vote, PQ encoding. */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkDocs covers every token; stride/window geometry holds") {
+    val out = TextOps.chunkDocs(spark, sf)
+      .select("doc_id", "chunk_id", "n_tok_chunk")
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val docs = Sources()
+    out.groupBy(_._1).foreach { case (docId, chunks) =>
+      val nTok = docs(docId)
+      val ids = chunks.map(_._2).sorted
+      // chunk ids are dense 0..m with starts covering [0, nTok)
+      assert(ids.head == 0L && ids.last == (nTok - 1) / TextOps.ChunkStride)
+      assert(ids.toSeq == (0L to ids.last).toSeq)
+      chunks.foreach { case (_, cid, len) =>
+        val start = cid * TextOps.ChunkStride
+        val expect = math.min(TextOps.ChunkSize.toLong, nTok - start)
+        assert(len == expect, s"doc $docId chunk $cid: $len vs $expect")
+      }
+    }
+  }
+
+  private def Sources(): Map[Long, Long] =
+    graft.engine.Sources.documents(spark, sf)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).cast("long"))
+      .as[(Long, Long)].collect().toMap
+
+  test("packSeqs: offsets consistent with per-source running sum") {
+    val rows = TextOps.packSeqs(spark, sf)
+      .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      var cum = 0L
+      g.sortBy(_._1).foreach { case (_, _, nTok, seqId, off) =>
+        assert(seqId == cum / TextOps.PackBudget)
+        assert(off == cum % TextOps.PackBudget)
+        cum += nTok
+      }
+    }
+  }
+
+  test("domainCap keeps at most cap docs per source, hash-ranked") {
+    val rows = TextOps.domainCap(spark, sf)
+      .select("source", "rk", "doc_id")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= TextOps.DomainCap)
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq)
+    }
+  }
+
+  test("filterFunnel stages are monotone non-increasing and start at all docs") {
+    val rows = TextOps.filterFunnel(spark, sf)
+      .select("stage", "n_docs", "total_tok")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val total = graft.engine.Sources.documents(spark, sf).count()
+    assert(rows.head._2 == total)
+    rows.zip(rows.tail).foreach { case ((_, a, at), (_, b, bt)) =>
+      assert(b <= a && bt <= at)
+    }
+  }
+
+  test("knnLabel: one prediction per query, votes sum to k") {
+    val rows = Similarity.knnLabel(spark, sf)
+      .select("q_id", "pred_label", "n_votes")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == Similarity.NumQueries)
+    assert(rows.map(_._1).distinct.length == Similarity.NumQueries)
+    rows.foreach { case (_, _, v) =>
+      assert(v >= 1 && v <= Similarity.KnnK)
+    }
+  }
+
+  test("pqCodes: one code per (vector, subspace), codes within codebook") {
+    val rows = Similarity.pqCodes(spark, sf)
+      .select("vec_id", "sub", "code", "d26")
+      .as[(Long, Long, Long, Double)].collect()
+    val n = graft.engine.Sources.embeddings(spark, sf).count()
+    assert(rows.length == n * Similarity.PqSubspaces)
+    assert(rows.forall { case (_, s, c, d2) =>
+      s >= 0 && s < Similarity.PqSubspaces &&
+        c >= 0 && c < Similarity.PqCodebook && d2 >= 0.0
+    })
+    // a codebook member encodes itself in every subspace with distance 0
+    val selfCoded = rows.groupBy(_._1).values
+      .count(g => g.forall(_._4 == 0.0))
+    assert(selfCoded >= Similarity.PqCodebook)
+  }
+}
