@@ -276,14 +276,19 @@ object TextOps {
     val sets = sharedShingleSets(s, d).filter(size(col("s")) > 0)
     val bm = sets.filter(col("doc_id") < BenchmarkDocs)
       .select(explode(col("hx")).as("x")).distinct()
-    val corpus = sets.filter(col("doc_id") >= BenchmarkDocs)
+      .withColumn("hit", lit(1L))
+    // ONE corpus-side pass: carry the per-doc distinct-hash count through
+    // the explode as a grouping key, mark hits with a broadcast LEFT join
+    // (not semi — zero-hit docs must survive to the report), and count in
+    // the same O(docs) aggregation. The previous shape scanned the stage
+    // a second time for per-doc totals and joined the two back together.
+    sets.filter(col("doc_id") >= BenchmarkDocs)
       .select(col("doc_id"), array_distinct(col("hx")).as("xd"))
-    val hits = corpus.select(col("doc_id"), explode(col("xd")).as("x"))
-      .join(broadcast(bm), Seq("x"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    corpus.select(col("doc_id"), size(col("xd")).cast("long").as("n_sh"))
-      .join(hits, Seq("doc_id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("doc_id"), size(col("xd")).cast("long").as("n_sh"),
+        explode(col("xd")).as("x"))
+      .join(broadcast(bm), Seq("x"), "left")
+      .groupBy("doc_id", "n_sh")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .withColumn("hit_frac", col("n_hit").cast("double") / col("n_sh"))
       .withColumn("flag",
         when(col("n_hit") > 0, lit("contaminated")).otherwise(lit("clean")))
@@ -661,7 +666,7 @@ object TextOps {
     * the document, so every token is covered and the tail chunk may be
     * short. Pure map + bounded explode (fan-out = ⌈n_tok/stride⌉):
     * shuffle-free, linear in corpus token count. */
-  def chunkDocs(s: SparkSession, d: String): DataFrame =
+  private def chunkSigs(s: SparkSession, d: String): DataFrame =
     Sources.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
@@ -673,7 +678,48 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast(LongType).as("n_tok_chunk"),
         md5(concat_ws(" ", col("chunk"))).as("sig"))
-      .orderBy("doc_id", "chunk_id")
+
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    chunkSigs(s, d).orderBy("doc_id", "chunk_id")
+
+  /** Cross-document span dedup: token windows (the [[chunkSigs]] chunks)
+    * whose exact text occurs in two or more distinct documents — the
+    * substring-level duplication detector ("copy-paste span" finder)
+    * that document-level dedup misses when boilerplate is embedded in
+    * otherwise-distinct pages. The shuffle carries 16-byte chunk
+    * digests, never chunk text ([[dedupExact]]'s discipline), and the
+    * aggregation is one digest-keyed hash agg with map-side partials.
+    * Output: one row per repeated span with its occurrence counts and
+    * first (doc, chunk) location. */
+  def spanDedup(s: SparkSession, d: String): DataFrame =
+    chunkSigs(s, d)
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        min(struct(col("doc_id"), col("chunk_id"))).getField("chunk_id")
+          .as("first_chunk"))
+      .filter(col("n_docs") >= 2)
+      .select("sig", "n_spans", "n_docs", "first_doc", "first_chunk")
+      .orderBy("sig")
+
+  /** Materialize the DEDUPLICATED corpus: drop every non-canonical
+    * member of each near-dup cluster (canonical = min doc_id, from
+    * [[dupClusters]]' connected components over the verified LSH pairs)
+    * — the end-product table every upstream dedup operator here exists
+    * to produce. The anti join keys on doc_id only; document text never
+    * joins or shuffles. */
+  def dedupApply(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .join(
+        Components.connectedComponents(
+            sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
+              .select(col("a"), col("b")))
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
 
   /** Token budget per packed training sequence. */
   val PackBudget = 256L

@@ -327,6 +327,40 @@ object TextRegistry {
          | md5(array_to_string(chunk, ' ')) AS sig
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
 
+    "q_span_dedup" -> e(TextOps.spanDedup,
+      s"""WITH $toksCte,
+         | c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),
+         | u AS (SELECT doc_id, toks,
+         |   unnest(range(0, (n_tok - 1) // ${TextOps.ChunkStride} + 1)) AS chunk_id
+         |  FROM c),
+         | s AS (SELECT doc_id, chunk_id,
+         |   md5(array_to_string(
+         |     toks[chunk_id*${TextOps.ChunkStride}+1 :
+         |          least(chunk_id*${TextOps.ChunkStride}+${TextOps.ChunkSize},
+         |                len(toks))], ' ')) AS sig
+         |  FROM u),
+         | g AS (SELECT sig, count(*) AS n_spans,
+         |   count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc,
+         |   min(struct_pack(doc_id := doc_id, chunk_id := chunk_id)) AS fst
+         |  FROM s GROUP BY sig)
+         |SELECT sig, n_spans, n_docs, first_doc, fst.chunk_id AS first_chunk
+         |FROM g WHERE n_docs >= 2 ORDER BY sig""".stripMargin),
+
+    "q_dedup_apply" -> e(TextOps.dedupApply,
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | pr AS (SELECT a, b FROM p WHERE jacc >= 0.8),
+         | sym AS (SELECT a AS x, b AS y FROM pr
+         |   UNION SELECT b AS x, a AS y FROM pr),
+         | reach(s, t) AS (
+         |   SELECT x, x FROM (SELECT DISTINCT x FROM sym) n
+         |   UNION
+         |   SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x),
+         | lab AS (SELECT s, min(t) AS component FROM reach GROUP BY s),
+         | drp AS (SELECT s AS doc_id FROM lab WHERE s != component)
+         |SELECT doc_id, source, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM drp)
+         |ORDER BY doc_id""".stripMargin),
+
     "q_pack_seqs" -> e(TextOps.packSeqs,
       s"""WITH t AS (SELECT doc_id, source,
          |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),

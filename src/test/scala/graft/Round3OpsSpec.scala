@@ -71,6 +71,28 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("spanDedup only reports spans present in 2+ docs, with first location") {
+    val rows = TextOps.spanDedup(spark, sf)
+      .select("sig", "n_spans", "n_docs", "first_doc", "first_chunk")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty) // the corpus plants exact dups, so spans repeat
+    assert(rows.forall { case (_, n, nd, _, _) => nd >= 2 && n >= nd })
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
+  test("dedupApply keeps exactly one doc per near-dup cluster") {
+    val survivors = TextOps.dedupApply(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val clusters = TextOps.dupClusters(spark, sf)
+      .select("cluster", "n_members").as[(Long, Long)].collect()
+    val total = graft.engine.Sources.documents(spark, sf).count()
+    // one survivor per cluster: total - sum(members - 1)
+    val expected = total - clusters.map(_._2 - 1).sum
+    assert(survivors.size == expected)
+    // every cluster canonical survives
+    clusters.foreach { case (c, _) => assert(survivors.contains(c)) }
+  }
+
   test("knnLabel: one prediction per query, votes sum to k") {
     val rows = Similarity.knnLabel(spark, sf)
       .select("q_id", "pred_label", "n_votes")
