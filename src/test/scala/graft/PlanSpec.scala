@@ -50,6 +50,30 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sim_topk").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q_domain_cap gets partial per-source top-k before the shuffle") {
+    // the cap must be applied map-side (WindowGroupLimit) so the
+    // exchange carries O(sources·cap), not the corpus
+    assert(plan("q_domain_cap").contains("WindowGroupLimit"))
+  }
+
+  test("q_pq_codes broadcasts the codebook; q_knn_label the query set") {
+    val pq = plan("q_pq_codes")
+    assert(pq.contains("BroadcastExchange"), "codebook not broadcast")
+    assert(!pq.contains("CartesianProduct"))
+    val knn = plan("q_knn_label")
+    assert(knn.contains("BroadcastNestedLoopJoin") ||
+      knn.contains("BroadcastExchange"), "query set not broadcast")
+  }
+
+  test("chunk/pack/span/funnel plans have no cartesian or corpus nested loop") {
+    for (q <- Seq("q_chunk_docs", "q_pack_seqs", "q_span_dedup",
+        "q_filter_funnel", "q_dedup_apply")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
     // the threshold filter must reach the stage's parquet scan — the
     // shared-stage rework keeps the query a pushed-filter file read, not
