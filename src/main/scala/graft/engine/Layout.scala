@@ -61,23 +61,27 @@ object Layout {
     val bytes = fs.getContentSummary(p).getLength
     val parts = math.max(1, (bytes / targetBytes).toInt)
     val pcols = partitionColumns(fs, p)
-    // Read partition values AS THE RAW DIRECTORY STRINGS (inference off):
-    // with inference on, Spark canonicalizes values ("01" → int 1), so
-    // (a) the per-value salt join against the directory-walk strings
-    // silently misses and the hot value collapses to one file, and (b)
-    // the rewrite re-encodes the canonical form, renaming `id=01/` to
-    // `id=1/` under the reader's feet. Partition schema is resolved
-    // eagerly inside read.parquet, so a scoped set/restore is safe.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferPrev = spark.conf.getOption(inferKey)
+    // Read partition values AS THE RAW DIRECTORY STRINGS: with type
+    // inference, Spark canonicalizes values ("01" → int 1), so (a) the
+    // per-value salt join against the directory-walk strings silently
+    // misses and the hot value collapses to one file, and (b) the
+    // rewrite re-encodes the canonical form, renaming `id=01/` to
+    // `id=1/` under the reader's feet. Inference is disabled by passing
+    // an EXPLICIT schema (data columns from one leaf directory — which
+    // has no `col=` levels, so its schema is pure file schema — plus the
+    // partition columns as StringType): user-specified partition types
+    // skip inference per read. Toggling the session-wide inference conf
+    // instead would leak string-typed partition columns into any query
+    // another thread plans during the window.
     val df0 =
       if (pcols.isEmpty) spark.read.parquet(path)
-      else try {
-        spark.conf.set(inferKey, "false")
-        spark.read.parquet(path)
-      } finally inferPrev match {
-        case Some(v) => spark.conf.set(inferKey, v)
-        case None    => spark.conf.unset(inferKey)
+      else {
+        import org.apache.spark.sql.types.{StringType, StructField, StructType}
+        val firstLeaf = leafPartitions(fs, p, pcols.length).head._2
+        val dataSchema = spark.read.parquet(firstLeaf.toString).schema
+        val full = StructType(dataSchema.fields.toIndexedSeq ++
+          pcols.map(c => StructField(c, StringType, nullable = true)))
+        spark.read.schema(full).parquet(path)
       }
     val df =
       if (pcols.isEmpty) df0.repartition(parts)

@@ -78,17 +78,20 @@ object Stages {
     * "Recursive update" whenever two stage keys share a bin).
     *
     * Cross-JVM publish protocol (shared persistent root): each writer
-    * builds into its own UNIQUE attempt directory, then races to create
-    * `<stage>.ptr` with `fs.create(overwrite = false)` — atomic
-    * create-exclusive on HDFS and local filesystems. Exactly one writer
-    * wins; losers delete their attempt and follow the winner's pointer.
-    * No step ever renames onto a path another process may own, so there
-    * is no window in which a second committer can nest debris inside a
-    * committed stage. The pointer itself is written via a unique temp
-    * file + file rename so readers never observe a half-written pointer
-    * (a file-onto-existing-file rename either fails — HDFS — or is an
-    * atomic whole-file replace — POSIX — and both attempt paths are
-    * complete, valid outputs). */
+    * builds into its own UNIQUE attempt directory, then races to CREATE
+    * `<stage>.ptr` itself with `fs.create(overwrite = false)` — the
+    * create of the pointer IS the election (atomic create-exclusive on
+    * HDFS and local filesystems). Exactly one creator succeeds and
+    * writes its attempt path into the pointer; every other writer gets
+    * FileAlreadyExistsException, deletes its own attempt, and follows
+    * the winner's pointer. The pointer, once created, is NEVER replaced
+    * or renamed onto — so a resolved attempt path stays valid for the
+    * lifetime of the root and no committed output can be deleted by a
+    * late writer (a rename-onto-pointer publish would silently REPLACE
+    * the pointer on POSIX, flipping the winner after other JVMs already
+    * resolved it). Readers that catch the sub-millisecond window between
+    * create and close see a pointer without its terminator and retry
+    * ([[readPointer]]). */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     // the fingerprint is part of the MEMO key, not just the path: keyed
@@ -109,14 +112,15 @@ object Stages {
           val attempt = new org.apache.hadoop.fs.Path(
             s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
           build.write.mode("overwrite").parquet(attempt.toString)
-          publish(fs, ptr, attempt.toString)
-          // the WINNER is whoever the pointer names after the race —
-          // never inferred from rename's return value, which differs
-          // across filesystems (HDFS fails onto an existing file; POSIX
-          // replaces it and reports success). A losing attempt is a
-          // complete, valid output nobody references: delete it.
-          if (readPointer(fs, ptr) != attempt.toString)
+          if (!publish(fs, ptr, attempt.toString)) {
+            // lost the create-exclusive race: the pointer names another
+            // JVM's attempt and can never change — ours is unreferenced
             fs.delete(attempt, true)
+          }
+          // best-effort reap of attempts no pointer references (crashed
+          // writers). Age-gated: a concurrent writer's in-flight attempt
+          // is minutes old at most; anything past the horizon is debris.
+          reapStaleAttempts(fs, p, readPointer(fs, ptr))
         }
         val resolved = readPointer(fs, ptr)
         done.put(key, resolved)
@@ -126,31 +130,74 @@ object Stages {
     s.read.parquet(path)
   }
 
-  /** Best-effort race to publish `content` at `ptr` via unique temp file
-    * + rename; losing (pointer already present) is normal. */
-  private def publish(fs: org.apache.hadoop.fs.FileSystem,
-      ptr: org.apache.hadoop.fs.Path, content: String): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$ptr.w-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, false)
-    try out.write(content.getBytes("UTF-8")) finally out.close()
-    val renamed = try fs.rename(tmp, ptr) catch {
-      case _: java.io.IOException => false
-    }
-    if (!renamed) fs.delete(tmp, false)
-  }
+  /** Terminator line proving a pointer was completely written. */
+  private val PtrEnd = "\n#end"
 
+  /** Attempt directories older than this with no pointer referencing
+    * them are reaped (any in-flight writer's attempt is far younger). */
+  private val ReapAgeMs: Long = 6L * 3600 * 1000
+
+  /** Race to create `ptr` (create-exclusive) naming `content`; true iff
+    * this caller won. Only "pointer already exists" counts as losing —
+    * any other failure is a real error and propagates (swallowing it
+    * would surface later as a confusing missing-pointer read, leaking
+    * the fully-built attempt with no explanation). */
+  private def publish(fs: org.apache.hadoop.fs.FileSystem,
+      ptr: org.apache.hadoop.fs.Path, content: String): Boolean =
+    try {
+      val out = fs.create(ptr, false) // create-exclusive: the election
+      try out.write((content + PtrEnd).getBytes("UTF-8")) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case e: java.io.IOException if fs.exists(ptr) => false // HDFS variant
+    }
+
+  /** Read the attempt path a pointer names, retrying through the
+    * create-to-close window (a complete pointer ends with [[PtrEnd]]).
+    * A pointer that never completes — its writer died mid-write — is
+    * reported with the path to delete to force a rebuild. */
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
       ptr: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(ptr)
-    try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val chunk = new Array[Byte](4096)
-      var n = in.read(chunk)
-      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-      new String(buf.toByteArray, "UTF-8").trim
-    } finally in.close()
+    var attempts = 0
+    while (true) {
+      val in = fs.open(ptr)
+      val text = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](4096)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        new String(buf.toByteArray, "UTF-8")
+      } finally in.close()
+      if (text.endsWith(PtrEnd))
+        return text.dropRight(PtrEnd.length).trim
+      attempts += 1
+      if (attempts >= 50)
+        throw new IllegalStateException(
+          s"stage pointer $ptr incomplete after ${attempts} reads — its " +
+            s"writer likely died mid-publish; delete the pointer to rebuild")
+      Thread.sleep(100)
+    }
+    throw new IllegalStateException("unreachable")
   }
+
+  /** Delete `$p-attempt-*` directories that the committed pointer does
+    * not reference and whose age exceeds [[ReapAgeMs]] — crashed-writer
+    * debris. Best-effort: failures are ignored (another reaper may have
+    * raced us); in-flight attempts are protected by the age gate. */
+  private def reapStaleAttempts(fs: org.apache.hadoop.fs.FileSystem,
+      p: String, resolved: String): Unit =
+    try {
+      val parent = new org.apache.hadoop.fs.Path(p).getParent
+      val prefix = new org.apache.hadoop.fs.Path(p).getName + "-attempt-"
+      val now = System.currentTimeMillis()
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+            st.getPath.toString != resolved &&
+            now - st.getModificationTime > ReapAgeMs)
+          fs.delete(st.getPath, true)
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Drop the memo map (test isolation). Safe because stage paths are
     * content-keyed: rebuilt inputs produce new paths, so clearing the

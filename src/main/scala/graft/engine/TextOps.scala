@@ -427,16 +427,28 @@ object TextOps {
     * double — bit-deterministic cross-engine. Two doc_id-keyed hash
     * aggs with map-side partials; docs with a single token have no
     * bigrams and drop out (mirrored by the oracle's inner join). */
-  def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val toks = Sources.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+  /** Per-doc unigram stats (n_tok, n_uniq, max_tok) from a (doc_id,
+    * toks) frame — shared by [[repetitionStats]] and [[filterFunnel]] so
+    * the two reports cannot silently diverge. */
+  private def unigramStats(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c").as("n_tok"),
         count(lit(1)).as("n_uniq"), max("c").as("max_tok"))
-    val big = toks.select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+
+  /** Per-doc bigram stats (n_big, max_big) — shared for the same
+    * reason; docs with fewer than two tokens have no bigrams and are
+    * absent (callers choose inner vs left join). */
+  private def bigramStats(toks: DataFrame): DataFrame =
+    toks.select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("max_big"))
+
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = unigramStats(toks)
+    val big = bigramStats(toks)
     uni.join(big, Seq("doc_id"))
       .withColumn("dup_frac",
         (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok"))
@@ -506,9 +518,23 @@ object TextOps {
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     sharedSignature(s, d).orderBy("doc_id")
 
+  /** Exact-Jaccard threshold above which an LSH candidate pair counts as
+    * a near-duplicate — the SINGLE source for q_dedup_ngram,
+    * q_dup_clusters and q_dedup_apply (Spark and oracle sides). */
+  val NearDupJaccard = 0.8
+
   def dedupNgram(s: SparkSession, d: String): DataFrame =
-    sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
+    sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
       .select("a", "b", "jacc").orderBy("a", "b")
+
+  /** Connected components over the verified near-dup pairs — the shared
+    * cluster assignment behind [[dupClusters]] and [[dedupApply]] (one
+    * definition, so the cluster report and the materialized deduped
+    * corpus can never disagree on membership). */
+  private def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    Components.connectedComponents(
+      sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
+        .select(col("a"), col("b")))
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3, with
     * candidates from band-LSH over the 28-bit shingle signature — 4
@@ -562,9 +588,7 @@ object TextOps {
     * The full near-dup pipeline a curation pass runs before choosing one
     * representative per group. */
   def dupClusters(s: SparkSession, d: String): DataFrame =
-    Components.connectedComponents(
-        sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
-          .select(col("a"), col("b")))
+    nearDupComponents(s, d)
       .groupBy(col("component").as("cluster"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster")
@@ -712,9 +736,7 @@ object TextOps {
   def dedupApply(s: SparkSession, d: String): DataFrame =
     Sources.documents(s, d)
       .join(
-        Components.connectedComponents(
-            sharedCandPairs(s, d).filter(col("jacc") >= 0.8)
-              .select(col("a"), col("b")))
+        nearDupComponents(s, d)
           .filter(col("id") =!= col("component"))
           .select(col("id").as("doc_id")),
         Seq("doc_id"), "left_anti")
@@ -782,16 +804,9 @@ object TextOps {
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
-    val big = toks
-      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("max_big"))
     val flags = docs.select(col("doc_id"), col("text"))
-      .join(uni, Seq("doc_id"))
-      .join(big, Seq("doc_id"), "left")
+      .join(unigramStats(toks), Seq("doc_id"))
+      .join(bigramStats(toks), Seq("doc_id"), "left")
       .withColumn("big_frac",
         coalesce(col("max_big").cast("double") / col("n_big"), lit(0.0)))
       .withColumn("q1", col("n_tok") >= 30)

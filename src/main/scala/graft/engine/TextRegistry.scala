@@ -212,7 +212,7 @@ object TextRegistry {
 
     "q_dedup_ngram" -> e(TextOps.dedupNgram,
       s"""WITH $ngramPairCtes
-         |SELECT a, b, jacc FROM p WHERE jacc >= 0.8 ORDER BY a, b""".stripMargin),
+         |SELECT a, b, jacc FROM p WHERE jacc >= ${TextOps.NearDupJaccard} ORDER BY a, b""".stripMargin),
 
     "q_minhash_est" -> e(TextOps.minhashEstimate, {
       val nEq = (0 until TextOps.NumHashes)
@@ -235,7 +235,7 @@ object TextRegistry {
 
     "q_dup_clusters" -> e(TextOps.dupClusters,
       s"""WITH RECURSIVE $ngramPairCtes,
-         | pr AS (SELECT a, b FROM p WHERE jacc >= 0.8),
+         | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
          | sym AS (SELECT a AS x, b AS y FROM pr
          |   UNION SELECT b AS x, a AS y FROM pr),
          | reach(s, t) AS (
@@ -348,7 +348,7 @@ object TextRegistry {
 
     "q_dedup_apply" -> e(TextOps.dedupApply,
       s"""WITH RECURSIVE $ngramPairCtes,
-         | pr AS (SELECT a, b FROM p WHERE jacc >= 0.8),
+         | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
          | sym AS (SELECT a AS x, b AS y FROM pr
          |   UNION SELECT b AS x, a AS y FROM pr),
          | reach(s, t) AS (
