@@ -42,6 +42,69 @@ class StagesSpec extends SparkSpec {
     assert(out.count() == 7)
   }
 
+  test("a pointer published by another process is adopted without building") {
+    // simulate a concurrent JVM: pre-build an attempt dir and create the
+    // pointer (with terminator) before this JVM ever sees the stage
+    val dir = java.nio.file.Files.createTempDirectory("spec-ptr").toString
+    spark.range(5).toDF("id").write.parquet(s"$dir/pre-attempt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compute the stage path the same way materialize would: build once
+    // in a scratch root? Instead: publish under the REAL root by calling
+    // materialize once, then verify a second JVM-reset call adopts the
+    // existing pointer instead of rebuilding.
+    val builds = new AtomicInteger(0)
+    def stage() = Stages.materialize(spark, "spec_adopt", dir) {
+      builds.incrementAndGet()
+      spark.range(5).toDF("id")
+    }
+    assert(stage().count() == 5)
+    assert(builds.get() == 1)
+    Stages.reset() // wipe the in-JVM memo: next call must go to the FS
+    assert(stage().count() == 5)
+    // the pointer (not the memo) prevented the rebuild — cross-process
+    // adoption path
+    assert(builds.get() == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("an incomplete pointer (writer died mid-publish) fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("spec-ptr2").toString
+    val builds = new AtomicInteger(0)
+    def stage() = Stages.materialize(spark, "spec_trunc", dir) {
+      builds.incrementAndGet(); spark.range(2).toDF("id")
+    }
+    stage()
+    // truncate the pointer: drop the terminator line
+    Stages.reset()
+    val root = sys.props.get("graft.stages.dir")
+    assert(root.isEmpty) // test environment uses the temp root
+    // find the pointer file under the temp root via the second call path:
+    // corrupt it by rewriting without the terminator
+    val tmpRootField = Stages.getClass.getDeclaredField("root")
+    tmpRootField.setAccessible(true)
+    val rootDir = tmpRootField.get(Stages).asInstanceOf[String]
+    val ptrs = new java.io.File(rootDir).listFiles()
+      .filter(f => f.getName.startsWith("spec_trunc-") && f.getName.endsWith(".ptr"))
+    assert(ptrs.nonEmpty)
+    val content = new String(
+      java.nio.file.Files.readAllBytes(ptrs.head.toPath), "UTF-8")
+    // rewriting outside Hadoop leaves a stale .crc sidecar — drop it so
+    // the read exercises the incomplete-pointer path, not a checksum trip
+    def dropCrc(): Unit = {
+      val crc = new java.io.File(ptrs.head.getParent, s".${ptrs.head.getName}.crc")
+      if (crc.exists()) crc.delete()
+    }
+    java.nio.file.Files.write(ptrs.head.toPath,
+      content.dropRight(5).getBytes("UTF-8")) // strip "\n#end"
+    dropCrc()
+    val e = intercept[IllegalStateException] { stage().count() }
+    assert(e.getMessage.contains("incomplete"))
+    // restore so other tests sharing the root see a valid pointer
+    java.nio.file.Files.write(ptrs.head.toPath, content.getBytes("UTF-8"))
+    dropCrc()
+  }
+
   test("dedupIncremental drops corpus dups and keep-first batch dups") {
     import spark.implicits._
     def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
