@@ -115,6 +115,67 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALEPROBE embdedup k=$k corpus=$n bits=$bits cand_pairs=$cand ${secs}%.2f s")
     }
+    // Span-dedup leg: chunk digests → one digest-keyed agg. The Caesar
+    // shift keeps repeated spans per-copy, so repeated-span counts and
+    // runtime should both scale ~linearly with the corpus.
+    def spanPairs(corpus: DataFrame): (Long, Long) = {
+      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("chunk_id", explode(sequence(lit(0L),
+          expr(s"(n_tok - 1) DIV ${TextOps.ChunkStride}"))))
+        .withColumn("sig", md5(concat_ws(" ",
+          slice(col("toks"), (col("chunk_id") * TextOps.ChunkStride + 1)
+            .cast("int"), lit(TextOps.ChunkSize)))))
+      val spans = toks.groupBy("sig")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2).count()
+      (corpus.count(), spans)
+    }
+    spanPairs(copies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (n, spans) = spanPairs(copies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE spandedup k=$k docs=$n repeated_spans=$spans ${secs}%.2f s")
+    }
+
+    // PQ-encoding leg: FIXED codebook (from copy 0), corpus grows —
+    // assignment is O(N·K·dim) map-side, so runtime should scale
+    // linearly and the broadcast never grows.
+    def pqAssign(corpus: DataFrame): (Long, Long) = {
+      val vs = corpus
+      val subIdx = (0 until Similarity.PqSubspaces).map { kk =>
+        struct(lit(kk.toLong).as("sub"),
+          slice(col("v"), kk * Similarity.PqSubDim + 1, Similarity.PqSubDim).as("sv"))
+      }
+      val wCode = Window.orderBy(col("ck"), col("vec_id"))
+      val codebook = vs.filter(col("vec_id") < 10000000L)
+        .withColumn("ck", graft.engine.PortableHash.h28(
+          concat(lit("pq_"), col("vec_id"))))
+        .orderBy(col("ck"), col("vec_id")).limit(Similarity.PqCodebook)
+        .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
+        .select(col("code"), explode(array(subIdx: _*)).as("cs"))
+        .select(col("code"), col("cs.sub").as("sub"), col("cs.sv").as("cv"))
+      val corpusSub = vs.select(col("vec_id"), explode(array(subIdx: _*)).as("xs"))
+        .select(col("vec_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
+      val d2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val wBest = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("code"))
+      val out = corpusSub.join(broadcast(codebook), Seq("sub"))
+        .withColumn("d2", d2)
+        .withColumn("rk", row_number().over(wBest))
+        .filter(col("rk") === 1)
+        .count()
+      (vs.count(), out)
+    }
+    pqAssign(embCopies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (n, codes) = pqAssign(embCopies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE pq k=$k corpus=$n codes=$codes ${secs}%.2f s")
+    }
     spark.stop()
   }
 }
