@@ -160,6 +160,40 @@ object StreamOps {
     kept.drop(helperCols: _*)
   }
 
+  /** Streaming chunker — the streaming twin of `TextOps.chunkDocs`:
+    * overlapping token windows with per-chunk digests, computed
+    * STATELESSLY per row (map + bounded explode; no state store, no
+    * watermark), so arriving documents are chunked for training prep
+    * in-flight. Emits (doc_id, chunk_id, n_tok_chunk, sig). */
+  def chunkStream(docs: DataFrame): DataFrame = {
+    import graft.engine.TextOps.{tokens, ChunkSize, ChunkStride}
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), expr(s"(n_tok - 1) DIV $ChunkStride"))))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+          lit(ChunkSize)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tok_chunk"),
+        md5(concat_ws(" ", col("chunk"))).as("sig"))
+  }
+
+  /** Streaming span-level contamination/dup filter against a FROZEN
+    * chunk-digest index: chunks arriving on the stream are dropped when
+    * their token-window digest appears in the index (e.g. the benchmark
+    * suite's chunk table, or the corpus's `TextOps.chunkDocs` output) —
+    * the at-ingest twin of `q_span_dedup`/`q_contaminate`, emitting only
+    * clean chunks. Stateless: one stream-static LEFT ANTI equi-join on
+    * the 16-byte digest; the index side is corpus-chunk-sized, never the
+    * corpus text. (A document-level "drop the whole doc if any chunk
+    * hits" needs per-doc aggregation — stream state — so that variant
+    * stays batch-side: `TextOps.dedupIncremental`/`contamination`.) */
+  def cleanSpanStream(docs: DataFrame, corpusChunkSigs: DataFrame): DataFrame =
+    chunkStream(docs)
+      .join(corpusChunkSigs.select(col("sig")), Seq("sig"), "left_anti")
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

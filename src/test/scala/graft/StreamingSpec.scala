@@ -119,4 +119,26 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.table("sdd").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(202L, 204L), s"got ${kept.toSeq}")
   }
+
+  test("cleanSpanStream drops chunks whose digest is in the frozen index") {
+    implicit val sq = spark.sqlContext
+    def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
+    import graft.engine.TextOps
+    // frozen index: chunk digests of one corpus doc (>=1 full window)
+    val corpus = Seq((1L, doc(0, 80))).toDF("doc_id", "text")
+    val idx = StreamOps.chunkStream(corpus).select("sig")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.cleanSpanStream(mem.toDF().toDF("doc_id", "text"), idx)
+      .writeStream.format("memory").queryName("css").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(
+      (301L, doc(0, 80)),    // same spans as corpus doc -> all chunks dropped
+      (302L, doc(500, 80)))  // novel spans -> all chunks kept
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("css").select("doc_id").as[Long].collect()
+    assert(out.nonEmpty && out.forall(_ == 302L), s"got ${out.toSeq}")
+    // chunk count matches the batch chunker's geometry for the survivor
+    assert(out.length ==
+      ((80 - 1) / TextOps.ChunkStride + 1), s"got ${out.length}")
+  }
 }
