@@ -791,6 +791,37 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** Parts-per-million denominator for [[mixSample]]'s exact integer
+    * sampling rates. */
+  val MixPpm = 1000000L
+
+  /** Deterministic mixture resampling: downsample every source to the
+    * size of the SMALLEST source (rate = ⌊min_count·10^6/count_s⌋ ppm,
+    * membership = portable hash of doc_id under the rate) — the
+    * mixture-balancing pass a training pipeline runs so dominant crawl
+    * sources don't swamp curated ones. Complements [[domainCap]]: the
+    * cap is a hard per-source limit, this preserves relative structure
+    * at equalized scale. Reproducible across runs, engines and cluster
+    * sizes, and a document's membership never changes when OTHER
+    * sources grow (rate depends only on its own source's count and the
+    * min). Scale: one tiny per-source count agg broadcast back, one
+    * corpus scan with a pushed hash filter, one per-source agg — no
+    * corpus shuffle. Output: (source, n_total, rate_ppm, n_kept). */
+  def mixSample(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    val m = counts.agg(min(col("n_total")).as("m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .withColumn("rate_ppm", expr(s"(m * $MixPpm) DIV n_total"))
+      .select("source", "n_total", "rate_ppm")
+    docs.select("source", "doc_id")
+      .join(broadcast(rates), Seq("source"))
+      .filter(h28(concat(lit("mix_"), col("doc_id"))) % MixPpm < col("rate_ppm"))
+      .groupBy("source", "n_total", "rate_ppm")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Curation funnel report: how many documents (and tokens) survive
     * each successive filter stage — the observability table a pipeline
     * owner reads before committing a 100 TB run. Stages nest (each

@@ -382,6 +382,19 @@ object TextRegistry {
          |WHERE rk <= ${TextOps.DomainCap} ORDER BY source, rk""".stripMargin
     }),
 
+    "q_mix_sample" -> e(TextOps.mixSample, {
+      val h = duckH28("'mix_'||doc_id")
+      s"""WITH c AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+         | mm AS (SELECT min(n_total) AS m FROM c),
+         | r AS (SELECT source, n_total,
+         |   (m * ${TextOps.MixPpm}) // n_total AS rate_ppm FROM c CROSS JOIN mm),
+         | k AS (SELECT d.source, r.n_total, r.rate_ppm
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE $h % ${TextOps.MixPpm} < r.rate_ppm)
+         |SELECT source, n_total, rate_ppm, count(*) AS n_kept
+         |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+    }),
+
     "q_filter_funnel" -> e(TextOps.filterFunnel,
       s"""WITH $toksCte,
          | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),

@@ -93,6 +93,21 @@ class Round3OpsSpec extends SparkSpec {
     clusters.foreach { case (c, _) => assert(survivors.contains(c)) }
   }
 
+  test("mixSample: smallest source kept whole, others downsampled toward it") {
+    val rows = TextOps.mixSample(spark, sf)
+      .select("source", "n_total", "rate_ppm", "n_kept")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val minTotal = rows.map(_._2).min
+    rows.foreach { case (src, total, ppm, kept) =>
+      assert(ppm == minTotal * TextOps.MixPpm / total)
+      assert(kept <= total, s"$src kept $kept of $total")
+      if (total == minTotal)
+        assert(ppm == TextOps.MixPpm && kept == total,
+          s"min source $src must be kept whole")
+    }
+  }
+
   test("knnLabel: one prediction per query, votes sum to k") {
     val rows = Similarity.knnLabel(spark, sf)
       .select("q_id", "pred_label", "n_votes")
