@@ -427,29 +427,43 @@ object TextOps {
     * double — bit-deterministic cross-engine. Two doc_id-keyed hash
     * aggs with map-side partials; docs with a single token have no
     * bigrams and drop out (mirrored by the oracle's inner join). */
-  /** Per-doc unigram stats (n_tok, n_uniq, max_tok) from a (doc_id,
-    * toks) frame — shared by [[repetitionStats]] and [[filterFunnel]] so
-    * the two reports cannot silently diverge. */
-  private def unigramStats(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_tok"),
-        count(lit(1)).as("n_uniq"), max("c").as("max_tok"))
+  /** (uniq, best) distinct-count and max-occurrence-run of an array,
+    * computed per row in ONE fold over its sorted form — the shared
+    * definition behind [[repetitionStats]] and [[filterFunnel]]'s
+    * unigram and bigram stats. Replaces the explode → (doc_id, gram)
+    * groupBy → doc_id groupBy formulation: values are identical (an
+    * element's occurrence count is the length of its run once sorted),
+    * but this is a pure map over the corpus scan — the corpus-wide
+    * one-row-per-token shuffle disappears, the [[simhashOfHashes]]
+    * discipline. The `uniq === 0` guard distinguishes the fold seed
+    * from a genuine leading empty-string element. */
+  private def runStats(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("uniq")),
+      (acc, x) => {
+        val isNew = x =!= acc.getField("prev") || acc.getField("uniq") === 0L
+        val run = when(isNew, lit(1L)).otherwise(acc.getField("run") + 1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          (acc.getField("uniq") +
+            when(isNew, lit(1L)).otherwise(lit(0L))).as("uniq"))
+      })
 
-  /** Per-doc bigram stats (n_big, max_big) — shared for the same
-    * reason; docs with fewer than two tokens have no bigrams and are
-    * absent (callers choose inner vs left join). */
-  private def bigramStats(toks: DataFrame): DataFrame =
-    toks.select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_big"), max("c").as("max_big"))
-
-  def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val toks = Sources.documents(s, d)
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = unigramStats(toks)
-    val big = bigramStats(toks)
-    uni.join(big, Seq("doc_id"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("us", runStats(col("toks")))
+      .withColumn("bgs", shingles2(col("toks")))
+      .withColumn("n_big", size(col("bgs")).cast(LongType))
+      // docs with a single token have no bigrams and drop out, matching
+      // the previous inner join and the oracle's join
+      .filter(col("n_big") > 0)
+      .withColumn("bs", runStats(col("bgs")))
+      .select(col("doc_id"), col("n_tok"),
+        col("us.uniq").as("n_uniq"), col("us.best").as("max_tok"),
+        col("n_big"), col("bs.best").as("max_big"))
       .withColumn("dup_frac",
         (col("n_tok") - col("n_uniq")).cast("double") / col("n_tok"))
       .withColumn("big_frac", col("max_big").cast("double") / col("n_big"))
@@ -459,7 +473,6 @@ object TextOps {
       .select("doc_id", "n_tok", "n_uniq", "max_tok", "n_big", "max_big",
         "dup_frac", "big_frac", "grade")
       .orderBy("doc_id")
-  }
 
   /** Top-bigram share at/above which a document is graded repetitive
     * (the corpus distribution at sf0.01 spans 0.011–0.167). */
@@ -829,31 +842,33 @@ object TextOps {
     *   0 all → 1 n_tok ≥ 30 → 2 type-token ratio ≥ 0.4 →
     *   3 not repetitive (top-bigram share < [[RepetitiveBigramFrac]]) →
     *   4 exact-dedup survivor (keep-first among stage-3 survivors).
-    * One pass computes per-doc flags (two explode+aggs + one digest
-    * window); the report is a 5-way indicator aggregation of that single
-    * flag table — no per-stage rescans. */
+    * The per-doc flags are computed PER ROW ([[runStats]] folds — no
+    * explodes, no joins, no shuffle); the report is a 5-way indicator
+    * aggregation of that single flag table — no per-stage rescans. */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val flags = docs.select(col("doc_id"), col("text"))
-      .join(unigramStats(toks), Seq("doc_id"))
-      .join(bigramStats(toks), Seq("doc_id"), "left")
+    val flags = Sources.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
+      .withColumn("bgs", shingles2(col("toks")))
       .withColumn("big_frac",
-        coalesce(col("max_big").cast("double") / col("n_big"), lit(0.0)))
+        coalesce(runStats(col("bgs")).getField("best").cast("double") /
+          size(col("bgs")), lit(0.0)))
       .withColumn("q1", col("n_tok") >= 30)
       .withColumn("q2", col("q1") &&
         col("n_uniq").cast("double") / col("n_tok") >= 0.4)
       .withColumn("q3", col("q2") && col("big_frac") < RepetitiveBigramFrac)
-    // dedup rank only among stage-3 survivors (the funnel order a real
-    // pipeline uses: cheap filters first, the shuffle-bearing dedup last
-    // over the smallest surviving set)
+    // stage 4 = keep-first exact dedup AMONG stage-3 survivors: a q3 row
+    // survives iff it is the first q3 row of its digest group (cumulative
+    // q3 count == 1). One window over the single flag pass — no second
+    // execution of the per-row folds, no join-back; the shuffle carries
+    // (doc_id, digest, flags), never text.
     val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
-    val dd = flags.filter(col("q3"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = flags
       .withColumn("nk", md5(lower(trim(col("text")))))
-      .withColumn("rn", row_number().over(w))
-      .select(col("doc_id"), (col("rn") === 1).as("q4"))
-    val staged = flags.join(dd, Seq("doc_id"), "left")
-      .withColumn("q4", coalesce(col("q4"), lit(false)))
+      .withColumn("q4", col("q3") &&
+        sum(when(col("q3"), 1L).otherwise(0L)).over(w) === 1L)
       .select(col("n_tok"), explode(array(
         struct(lit(0L).as("stage"), lit("all").as("name"), lit(true).as("pass")),
         struct(lit(1L).as("stage"), lit("min_tokens").as("name"), col("q1").as("pass")),
