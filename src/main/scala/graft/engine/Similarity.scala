@@ -201,6 +201,40 @@ object Similarity {
       .orderBy("q_id", "rk", "vec_id")
   }
 
+  /** Multi-probe IVF ANN (library operator — same index as [[simIvf]],
+    * wider search): queries probe their `nprobe` nearest CELLS instead
+    * of one, the standard recall dial for a coarse-quantized index
+    * (recall rises with nprobe; work per query grows as nprobe·cell —
+    * still O(nprobe·N/K) total, never the corpus). The probe assignment
+    * reuses the one O(N·K) broadcast pass: rank ≤ nprobe instead of
+    * rank = 1 on the query side only. */
+  def simIvfProbe(s: SparkSession, d: String, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, d)
+    val assigned = assignCells(vs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // query side: nprobe nearest centroids each (broadcast-sized)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val q = vs.filter(col("vec_id") < NumQueries)
+      .join(broadcast(centroidsFixed(vs)), lit(true))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
+      .withColumn("c_rk", row_number().over(wAssign))
+      .filter(col("c_rk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nm").as("qnm"), col("c_id").as("cell"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rk"),
+        round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rk", "vec_id")
+  }
+
   /** Fixed-point scale for the k-means update's exact sums: six decimal
     * digits — enough that the quantization error (≤ 1e-6 per component)
     * is far below any clustering decision, while a 64-bit sum holds

@@ -119,6 +119,17 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("simIvfProbe: wider probes never lose recall vs single-probe IVF") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Similarity.simTopK(spark, sf, k = 3))
+    def hits(df: org.apache.spark.sql.DataFrame): Int =
+      pairs(df).count(exact.contains)
+    val one = hits(Similarity.simIvf(spark, sf, k = 3))
+    val two = hits(Similarity.simIvfProbe(spark, sf, k = 3, nprobe = 2))
+    assert(two >= one, s"nprobe=2 recall $two < nprobe=1 recall $one")
+  }
+
   test("pqCodes: one code per (vector, subspace), codes within codebook") {
     val rows = Similarity.pqCodes(spark, sf)
       .select("vec_id", "sub", "code", "d26")
