@@ -119,14 +119,7 @@ object ScaleProbe {
     // shift keeps repeated spans per-copy, so repeated-span counts and
     // runtime should both scale ~linearly with the corpus.
     def spanPairs(corpus: DataFrame): (Long, Long) = {
-      val toks = corpus.select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n_tok", size(col("toks")).cast("long"))
-        .withColumn("chunk_id", explode(sequence(lit(0L),
-          expr(s"(n_tok - 1) DIV ${TextOps.ChunkStride}"))))
-        .withColumn("sig", md5(concat_ws(" ",
-          slice(col("toks"), (col("chunk_id") * TextOps.ChunkStride + 1)
-            .cast("int"), lit(TextOps.ChunkSize)))))
-      val spans = toks.groupBy("sig")
+      val spans = TextOps.chunkSigs(corpus).groupBy("sig")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") >= 2).count()
       (corpus.count(), spans)

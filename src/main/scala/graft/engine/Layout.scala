@@ -73,12 +73,17 @@ object Layout {
     // skip inference per read. Toggling the session-wide inference conf
     // instead would leak string-typed partition columns into any query
     // another thread plans during the window.
+    // one directory walk serves both the schema probe and the per-leaf
+    // salt sizing (on an object store each walk is a listStatus per
+    // directory level per partition — not free to repeat)
+    val leafList =
+      if (pcols.isEmpty) Seq.empty
+      else leafPartitions(fs, p, pcols.length)
     val df0 =
       if (pcols.isEmpty) spark.read.parquet(path)
       else {
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        val firstLeaf = leafPartitions(fs, p, pcols.length).head._2
-        val dataSchema = spark.read.parquet(firstLeaf.toString).schema
+        val dataSchema = spark.read.parquet(leafList.head._2.toString).schema
         val full = StructType(dataSchema.fields.toIndexedSeq ++
           pcols.map(c => StructField(c, StringType, nullable = true)))
         spark.read.schema(full).parquet(path)
@@ -88,7 +93,7 @@ object Layout {
       else {
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-        val leaves = leafPartitions(fs, p, pcols.length).map { case (vals, lp) =>
+        val leaves = leafList.map { case (vals, lp) =>
           val b = fs.getContentSummary(lp).getLength
           Row.fromSeq(vals :+ math.max(1L, (b + targetBytes - 1) / targetBytes))
         }

@@ -211,8 +211,11 @@ object Similarity {
   def simIvfProbe(s: SparkSession, d: String, k: Int = 3,
       nprobe: Int = 2): DataFrame = {
     val vs = vectors(s, d)
+    // NOT persisted (unlike simIvf): here only the corpus side derives
+    // from the assignment — the query side re-ranks against the
+    // broadcast centroids directly — so a persist would pin an O(N)
+    // cache entry that is read exactly once and never unpersisted
     val assigned = assignCells(vs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // query side: nprobe nearest centroids each (broadcast-sized)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))

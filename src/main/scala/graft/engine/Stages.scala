@@ -91,7 +91,15 @@ object Stages {
     * the pointer on POSIX, flipping the winner after other JVMs already
     * resolved it). Readers that catch the sub-millisecond window between
     * create and close see a pointer without its terminator and retry
-    * ([[readPointer]]). */
+    * ([[readPointer]]).
+    *
+    * Caveat: create-exclusive is truly atomic on HDFS; Hadoop's local
+    * filesystem and S3A implement it as exists-then-create, so two
+    * writers can in principle both pass the election. A writer therefore
+    * re-reads the pointer after publishing and, if it names a different
+    * attempt, deletes NOTHING (another JVM may have resolved our attempt
+    * before the content settled) — the unreferenced output is left for
+    * the age-gated reaper rather than risking a dangling reader. */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
     // the fingerprint is part of the MEMO key, not just the path: keyed
@@ -113,13 +121,20 @@ object Stages {
             s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
           build.write.mode("overwrite").parquet(attempt.toString)
           if (!publish(fs, ptr, attempt.toString)) {
-            // lost the create-exclusive race: the pointer names another
-            // JVM's attempt and can never change — ours is unreferenced
+            // clean loss (our create-exclusive threw pointer-exists: we
+            // never published our path anywhere) — ours is unreferenced
             fs.delete(attempt, true)
+          } else if (readPointer(fs, ptr) != attempt.toString) {
+            // we thought we won but the pointer names someone else: a
+            // filesystem without atomic create-exclusive (S3A, NFS) let
+            // two writers through the election. Another JVM may already
+            // have resolved OUR attempt before the content flipped, so
+            // deleting either output here risks dangling readers — leave
+            // both for the age-gated reaper and follow the pointer.
+            ()
           }
           // best-effort reap of attempts no pointer references (crashed
-          // writers). Age-gated: a concurrent writer's in-flight attempt
-          // is minutes old at most; anything past the horizon is debris.
+          // writers / double-win losers), age-gated — see ReapAgeMs.
           reapStaleAttempts(fs, p, readPointer(fs, ptr))
         }
         val resolved = readPointer(fs, ptr)
@@ -134,24 +149,35 @@ object Stages {
   private val PtrEnd = "\n#end"
 
   /** Attempt directories older than this with no pointer referencing
-    * them are reaped (any in-flight writer's attempt is far younger). */
-  private val ReapAgeMs: Long = 6L * 3600 * 1000
+    * them are reaped. Deliberately much longer than any plausible stage
+    * build (a week, not hours): an IN-FLIGHT writer's attempt older than
+    * the horizon would be deleted under its running job, so the gate errs
+    * far on the side of leaking debris over breaking a slow build. */
+  private val ReapAgeMs: Long = 7L * 24 * 3600 * 1000
 
   /** Race to create `ptr` (create-exclusive) naming `content`; true iff
-    * this caller won. Only "pointer already exists" counts as losing —
-    * any other failure is a real error and propagates (swallowing it
-    * would surface later as a confusing missing-pointer read, leaking
-    * the fully-built attempt with no explanation). */
+    * this caller won the election. Only "pointer already exists" AT
+    * CREATE counts as losing. A write/close failure AFTER winning is a
+    * real error: the pointer exists but is incomplete, so the broken
+    * pointer is best-effort deleted (letting a later writer re-elect)
+    * and the failure propagates — classifying it as "lost" would make
+    * materialize delete the attempt this pointer references. */
   private def publish(fs: org.apache.hadoop.fs.FileSystem,
-      ptr: org.apache.hadoop.fs.Path, content: String): Boolean =
+      ptr: org.apache.hadoop.fs.Path, content: String): Boolean = {
+    val out = try fs.create(ptr, false) catch { // create-exclusive: the election
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+      case e: java.io.IOException if fs.exists(ptr) => return false // HDFS variant
+    }
     try {
-      val out = fs.create(ptr, false) // create-exclusive: the election
       try out.write((content + PtrEnd).getBytes("UTF-8")) finally out.close()
       true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case e: java.io.IOException if fs.exists(ptr) => false // HDFS variant
+      case e: Throwable =>
+        try fs.delete(ptr, false)
+        catch { case _: java.io.IOException => () }
+        throw e
     }
+  }
 
   /** Read the attempt path a pointer names, retrying through the
     * create-to-close window (a complete pointer ends with [[PtrEnd]]).
@@ -183,17 +209,22 @@ object Stages {
 
   /** Delete `$p-attempt-*` directories that the committed pointer does
     * not reference and whose age exceeds [[ReapAgeMs]] — crashed-writer
-    * debris. Best-effort: failures are ignored (another reaper may have
-    * raced us); in-flight attempts are protected by the age gate. */
+    * debris. The resolved attempt is identified BY NAME (attempt names
+    * embed a UUID, so names are unique): listStatus returns fully-
+    * qualified paths while the pointer stores the configured-root form,
+    * so a string compare of full paths would mismatch on qualification
+    * alone and delete the committed output. Best-effort: failures are
+    * ignored (another reaper may have raced us). */
   private def reapStaleAttempts(fs: org.apache.hadoop.fs.FileSystem,
       p: String, resolved: String): Unit =
     try {
       val parent = new org.apache.hadoop.fs.Path(p).getParent
       val prefix = new org.apache.hadoop.fs.Path(p).getName + "-attempt-"
+      val resolvedName = new org.apache.hadoop.fs.Path(resolved).getName
       val now = System.currentTimeMillis()
       fs.listStatus(parent).foreach { st =>
         if (st.isDirectory && st.getPath.getName.startsWith(prefix) &&
-            st.getPath.toString != resolved &&
+            st.getPath.getName != resolvedName &&
             now - st.getModificationTime > ReapAgeMs)
           fs.delete(st.getPath, true)
       }

@@ -703,8 +703,17 @@ object TextOps {
     * the document, so every token is covered and the tail chunk may be
     * short. Pure map + bounded explode (fan-out = ⌈n_tok/stride⌉):
     * shuffle-free, linear in corpus token count. */
-  private def chunkSigs(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+  /** (doc_id, chunk_id, n_tok_chunk, sig) for every token window of a
+    * (doc_id, text) frame — THE single definition of the chunk geometry
+    * and signature. The batch query ([[chunkDocs]]), the span-dedup agg
+    * ([[spanDedup]]), the streaming twin (`StreamOps.chunkStream`) and
+    * the scale probe all route here: `cleanSpanStream`'s anti-join
+    * depends on bit-exact digest equality between the stream side and a
+    * batch-built index, so a second copy of the geometry that drifted
+    * would silently pass every contaminated chunk. Stateless per row
+    * (map + bounded explode) — valid on batch AND streaming frames. */
+  def chunkSigs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("chunk_id",
@@ -717,7 +726,7 @@ object TextOps {
         md5(concat_ws(" ", col("chunk"))).as("sig"))
 
   def chunkDocs(s: SparkSession, d: String): DataFrame =
-    chunkSigs(s, d).orderBy("doc_id", "chunk_id")
+    chunkSigs(Sources.documents(s, d)).orderBy("doc_id", "chunk_id")
 
   /** Cross-document span dedup: token windows (the [[chunkSigs]] chunks)
     * whose exact text occurs in two or more distinct documents — the
@@ -729,7 +738,7 @@ object TextOps {
     * Output: one row per repeated span with its occurrence counts and
     * first (doc, chunk) location. */
   def spanDedup(s: SparkSession, d: String): DataFrame =
-    chunkSigs(s, d)
+    chunkSigs(Sources.documents(s, d))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -827,11 +836,17 @@ object TextOps {
     val rates = counts.crossJoin(broadcast(m))
       .withColumn("rate_ppm", expr(s"(m * $MixPpm) DIV n_total"))
       .select("source", "n_total", "rate_ppm")
-    docs.select("source", "doc_id")
-      .join(broadcast(rates), Seq("source"))
+    // LEFT join the kept counts back onto the rate table: a source
+    // sampled down to ZERO survivors must still appear with n_kept = 0 —
+    // the report exists to distinguish "downsampled to nothing" from
+    // "absent from the corpus"
+    val kept = docs.select("source", "doc_id")
+      .join(broadcast(rates.select("source", "rate_ppm")), Seq("source"))
       .filter(h28(concat(lit("mix_"), col("doc_id"))) % MixPpm < col("rate_ppm"))
-      .groupBy("source", "n_total", "rate_ppm")
-      .agg(count(lit(1)).as("n_kept"))
+      .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .select("source", "n_total", "rate_ppm", "n_kept")
       .orderBy("source")
   }
 

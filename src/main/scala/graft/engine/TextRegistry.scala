@@ -388,11 +388,12 @@ object TextRegistry {
          | mm AS (SELECT min(n_total) AS m FROM c),
          | r AS (SELECT source, n_total,
          |   (m * ${TextOps.MixPpm}) // n_total AS rate_ppm FROM c CROSS JOIN mm),
-         | k AS (SELECT d.source, r.n_total, r.rate_ppm
+         | k AS (SELECT d.source, count(*) AS n_kept
          |  FROM documents d JOIN r USING (source)
-         |  WHERE $h % ${TextOps.MixPpm} < r.rate_ppm)
-         |SELECT source, n_total, rate_ppm, count(*) AS n_kept
-         |FROM k GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+         |  WHERE $h % ${TextOps.MixPpm} < r.rate_ppm GROUP BY 1)
+         |SELECT r.source, r.n_total, r.rate_ppm,
+         | CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin
     }),
 
     "q_filter_funnel" -> e(TextOps.filterFunnel,

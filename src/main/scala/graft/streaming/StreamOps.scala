@@ -165,20 +165,8 @@ object StreamOps {
     * STATELESSLY per row (map + bounded explode; no state store, no
     * watermark), so arriving documents are chunked for training prep
     * in-flight. Emits (doc_id, chunk_id, n_tok_chunk, sig). */
-  def chunkStream(docs: DataFrame): DataFrame = {
-    import graft.engine.TextOps.{tokens, ChunkSize, ChunkStride}
-    docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")).cast("long"))
-      .withColumn("chunk_id",
-        explode(sequence(lit(0L), expr(s"(n_tok - 1) DIV $ChunkStride"))))
-      .withColumn("chunk",
-        slice(col("toks"), (col("chunk_id") * ChunkStride + 1).cast("int"),
-          lit(ChunkSize)))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("chunk")).cast("long").as("n_tok_chunk"),
-        md5(concat_ws(" ", col("chunk"))).as("sig"))
-  }
+  def chunkStream(docs: DataFrame): DataFrame =
+    graft.engine.TextOps.chunkSigs(docs)
 
   /** Streaming span-level contamination/dup filter against a FROZEN
     * chunk-digest index: chunks arriving on the stream are dropped when

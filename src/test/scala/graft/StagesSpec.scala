@@ -42,17 +42,11 @@ class StagesSpec extends SparkSpec {
     assert(out.count() == 7)
   }
 
-  test("a pointer published by another process is adopted without building") {
-    // simulate a concurrent JVM: pre-build an attempt dir and create the
-    // pointer (with terminator) before this JVM ever sees the stage
+  test("an already-published pointer is adopted without rebuilding") {
+    // publish once, wipe the in-JVM memo (Stages.reset), call again: the
+    // second call must resolve via the on-disk pointer — the same path a
+    // fresh JVM sharing a persistent root takes — and must NOT rebuild.
     val dir = java.nio.file.Files.createTempDirectory("spec-ptr").toString
-    spark.range(5).toDF("id").write.parquet(s"$dir/pre-attempt")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // compute the stage path the same way materialize would: build once
-    // in a scratch root? Instead: publish under the REAL root by calling
-    // materialize once, then verify a second JVM-reset call adopts the
-    // existing pointer instead of rebuilding.
     val builds = new AtomicInteger(0)
     def stage() = Stages.materialize(spark, "spec_adopt", dir) {
       builds.incrementAndGet()
@@ -62,10 +56,7 @@ class StagesSpec extends SparkSpec {
     assert(builds.get() == 1)
     Stages.reset() // wipe the in-JVM memo: next call must go to the FS
     assert(stage().count() == 5)
-    // the pointer (not the memo) prevented the rebuild — cross-process
-    // adoption path
     assert(builds.get() == 1)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
   }
 
   test("an incomplete pointer (writer died mid-publish) fails loudly") {
