@@ -93,6 +93,48 @@ class Round3OpsSpec extends SparkSpec {
     clusters.foreach { case (c, _) => assert(survivors.contains(c)) }
   }
 
+  test("edge corpus: empty/1-token/all-repeat docs through repetition, funnel, chunking") {
+    val dir = java.nio.file.Files.createTempDirectory("edge-docs").toString
+    Seq(
+      (1L, "", "en", "src0", 0L),
+      (2L, "a", "en", "src0", 1L),
+      (3L, "a a a a", "en", "src1", 7L),
+      (4L, "x y", "en", "src1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // repetition: docs without bigrams (1 "token" after split) drop out;
+    // the all-repeat doc is graded repetitive with exact counts
+    val rep = TextOps.repetitionStats(spark, dir)
+      .select("doc_id", "n_tok", "n_uniq", "max_tok", "n_big", "max_big", "grade")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect()
+    assert(rep.map(_._1).toSeq == Seq(3L, 4L))
+    val d3 = rep.find(_._1 == 3L).get
+    assert(d3 == ((3L, 4L, 1L, 4L, 3L, 3L, "repetitive")))
+    // a 2-token doc's single bigram is 100% of its bigrams — graded
+    // repetitive by top-bigram share, which is precisely why the funnel
+    // applies the min-length filter BEFORE the repetition filter
+    val d4 = rep.find(_._1 == 4L).get
+    assert(d4 == ((4L, 2L, 2L, 1L, 1L, 1L, "repetitive")))
+
+    // funnel: stage 0 sees all four docs; nothing survives min_tokens
+    val fun = TextOps.filterFunnel(spark, dir)
+      .select("stage", "n_docs").as[(Long, Long)].collect().toMap
+    assert(fun(0L) == 4L && fun(1L) == 0L && fun(4L) == 0L)
+
+    // chunking: every doc yields exactly one (short) chunk
+    val ch = TextOps.chunkDocs(spark, dir)
+      .select("doc_id", "chunk_id", "n_tok_chunk")
+      .as[(Long, Long, Long)].collect()
+    assert(ch.length == 4 && ch.forall(_._2 == 0L))
+    assert(ch.find(_._1 == 1L).get._3 == 1L) // "" splits to one empty token
+
+    // packing: per-source offsets accumulate deterministically
+    val pk = TextOps.packSeqs(spark, dir)
+      .select("doc_id", "seq_id", "seq_off").as[(Long, Long, Long)].collect()
+    assert(pk.length == 4 && pk.forall(_._2 == 0L))
+  }
+
   test("mixSample: smallest source kept whole, others downsampled toward it") {
     val rows = TextOps.mixSample(spark, sf)
       .select("source", "n_total", "rate_ppm", "n_kept")
