@@ -866,9 +866,13 @@ object TextOps {
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
       .withColumn("bgs", shingles2(col("toks")))
+      // guard the zero-bigram case explicitly: under ANSI mode (Spark 4
+      // default) 0/0 THROWS rather than returning null-for-coalesce
       .withColumn("big_frac",
-        coalesce(runStats(col("bgs")).getField("best").cast("double") /
-          size(col("bgs")), lit(0.0)))
+        when(size(col("bgs")) > 0,
+          runStats(col("bgs")).getField("best").cast("double") /
+            size(col("bgs")))
+          .otherwise(lit(0.0)))
       .withColumn("q1", col("n_tok") >= 30)
       .withColumn("q2", col("q1") &&
         col("n_uniq").cast("double") / col("n_tok") >= 0.4)
