@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   * the corpus. All vector math is a codegen'd native expression
   * ([[graft.functions.DotProduct]]) — no UDF, stays inside whole-stage
   * codegen.
+  *
+  * Data contract: embeddings are non-zero vectors (the norm appears as
+  * a divisor throughout; a zero-norm vector would raise Spark's ANSI
+  * divide-by-zero). A pipeline ingesting untrusted vectors should drop
+  * zero-norm rows at the boundary (`filter(l2norm(v) > 0)`).
   */
 object Similarity {
 
