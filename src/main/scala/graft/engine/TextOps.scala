@@ -765,6 +765,51 @@ object TextOps {
       .select("doc_id", "source", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** Expected content-defined chunk length: a token is a chunk boundary
+    * when its hash ≡ 0 (mod [[CdcMask]]), so chunks average ~64 tokens. */
+  val CdcMask = 64L
+
+  /** Content-defined chunking: chunk boundaries fall where the TOKEN
+    * HASH (not the position) satisfies h ≡ 0 mod [[CdcMask]] — so
+    * inserting or deleting text shifts only the chunks it touches,
+    * while [[chunkDocs]]' fixed windows all shift after an edit. This
+    * is the chunking a span-level dedup uses when documents are edited
+    * versions of each other (the storage-dedup / delta-encoding
+    * technique applied to training text). Computed per row (array HOFs
+    * — filter for boundary positions, zip_with for [start, end) spans):
+    * shuffle-free, linear, stream-safe. Output: (doc_id, chunk_idx,
+    * n_tok_chunk, sig). */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunkSigs(Sources.documents(s, d)).orderBy("doc_id", "chunk_idx")
+
+  /** The frame-level CDC chunker behind [[cdcChunks]] (single
+    * definition, [[chunkSigs]] discipline); valid on batch and
+    * streaming (doc_id, text) frames. */
+  def cdcChunkSigs(docs: DataFrame): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+    // ascending 1-based boundary positions, always ending at n
+    val bpos = filter(sequence(lit(1), col("n")),
+      i => h28(element_at(col("toks"), i)) % CdcMask === 0)
+    val withBounds = t.withColumn("bounds",
+      when(array_contains(bpos, col("n")), bpos)
+        .otherwise(concat(bpos, array(col("n")))))
+    // chunk k spans (starts(k), bounds(k)]: starts = 0 ++ bounds.init
+    val starts = concat(array(lit(0)),
+      slice(col("bounds"), lit(1), size(col("bounds")) - 1))
+    withBounds
+      .withColumn("spans", zip_with(starts, col("bounds"),
+        (st, e) => struct(st.as("st"), e.as("e"))))
+      .select(col("doc_id"), col("toks"),
+        posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        (col("sp.e") - col("sp.st")).cast(LongType).as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("sp.st") + 1, col("sp.e") - col("sp.st"))))
+          .as("sig"))
+  }
+
   /** Token budget per packed training sequence. */
   val PackBudget = 256L
 

@@ -327,6 +327,26 @@ object TextRegistry {
          | md5(array_to_string(chunk, ' ')) AS sig
          |FROM s ORDER BY doc_id, chunk_id""".stripMargin),
 
+    "q_cdc_chunks" -> e(TextOps.cdcChunks, {
+      val h = duckH28("toks[i]")
+      s"""WITH $toksCte,
+         | c AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         | bp AS (SELECT doc_id, toks, n,
+         |   list_filter(range(1, n + 1), i -> $h % ${TextOps.CdcMask} = 0)
+         |     AS bpos FROM c),
+         | b AS (SELECT doc_id, toks,
+         |   CASE WHEN list_contains(bpos, n) THEN bpos
+         |        ELSE list_append(bpos, n) END AS bounds FROM bp),
+         | b2 AS (SELECT doc_id, toks, bounds,
+         |   list_prepend(0, bounds[1 : len(bounds) - 1]) AS starts FROM b),
+         | u AS (SELECT doc_id, toks, bounds, starts,
+         |   unnest(range(1, len(bounds) + 1)) AS k FROM b2)
+         |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+         | CAST(bounds[k] - starts[k] AS BIGINT) AS n_tok_chunk,
+         | md5(array_to_string(toks[starts[k]+1 : bounds[k]], ' ')) AS sig
+         |FROM u ORDER BY doc_id, chunk_idx""".stripMargin
+    }),
+
     "q_span_dedup" -> e(TextOps.spanDedup,
       s"""WITH $toksCte,
          | c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok FROM t),

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
 import org.scalacheck.Prop.forAll
-import graft.engine.{AsOfJoin, Mutations}
+import graft.engine.{AsOfJoin, Mutations, TextOps}
 
 /** Randomized properties (ScalaCheck) for the algebraic operators —
   * SURVEY.md §5.3. Spark work per case is tiny; case counts are kept
@@ -79,6 +79,48 @@ object PropertySpecs extends Properties("graft") {
       val a = viaAgg.collect().map(_.toSeq).toSet
       val b = viaRow.collect().map(_.toSeq).toSet
       Prop(a == b) :| s"agg=$a row=$b"
+    }
+
+  private val docGen: Gen[List[(Long, String)]] = Gen.listOfN(5,
+    Gen.zip(Gen.choose(1L, 1000L),
+      Gen.choose(1, 150).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0, 40).map(i => s"t$i"))
+          .map(_.mkString(" ")))))
+
+  /** Fixed-window chunks tile the token stream: ids dense from 0, each
+    * chunk's length matches the window/stride geometry, every token
+    * covered. */
+  property("chunkSigs geometry covers every token") =
+    forAll(docGen) { ds =>
+      val docs = ds.distinctBy(_._1)
+      val out = TextOps.chunkSigs(docs.toDF("doc_id", "text"))
+        .select("doc_id", "chunk_id", "n_tok_chunk")
+        .as[(Long, Long, Long)].collect().groupBy(_._1)
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+      Prop(docs.forall { case (id, _) =>
+        val n = toks(id).toLong
+        val chunks = out(id).sortBy(_._2)
+        val lastStart = (n - 1) / TextOps.ChunkStride * TextOps.ChunkStride
+        chunks.map(_._2).toSeq == (0L to lastStart / TextOps.ChunkStride) &&
+          chunks.forall { case (_, cid, len) =>
+            len == math.min(TextOps.ChunkSize.toLong,
+              n - cid * TextOps.ChunkStride) }
+      })
+    }
+
+  /** CDC chunks partition the token stream exactly (lengths sum to
+    * n_tok, all positive). */
+  property("cdcChunkSigs partitions the token stream") =
+    forAll(docGen) { ds =>
+      val docs = ds.distinctBy(_._1)
+      val out = TextOps.cdcChunkSigs(docs.toDF("doc_id", "text"))
+        .select("doc_id", "n_tok_chunk").as[(Long, Long)].collect()
+        .groupBy(_._1)
+      val toks = docs.map { case (id, t) => id -> t.split(" ", -1).length }.toMap
+      Prop(docs.forall { case (id, _) =>
+        val lens = out(id).map(_._2)
+        lens.sum == toks(id).toLong && lens.forall(_ > 0)
+      })
     }
 
   property("applyUpdates twice == once") =

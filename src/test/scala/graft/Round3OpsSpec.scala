@@ -135,6 +135,29 @@ class Round3OpsSpec extends SparkSpec {
     assert(pk.length == 4 && pk.forall(_._2 == 0L))
   }
 
+  test("cdcChunks: boundaries are content-defined — an edit only disturbs its own chunk") {
+    def words(lo: Int, n: Int) = (lo until lo + n).map(i => s"w$i")
+    val original = words(0, 400).mkString(" ")
+    // edit deep inside the document: replace one token near the middle
+    val edited = (words(0, 200) ++ Seq("EDITED") ++ words(201, 199)).mkString(" ")
+    val df = Seq((1L, original), (2L, edited)).toDF("doc_id", "text")
+    val sigs = TextOps.cdcChunkSigs(df)
+      .select("doc_id", "sig").as[(Long, String)].collect()
+    val s1 = sigs.filter(_._1 == 1L).map(_._2).toSet
+    val s2 = sigs.filter(_._1 == 2L).map(_._2).toSet
+    // the chunks before and after the edited span re-align: most chunk
+    // signatures are shared, which is the whole point of content-defined
+    // boundaries (fixed windows would shift everything after the edit)
+    val shared = (s1 intersect s2).size
+    assert(shared >= s1.size - 2 && shared >= 1,
+      s"only $shared of ${s1.size} chunks survived a 1-token edit")
+    assert(s1 != s2) // the edited chunk itself must differ
+    // chunks partition the token stream: lengths sum to n_tok
+    val lens = TextOps.cdcChunkSigs(df.filter(col("doc_id") === 1L))
+      .select("n_tok_chunk").as[Long].collect()
+    assert(lens.sum == 400L && lens.forall(_ > 0))
+  }
+
   test("mixSample: smallest source kept whole, others downsampled toward it") {
     val rows = TextOps.mixSample(spark, sf)
       .select("source", "n_total", "rate_ppm", "n_kept")
