@@ -277,6 +277,29 @@ object Similarity {
       .select("cell", "pos", "n", "sq", "m6")
       .orderBy("cell", "pos")
 
+  /** Per-dimension embedding statistics — the normalization/whitening
+    * table an embedding pipeline computes before indexing (subtract the
+    * per-dimension mean, clip by the observed range). Means use the
+    * [[KmeansFixedPoint]] discipline: components are quantized to
+    * integers BEFORE summing so the aggregate is order-independent and
+    * bit-identical cross-engine; min/max compare stored values (no
+    * arithmetic), so they are deterministic as-is.
+    *
+    * Scale: one posexplode (64 rows per vector) into a hash agg keyed
+    * by the 64 positions with map-side partials — the shuffle carries
+    * 64 partial rows per map task, the output is 64 rows. */
+  def dimStats(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+      .select(posexplode(col("v")).as(Seq("pos", "xv")))
+      .select((col("pos") + 1).cast("long").as("pos"), col("xv"),
+        floor(col("xv") * KmeansFixedPoint).as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        min("xv").as("mn"), max("xv").as("mx"))
+      .withColumn("m6", col("sq").cast("double") / (col("n") * KmeansFixedPoint))
+      .select("pos", "n", "sq", "mn", "mx", "m6")
+      .orderBy("pos")
+
   /** Neighbors per query for the kNN label vote. */
   val KnnK = 10
 

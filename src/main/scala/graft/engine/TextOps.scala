@@ -948,6 +948,148 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** Vocabulary size cap for [[vocabBuild]]. */
+  val VocabSize = 1000
+
+  /** Top-bigram list size for [[topNgrams]]. */
+  val TopNgrams = 50
+
+  /** Vocabulary construction for tokenizer training: global token
+    * counts, frequency rank, and the cumulative corpus coverage of the
+    * top-[[VocabSize]] tokens — the table a BPE/unigram tokenizer build
+    * starts from, and the coverage curve that decides the vocab size.
+    *
+    * Scale: the explode is linear in corpus tokens; `groupBy(tok)` is a
+    * hash agg with map-side partials that shrinks to the distinct-token
+    * table; the global rank is `ORDER BY c DESC LIMIT VocabSize` —
+    * TakeOrderedAndProject (per-partition top-K, driver merges K·P
+    * rows), never a full sort of the vocabulary; the cumulative-sum
+    * window runs over the ≤[[VocabSize]] retained rows only (bounded,
+    * so the single-partition window is safe). Counts and cumulative
+    * counts are exact integers; coverage is one integer quotient cast
+    * to double — bit-deterministic cross-engine. */
+  def vocabBuild(s: SparkSession, d: String): DataFrame = {
+    val counts = Sources.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("tt"))
+    val ord = Window.orderBy(col("c").desc, col("tok"))
+    counts.orderBy(col("c").desc, col("tok")).limit(VocabSize)
+      .crossJoin(broadcast(total))
+      .withColumn("rk", row_number().over(ord).cast(LongType))
+      .withColumn("cum_c",
+        sum("c").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("coverage", col("cum_c").cast("double") / col("tt"))
+      .select("rk", "tok", "c", "cum_c", "coverage")
+      .orderBy("rk")
+  }
+
+  /** Corpus-level top-[[TopNgrams]] bigrams by occurrence (with document
+    * frequency) — the boilerplate detector: a phrase whose count is far
+    * above its document frequency is a template repeated within pages;
+    * one that appears in most documents is sitewide chrome. Same scale
+    * shape as [[vocabBuild]]: linear explode, hash agg with partials,
+    * top-K via TakeOrderedAndProject, rank windowed over ≤K rows. */
+  def topNgrams(s: SparkSession, d: String): DataFrame = {
+    val ord = Window.orderBy(col("c").desc, col("bg"))
+    Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+      .groupBy("bg")
+      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("c").desc, col("bg")).limit(TopNgrams)
+      .withColumn("rk", row_number().over(ord).cast(LongType))
+      .select("rk", "bg", "c", "n_docs")
+      .orderBy("rk")
+  }
+
+  /** Per-document n-gram familiarity — the corpus-statistics quality
+    * signal (CCNet-style): a document whose bigrams are rare across the
+    * corpus is novel (or noise); one built from the corpus's most common
+    * bigrams is boilerplate-like. `fam` is the mean corpus frequency of
+    * the document's bigrams (occurrence-weighted); `lift` normalizes by
+    * the uniform expectation T/D (total bigrams over distinct bigrams),
+    * so the grade is scale-free: lift ≥ 1 means "more familiar than the
+    * average bigram".
+    *
+    * Scale: the bigram explode is linear; the count table comes from one
+    * hash agg keyed by bigram; the join back is an equi-join on the same
+    * key (the count side arrives already hash-partitioned by `bg`, so
+    * only the explode side shuffles); the per-doc rollup is one more
+    * keyed agg. All sums are exact BIGINTs; `fam` and `lift` are built
+    * from integer quotients cast to double in a fixed expression shape,
+    * mirrored verbatim by the oracle — bit-deterministic. Documents with
+    * fewer than two tokens have no bigrams and drop out (the explode
+    * yields no rows), matching the oracle's inner join. */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val bg = Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+    val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("t"), count(lit(1)).as("dbg"))
+    val fam = col("sum_freq").cast("double") / col("n_big")
+    val lift = fam * (col("dbg").cast("double") / col("t"))
+    bg.join(cnt, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum("c").as("sum_freq"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fam", fam)
+      .withColumn("lift", lift)
+      .withColumn("grade",
+        when(lift >= 1.0d, lit("common")).otherwise(lit("novel")))
+      .select("doc_id", "n_big", "sum_freq", "fam", "lift", "grade")
+      .orderBy("doc_id")
+  }
+
+  /** One-row dataset card: the summary a pipeline publishes with a
+    * training corpus — document/source/language counts, token and
+    * character totals, and the exact-duplicate rate. The distinct-text
+    * count runs over md5 digests, not text (the [[dedupExact]]
+    * discipline: the expand/shuffle carries 16-byte digests). The three
+    * COUNT(DISTINCT)s compile to one Expand-based aggregate — a
+    * constant small multiple of the single scan, no self-joins. Ratios
+    * are integer quotients cast to double. */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"),
+        md5(lower(trim(col("text")))).as("k"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tok").as("total_tok"),
+        countDistinct(col("k")).as("n_uniq_texts"))
+      .withColumn("dup_frac",
+        (col("n_docs") - col("n_uniq_texts")).cast("double") / col("n_docs"))
+      .withColumn("avg_tok", col("total_tok").cast("double") / col("n_docs"))
+
+  /** Term-scrub dictionary for [[piiScrub]], as a word-boundary
+    * alternation. The synthetic corpus carries no true PII (pure
+    * lowercase words — verified: zero digits or '@'s), so the dictionary
+    * stands in for the email/phone/SSN patterns a production scrubber
+    * ships; the machinery — count, replace, re-digest — is the real
+    * operator. Both engines (Java regex, RE2) support `\b`. */
+  val ScrubPattern = "\\b(customer|vector|stream)\\b"
+
+  /** PII-style redaction pass: per document, the number of dictionary
+    * hits, the scrubbed length, and the digest of the scrubbed text
+    * (the downstream dedup key — scrubbing must happen BEFORE exact
+    * dedup, else two documents differing only in redacted spans count
+    * as distinct). Pure per-row map over the scan: no shuffle, no
+    * state; the output carries digests, never scrubbed text. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val scrubbed = regexp_replace(col("text"), ScrubPattern, "<X>")
+    Sources.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+          .cast(LongType).as("n_hits"),
+        length(scrubbed).cast(LongType).as("scrub_len"),
+        md5(scrubbed).as("sig"))
+      .orderBy("doc_id")
+  }
+
   /** Multimodal plumbing: opaque binary payload + typed metadata. The
     * payload here derives from `text` (the container ships no media
     * libs); the schema/partitioning/metadata path is the real thing. */

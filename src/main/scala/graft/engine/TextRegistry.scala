@@ -580,5 +580,83 @@ object TextRegistry {
          |  FROM nb a JOIN nb b ON a.bkt = b.bkt AND a.vec_id < b.vec_id)
          |SELECT a, b, bkt, round(cos, 4) AS cos4 FROM p
          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin),
+
+    "q_vocab_build" -> e(TextOps.vocabBuild,
+      s"""WITH u AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
+         | g AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+         | tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM g),
+         | r AS (SELECT tok, c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+         |  FROM g),
+         | k AS (SELECT rk, tok, c FROM r WHERE rk <= ${TextOps.VocabSize}),
+         | cm AS (SELECT rk, tok, c,
+         |   CAST(sum(c) OVER (ORDER BY rk) AS BIGINT) AS cum_c FROM k)
+         |SELECT CAST(rk AS BIGINT) AS rk, tok, CAST(c AS BIGINT) AS c, cum_c,
+         | CAST(cum_c AS DOUBLE)/tt AS coverage
+         |FROM cm CROSS JOIN tt ORDER BY rk""".stripMargin),
+
+    "q_top_ngrams" -> e(TextOps.topNgrams,
+      s"""WITH $toksCte,
+         | b AS (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(toks)-1,0)+1),
+         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | g AS (SELECT bg, count(*) AS c, count(DISTINCT doc_id) AS n_docs
+         |  FROM b GROUP BY 1),
+         | r AS (SELECT bg, c, n_docs,
+         |   row_number() OVER (ORDER BY c DESC, bg) AS rk FROM g)
+         |SELECT CAST(rk AS BIGINT) AS rk, bg, CAST(c AS BIGINT) AS c,
+         | CAST(n_docs AS BIGINT) AS n_docs
+         |FROM r WHERE rk <= ${TextOps.TopNgrams} ORDER BY rk""".stripMargin),
+
+    "q_ngram_novelty" -> e(TextOps.ngramNovelty,
+      s"""WITH $toksCte,
+         | b AS (SELECT doc_id, unnest(list_transform(
+         |     range(1, greatest(len(toks)-1,0)+1),
+         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | g AS (SELECT bg, count(*) AS c FROM b GROUP BY 1),
+         | tt AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS dbg FROM g),
+         | pd AS (SELECT doc_id, count(*) AS n_big,
+         |   CAST(sum(c) AS BIGINT) AS sum_freq
+         |  FROM b JOIN g USING (bg) GROUP BY 1)
+         |SELECT doc_id, CAST(n_big AS BIGINT) AS n_big, sum_freq,
+         | CAST(sum_freq AS DOUBLE)/n_big AS fam,
+         | (CAST(sum_freq AS DOUBLE)/n_big) * (CAST(dbg AS DOUBLE)/t) AS lift,
+         | CASE WHEN (CAST(sum_freq AS DOUBLE)/n_big) * (CAST(dbg AS DOUBLE)/t)
+         |   >= 1.0 THEN 'common' ELSE 'novel' END AS grade
+         |FROM pd CROSS JOIN tt ORDER BY doc_id""".stripMargin),
+
+    "q_dataset_card" -> e(TextOps.datasetCard,
+      """SELECT count(*) AS n_docs,
+        | count(DISTINCT source) AS n_sources,
+        | count(DISTINCT lang) AS n_langs,
+        | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        | CAST(sum(len(string_split(text,' '))) AS BIGINT) AS total_tok,
+        | count(DISTINCT md5(lower(trim(text)))) AS n_uniq_texts,
+        | CAST(count(*) - count(DISTINCT md5(lower(trim(text)))) AS DOUBLE)
+        |   / count(*) AS dup_frac,
+        | CAST(sum(len(string_split(text,' '))) AS DOUBLE)/count(*) AS avg_tok
+        |FROM documents""".stripMargin),
+
+    "q_pii_scrub" -> e(TextOps.piiScrub, {
+      // single-sourced pattern: the Scala literal already reads
+      // \b(...)\b, and DuckDB string literals pass backslashes through
+      val p = TextOps.ScrubPattern
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_hits,
+         | CAST(length(regexp_replace(text, '$p', '<X>', 'g')) AS BIGINT)
+         |   AS scrub_len,
+         | md5(regexp_replace(text, '$p', '<X>', 'g')) AS sig
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }),
+
+    "q_dim_stats" -> e((s, d) => Similarity.dimStats(s, d),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | px AS (SELECT i AS pos, v[i] AS xv,
+         |   CAST(floor(v[i]*${Similarity.KmeansFixedPoint}) AS BIGINT) AS q
+         |  FROM e CROSS JOIN range(1, 65) t(i))
+         |SELECT pos, count(*) AS n, CAST(sum(q) AS BIGINT) AS sq,
+         | min(xv) AS mn, max(xv) AS mx,
+         | CAST(sum(q) AS DOUBLE)/(count(*)*${Similarity.KmeansFixedPoint}) AS m6
+         |FROM px GROUP BY 1 ORDER BY pos""".stripMargin),
   )
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Similarity, Sources, TextOps}
+
+/** Unit tests for the corpus-statistics / normalization operators:
+  * vocabulary build, top n-grams, n-gram familiarity, dataset card,
+  * PII-style scrubbing, embedding dimension stats. */
+class TrainOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    Sources.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+
+  test("vocabBuild: dense ranks, counts nonincreasing, coverage reaches 1") {
+    val rows = TextOps.vocabBuild(spark, sf)
+      .select("rk", "tok", "c", "cum_c", "coverage")
+      .as[(Long, String, Long, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.VocabSize)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 >= b._3, s"counts not nonincreasing at rk=${b._1}")
+      assert(a._4 < b._4 && a._5 < b._5, "cumulatives not increasing")
+    case _ => ()
+    }
+    // the tiny corpus's distinct tokens fit the vocab, so the cumulative
+    // count is the corpus token count and coverage closes at exactly 1.0
+    val totalTok = docs.iterator.map(_._2.split(" ", -1).length.toLong).sum
+    assert(rows.last._4 == totalTok && rows.last._5 == 1.0)
+    // counts match a direct tally
+    val tally = docs.iterator.flatMap(_._2.split(" ", -1))
+      .foldLeft(Map.empty[String, Long]) { (m, t) =>
+        m.updated(t, m.getOrElse(t, 0L) + 1L)
+      }
+    rows.foreach { case (_, tok, c, _, _) => assert(tally(tok) == c) }
+  }
+
+  test("topNgrams: rank order and a direct bigram tally agree") {
+    val rows = TextOps.topNgrams(spark, sf)
+      .select("rk", "bg", "c", "n_docs")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.TopNgrams)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { case (_, _, c, nDocs) => assert(nDocs >= 1 && nDocs <= c) }
+    val tally = docs.iterator.flatMap { case (_, t) =>
+      val toks = t.split(" ", -1); toks.dropRight(1).lazyZip(toks.drop(1))
+        .map(_ + " " + _)
+    }.foldLeft(Map.empty[String, Long]) { (m, b) =>
+      m.updated(b, m.getOrElse(b, 0L) + 1L)
+    }
+    rows.foreach { case (_, bg, c, _) => assert(tally(bg) == c) }
+    // the retained list IS the global top-K under (c DESC, bg ASC)
+    val want = tally.toSeq.sortBy { case (b, c) => (-c, b) }
+      .take(rows.length).map(_._1)
+    assert(rows.map(_._2).toSeq == want)
+  }
+
+  test("ngramNovelty: fam >= 1, lift/grade consistent, n_big = tokens-1") {
+    val rows = TextOps.ngramNovelty(spark, sf)
+      .select("doc_id", "n_big", "sum_freq", "fam", "lift", "grade")
+      .as[(Long, Long, Long, Double, Double, String)].collect()
+    val multi = docs.filter(_._2.split(" ", -1).length >= 2)
+    assert(rows.length == multi.length)
+    val nBig = multi.map { case (id, t) =>
+      id -> (t.split(" ", -1).length - 1).toLong
+    }.toMap
+    rows.foreach { case (id, n, sumFreq, fam, lift, grade) =>
+      assert(n == nBig(id))
+      assert(sumFreq >= n, "each bigram occurs at least once")
+      assert(fam >= 1.0)
+      assert((lift >= 1.0) == (grade == "common"))
+    }
+  }
+
+  test("datasetCard: one row matching direct counts") {
+    val r = TextOps.datasetCard(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val full = Sources.documents(spark, sf).collect()
+    assert(row.getAs[Long]("n_docs") == full.length.toLong)
+    assert(row.getAs[Long]("n_sources") ==
+      full.map(_.getAs[String]("source")).distinct.length.toLong)
+    assert(row.getAs[Long]("total_chars") ==
+      full.map(_.getAs[Long]("n_chars")).sum)
+    val uniq = full.map(r0 => r0.getAs[String]("text").trim.toLowerCase)
+      .distinct.length.toLong
+    assert(row.getAs[Long]("n_uniq_texts") == uniq)
+    val dupFrac = row.getAs[Double]("dup_frac")
+    assert(dupFrac >= 0.0 && dupFrac < 1.0)
+  }
+
+  test("piiScrub matches a per-row reference scrub") {
+    val rows = TextOps.piiScrub(spark, sf)
+      .select("doc_id", "n_hits", "scrub_len", "sig")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    val pat = TextOps.ScrubPattern.r
+    var hitSomewhere = false
+    docs.foreach { case (id, text) =>
+      val scrubbed = pat.replaceAllIn(text, "<X>")
+      val hits = pat.findAllMatchIn(text).length.toLong
+      hitSomewhere ||= hits > 0
+      val (_, nHits, scrubLen, sig) = rows(id)
+      assert(nHits == hits, s"doc $id hit count")
+      assert(scrubLen == scrubbed.length.toLong, s"doc $id scrub length")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(scrubbed.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(sig == md, s"doc $id scrub digest")
+    }
+    assert(hitSomewhere, "dictionary should hit this corpus")
+  }
+
+  test("dimStats: 64 rows, exact fixed-point means inside [mn, mx]") {
+    val rows = Similarity.dimStats(spark, sf)
+      .select("pos", "n", "sq", "mn", "mx", "m6")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == (1L to 64L).toSeq)
+    val vecs = Sources.embeddings(spark, sf)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+    rows.foreach { case (pos, n, sq, mn, mx, m6) =>
+      assert(n == vecs.length.toLong)
+      val xs = vecs.map(_(pos.toInt - 1))
+      assert(mn == xs.min && mx == xs.max)
+      assert(sq == xs.map(x => math.floor(x * 1e6).toLong).sum)
+      // fixed-point quantization floors each component by < 1e-6
+      assert(m6 >= mn - 1e-6 && m6 <= mx)
+    }
+  }
+}
