@@ -169,6 +169,21 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALEPROBE pq k=$k corpus=$n codes=$codes ${secs}%.2f s")
     }
+
+    // Corpus-statistics leg: the n-gram familiarity pipeline (explode →
+    // gram-keyed count agg → join-back → doc rollup). The Caesar shift
+    // multiplies BOTH corpus bigrams and distinct bigrams by k (copies
+    // share no grams), so the count table, the join and the rollup all
+    // grow linearly — output rows = docs with ≥2 tokens, exactly k×.
+    def noveltyRows(corpus: DataFrame): Long =
+      TextOps.ngramNoveltyOf(corpus).count()
+    noveltyRows(copies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val rows = noveltyRows(copies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE novelty k=$k rows=$rows ${secs}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -789,12 +789,25 @@ object TextOps {
     val t = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n", size(col("toks")))
-    // ascending 1-based boundary positions, always ending at n
-    val bpos = filter(sequence(lit(1), col("n")),
-      i => h28(element_at(col("toks"), i)) % CdcMask === 0)
+      // ascending 1-based boundary positions — ONE h28 per token, and
+      // every step element-LOCAL (zip_with/filter lambdas that only
+      // touch their own element). Two prior shapes were quadratic or
+      // near: `element_at(hashArray, i)` inside a filter lambda lets
+      // CollapseProject inline the single-referenced hash array into
+      // the lambda body, re-evaluating all n md5s per element
+      // (measured 22+ s at sf0.1); and splicing the bpos expression
+      // into both branches of a `when` re-hashed every token per
+      // reference (7 s). This shape: ~1 s.
+      .withColumn("bpos", filter(
+        zip_with(col("toks"), sequence(lit(1), col("n")),
+          (tk, i) => when(h28(tk) % CdcMask === 0, i)),
+        x => x.isNotNull))
+    // always close the last chunk at n; array_distinct collapses the
+    // case where n is already a boundary. `bounds` is referenced three
+    // times below (slice, size, zip_with) — multiply-referenced and
+    // non-cheap, so CollapseProject keeps it materialized per row.
     val withBounds = t.withColumn("bounds",
-      when(array_contains(bpos, col("n")), bpos)
-        .otherwise(concat(bpos, array(col("n")))))
+      array_distinct(concat(col("bpos"), array(col("n")))))
     // chunk k spans (starts(k), bounds(k)]: starts = 0 ++ bounds.init
     val starts = concat(array(lit(0)),
       slice(col("bounds"), lit(1), size(col("bounds")) - 1))
@@ -1022,8 +1035,14 @@ object TextOps {
     * mirrored verbatim by the oracle — bit-deterministic. Documents with
     * fewer than two tokens have no bigrams and drop out (the explode
     * yields no rows), matching the oracle's inner join. */
-  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
-    val bg = Sources.documents(s, d)
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(Sources.documents(s, d))
+
+  /** Frame-level [[ngramNovelty]] over any (doc_id, text) frame — the
+    * single pipeline definition the query and ScaleProbe's linearity leg
+    * share. */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
+    val bg = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
     val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
