@@ -74,6 +74,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("vocab/top-ngram top-K plans use TakeOrderedAndProject, not a global sort") {
+    // per-partition heaps + a K·P driver merge — the property that lets
+    // the rank run over a 100 TB corpus's vocabulary without a full sort
+    for (q <- Seq("q_vocab_build", "q_top_ngrams")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-K plan")
+    }
+  }
+
+  test("q_dataset_card fuses its COUNT(DISTINCT)s into one Expand pass") {
+    val p = plan("q_dataset_card")
+    assert(p.contains("Expand"), "distinct aggregates not Expand-fused")
+    assert(!p.contains("Join"), "card must be a single-scan aggregate")
+  }
+
+  test("q_pii_scrub is a pure per-row map (no joins, no aggregates)") {
+    val p = plan("q_pii_scrub")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"))
+  }
+
+  test("q_ngram_novelty joins gram counts by key, never a corpus nested loop") {
+    val p = plan("q_ngram_novelty")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested-loop join allowed is the 1-row totals broadcast
+    assert(p.contains("BroadcastNestedLoopJoin Cross") ||
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
     // the threshold filter must reach the stage's parquet scan — the
     // shared-stage rework keeps the query a pushed-filter file read, not
