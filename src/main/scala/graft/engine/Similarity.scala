@@ -266,14 +266,25 @@ object Similarity {
     * Scale: one O(N·K) broadcast assignment pass + one hash agg on
     * (cell, pos) — N·64 long-keyed rows with map-side partials, output
     * K·64 rows. No join back to the corpus, no window over it. */
+  /** Explode `v` into 1-based (pos, xv, q) component rows with the
+    * [[KmeansFixedPoint]] quantization applied — the single definition
+    * of the fixed-point discipline behind [[kmeansStep]] and
+    * [[dimStats]]. `keep` columns are carried through. */
+  private def posQuantize(df: DataFrame, keep: String*): DataFrame =
+    df.select(keep.map(col) :+ posexplode(col("v")).as(Seq("pos", "xv")): _*)
+      .select(keep.map(col) ++ Seq(
+        (col("pos") + 1).cast("long").as("pos"), col("xv"),
+        floor(col("xv") * KmeansFixedPoint).as("q")): _*)
+
+  /** Mean from the exact fixed-point sum — pairs with [[posQuantize]]. */
+  private def m6Col: Column =
+    col("sq").cast("double") / (col("n") * KmeansFixedPoint)
+
   def kmeansStep(s: SparkSession, d: String): DataFrame =
-    assignCells(vectors(s, d))
-      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "xv")))
-      .select(col("cell"), (col("pos") + 1).cast("long").as("pos"),
-        floor(col("xv") * KmeansFixedPoint).as("q"))
+    posQuantize(assignCells(vectors(s, d)), "cell")
       .groupBy("cell", "pos")
       .agg(count(lit(1)).as("n"), sum("q").as("sq"))
-      .withColumn("m6", col("sq").cast("double") / (col("n") * KmeansFixedPoint))
+      .withColumn("m6", m6Col)
       .select("cell", "pos", "n", "sq", "m6")
       .orderBy("cell", "pos")
 
@@ -289,14 +300,11 @@ object Similarity {
     * by the 64 positions with map-side partials — the shuffle carries
     * 64 partial rows per map task, the output is 64 rows. */
   def dimStats(s: SparkSession, d: String): DataFrame =
-    vectors(s, d)
-      .select(posexplode(col("v")).as(Seq("pos", "xv")))
-      .select((col("pos") + 1).cast("long").as("pos"), col("xv"),
-        floor(col("xv") * KmeansFixedPoint).as("q"))
+    posQuantize(vectors(s, d))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"), sum("q").as("sq"),
         min("xv").as("mn"), max("xv").as("mx"))
-      .withColumn("m6", col("sq").cast("double") / (col("n") * KmeansFixedPoint))
+      .withColumn("m6", m6Col)
       .select("pos", "n", "sq", "mn", "mx", "m6")
       .orderBy("pos")
 

@@ -16,6 +16,13 @@ object TextRegistry {
   private val toksCte =
     "t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents)"
 
+  /** DuckDB: in-order bigram list of `toks` (empty under 2 tokens) —
+    * single-sourced for the four bigram-consuming oracles, mirroring
+    * [[TextOps.shingles2]]. */
+  private val duckBigrams =
+    "list_transform(range(1, greatest(len(toks)-1,0)+1), " +
+      "i -> toks[i]||' '||toks[i+1])"
+
   /** Shared minhash-signature CTE chain ending in `sig(doc_id, h0..h11)`. */
   private def sigCtes: String = {
     val mins = (0 until TextOps.NumHashes)
@@ -148,9 +155,7 @@ object TextRegistry {
          | ug AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
          | us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
          |   count(*) AS n_uniq, max(c) AS max_tok FROM ug GROUP BY 1),
-         | b AS (SELECT doc_id, unnest(list_transform(
-         |     range(1, greatest(len(toks)-1,0)+1),
-         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
          | bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
          | bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
          |   max(c) AS max_big FROM bgc GROUP BY 1)
@@ -421,9 +426,7 @@ object TextRegistry {
          | u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
          | ug AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
          |  FROM u GROUP BY 1),
-         | b AS (SELECT doc_id, unnest(list_transform(
-         |     range(1, greatest(len(toks)-1,0)+1),
-         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
          | bgc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
          | bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_big,
          |   max(c) AS max_big FROM bgc GROUP BY 1),
@@ -596,9 +599,7 @@ object TextRegistry {
 
     "q_top_ngrams" -> e(TextOps.topNgrams,
       s"""WITH $toksCte,
-         | b AS (SELECT doc_id, unnest(list_transform(
-         |     range(1, greatest(len(toks)-1,0)+1),
-         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
          | g AS (SELECT bg, count(*) AS c, count(DISTINCT doc_id) AS n_docs
          |  FROM b GROUP BY 1),
          | r AS (SELECT bg, c, n_docs,
@@ -609,9 +610,7 @@ object TextRegistry {
 
     "q_ngram_novelty" -> e(TextOps.ngramNovelty,
       s"""WITH $toksCte,
-         | b AS (SELECT doc_id, unnest(list_transform(
-         |     range(1, greatest(len(toks)-1,0)+1),
-         |     i -> toks[i]||' '||toks[i+1])) AS bg FROM t),
+         | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
          | g AS (SELECT bg, count(*) AS c FROM b GROUP BY 1),
          | tt AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS dbg FROM g),
          | pd AS (SELECT doc_id, count(*) AS n_big,

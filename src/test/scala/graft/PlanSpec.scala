@@ -97,9 +97,15 @@ class PlanSpec extends SparkSpec {
   test("q_ngram_novelty joins gram counts by key, never a corpus nested loop") {
     val p = plan("q_ngram_novelty")
     assert(!p.contains("CartesianProduct"))
-    // the only nested-loop join allowed is the 1-row totals broadcast
-    assert(p.contains("BroadcastNestedLoopJoin Cross") ||
-      !p.contains("BroadcastNestedLoopJoin"))
+    // the ONLY nested-loop join allowed is the single 1-row totals
+    // broadcast (a Cross): any additional BNLJ — e.g. the gram-count
+    // join degrading to a corpus-sized loop — must fail here. Count
+    // tree entries ("BNLJ <type> Build<side>"), not the detail section
+    // (formatted explain prints each node a second time there).
+    val bnlj = "BroadcastNestedLoopJoin [A-Za-z]+ Build".r
+      .findAllIn(p).size
+    assert(bnlj <= 1, s"$bnlj nested-loop joins planned")
+    assert(bnlj == 0 || p.contains("BroadcastNestedLoopJoin Cross"))
   }
 
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {

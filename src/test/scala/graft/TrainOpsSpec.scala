@@ -120,13 +120,14 @@ class TrainOpsSpec extends SparkSpec {
     val vecs = Sources.embeddings(spark, sf)
       .select(col("embedding").cast("array<double>"))
       .as[Seq[Double]].collect()
+    val fp = Similarity.KmeansFixedPoint
     rows.foreach { case (pos, n, sq, mn, mx, m6) =>
       assert(n == vecs.length.toLong)
       val xs = vecs.map(_(pos.toInt - 1))
       assert(mn == xs.min && mx == xs.max)
-      assert(sq == xs.map(x => math.floor(x * 1e6).toLong).sum)
-      // fixed-point quantization floors each component by < 1e-6
-      assert(m6 >= mn - 1e-6 && m6 <= mx)
+      assert(sq == xs.map(x => math.floor(x * fp).toLong).sum)
+      // fixed-point quantization floors each component by < 1/fp
+      assert(m6 >= mn - 1.0 / fp && m6 <= mx)
     }
   }
 }
