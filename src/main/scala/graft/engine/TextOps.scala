@@ -1098,15 +1098,19 @@ object TextOps {
     * dedup, else two documents differing only in redacted spans count
     * as distinct). Pure per-row map over the scan: no shuffle, no
     * state; the output carries digests, never scrubbed text. */
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    scrubOf(Sources.documents(s, d)).orderBy("doc_id")
+
+  /** Frame-level [[piiScrub]] over any (doc_id, text) frame — stateless
+    * per-row, so the same definition serves the batch query and the
+    * streaming twin (`StreamOps.scrubStream`). */
+  def scrubOf(docs: DataFrame): DataFrame = {
     val scrubbed = regexp_replace(col("text"), ScrubPattern, "<X>")
-    Sources.documents(s, d)
-      .select(col("doc_id"),
-        size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
-          .cast(LongType).as("n_hits"),
-        length(scrubbed).cast(LongType).as("scrub_len"),
-        md5(scrubbed).as("sig"))
-      .orderBy("doc_id")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(ScrubPattern), lit(0)))
+        .cast(LongType).as("n_hits"),
+      length(scrubbed).cast(LongType).as("scrub_len"),
+      md5(scrubbed).as("sig"))
   }
 
   /** Multimodal plumbing: opaque binary payload + typed metadata. The

@@ -182,6 +182,15 @@ object StreamOps {
     chunkStream(docs)
       .join(corpusChunkSigs.select(col("sig")), Seq("sig"), "left_anti")
 
+  /** Streaming redaction — the streaming twin of `q_pii_scrub`: the
+    * dictionary scrub is a pure per-row map (count, replace, re-digest),
+    * so documents are scrubbed at ingest, BEFORE any digest-keyed dedup
+    * state sees them (scrub-then-dedup ordering matters: two documents
+    * differing only in redacted spans must collide). No state store, no
+    * watermark. Emits (doc_id, n_hits, scrub_len, sig). */
+  def scrubStream(docs: DataFrame): DataFrame =
+    graft.engine.TextOps.scrubOf(docs)
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -141,4 +141,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.length ==
       ((80 - 1) / TextOps.ChunkStride + 1), s"got ${out.length}")
   }
+
+  test("scrubStream redacts in-flight, matching the batch scrub per row") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.scrubStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("scr").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(
+      (1L, "the customer saw a vector"), // two dictionary hits
+      (2L, "no dictionary words here"))  // zero hits: digest = md5(text)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("scr")
+      .select("doc_id", "n_hits", "scrub_len", "sig")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val scrub1 = "the <X> saw a <X>"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(out(0) == ((1L, 2L, scrub1.length.toLong, md5hex(scrub1))))
+    assert(out(1)._2 == 0L && out(1)._4 == md5hex("no dictionary words here"))
+  }
 }
