@@ -308,6 +308,43 @@ object Similarity {
       .select("pos", "n", "sq", "mn", "mx", "m6")
       .orderBy("pos")
 
+  /** Int8 scalar quantization of the embedding corpus against the
+    * per-dimension observed range — the compression pass an ANN index
+    * applies before serving (4× smaller than float32, distance error
+    * bounded by the cell width): `code = floor((x−mn)·255/(mx−mn))`
+    * clamped to 255, degenerate (mn=mx) dimensions coding to 0.
+    *
+    * Output per vector: the exact code sum (a reproducibility checksum
+    * over the 64 codes) and the exact [[KmeansFixedPoint]] fixed-point
+    * sum of per-component reconstruction errors — both integer sums,
+    * order-independent, bit-identical cross-engine; the only floating
+    * arithmetic is a fixed expression shape mirrored verbatim in the
+    * oracle.
+    *
+    * Scale: the range table is a 64-row broadcast; the quantize pass is
+    * one posexplode joined to it map-side plus a vec_id-keyed agg with
+    * partials. Two linear scans (range, quantize), no corpus shuffle
+    * beyond the per-vector rollup. */
+  def int8Quant(s: SparkSession, d: String): DataFrame = {
+    val px = vectors(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "xv")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("xv"))
+    val dims = px.groupBy("pos").agg(min("xv").as("mn"), max("xv").as("mx"))
+    val code = when(col("mx") > col("mn"),
+      least(lit(255L),
+        floor((col("xv") - col("mn")) * 255.0 / (col("mx") - col("mn")))))
+      .otherwise(lit(0L))
+    px.join(broadcast(dims), Seq("pos"))
+      .withColumn("code", code)
+      .withColumn("err6", floor(abs(
+        col("xv") - (col("mn") + col("code") * (col("mx") - col("mn")) / 255))
+        * KmeansFixedPoint))
+      .groupBy("vec_id")
+      .agg(sum("code").as("code_sum"), sum("err6").as("err6_sum"))
+      .orderBy("vec_id")
+  }
+
   /** Neighbors per query for the kNN label vote. */
   val KnnK = 10
 

@@ -1113,6 +1113,39 @@ object TextOps {
       md5(scrubbed).as("sig"))
   }
 
+  /** Shard count for [[exportShards]] / [[exportShardStats]]. */
+  val NumShards = 64L
+
+  /** Deterministic shard id of a document — hash of doc_id, so the
+    * assignment is reproducible, independent of row order/partitioning,
+    * and stable when other documents are added or removed (the
+    * [[splitStrata]] discipline applied to output sharding). */
+  def shardOf(docId: Column): Column =
+    h28(concat(lit("shard_"), docId)) % NumShards
+
+  /** Shard-assignment report: per shard, the document count, token
+    * total, and doc_id range — the balance check a pipeline runs before
+    * materializing training shards (hash sharding is balanced in
+    * expectation; this is the evidence). One per-row map + a
+    * [[NumShards]]-key agg with map-side partials. */
+  def exportShardStats(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
+      .select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
+  /** Materialize the corpus as [[NumShards]] hash-assigned training
+    * shards: one Hive-style `shard=K/` directory each, written in a
+    * single pass (`partitionBy` on the shard column — every executor
+    * writes its rows to their shard files directly; no extra shuffle,
+    * no driver loop). Readers get shard-pruned scans for free. */
+  def exportShards(docs: DataFrame, path: String): Unit =
+    docs.withColumn("shard", shardOf(col("doc_id")))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Multimodal plumbing: opaque binary payload + typed metadata. The
     * payload here derives from `text` (the container ships no media
     * libs); the schema/partitioning/metadata path is the real thing. */

@@ -647,6 +647,35 @@ object TextRegistry {
          |FROM documents ORDER BY doc_id""".stripMargin
     }),
 
+    "q_export_shards" -> e(TextOps.exportShardStats, {
+      val h = duckH28("'shard_'||doc_id")
+      s"""WITH a AS (SELECT doc_id, $h % ${TextOps.NumShards} AS shard,
+         |   len(string_split(text,' ')) AS n_tok FROM documents)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT)
+         |   AS total_tok,
+         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM a GROUP BY 1 ORDER BY shard""".stripMargin
+    }),
+
+    "q_int8_quant" -> e((s, d) => Similarity.int8Quant(s, d),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | px AS (SELECT vec_id, i AS pos, v[i] AS xv
+         |  FROM e CROSS JOIN range(1, 65) t(i)),
+         | dm AS (SELECT pos, min(xv) AS mn, max(xv) AS mx FROM px GROUP BY 1),
+         | c AS (SELECT vec_id, xv, mn, mx,
+         |   CASE WHEN mx > mn THEN least(255,
+         |     CAST(floor((xv - mn) * 255.0 / (mx - mn)) AS BIGINT))
+         |   ELSE 0 END AS code
+         |  FROM px JOIN dm USING (pos)),
+         | er AS (SELECT vec_id, code,
+         |   CAST(floor(abs(xv - (mn + code * (mx - mn) / 255))
+         |     * ${Similarity.KmeansFixedPoint}) AS BIGINT) AS err6
+         |  FROM c)
+         |SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+         | CAST(sum(err6) AS BIGINT) AS err6_sum
+         |FROM er GROUP BY 1 ORDER BY vec_id""".stripMargin),
+
     "q_dim_stats" -> e((s, d) => Similarity.dimStats(s, d),
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |   FROM embeddings),

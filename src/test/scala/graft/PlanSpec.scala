@@ -108,6 +108,14 @@ class PlanSpec extends SparkSpec {
     assert(bnlj == 0 || p.contains("BroadcastNestedLoopJoin Cross"))
   }
 
+  test("q_export_shards is map + shard-keyed agg; q_int8_quant broadcasts dims") {
+    val ex = plan("q_export_shards")
+    assert(!ex.contains("Join"), "shard stats must not join")
+    val q8 = plan("q_int8_quant")
+    assert(q8.contains("BroadcastExchange"), "64-row range table not broadcast")
+    assert(!q8.contains("CartesianProduct"))
+  }
+
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
     // the threshold filter must reach the stage's parquet scan — the
     // shared-stage rework keeps the query a pushed-filter file read, not

@@ -112,6 +112,60 @@ class TrainOpsSpec extends SparkSpec {
     assert(hitSomewhere, "dictionary should hit this corpus")
   }
 
+  test("exportShards: hash-partitioned write round-trips, stats agree") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = Sources.documents(spark, sf)
+    TextOps.exportShards(docs, dir)
+    // Hive-style shard dirs exist and the round-trip loses nothing
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val dirs = new java.io.File(dir).list().count(_.startsWith("shard="))
+    val stats = TextOps.exportShardStats(spark, sf)
+      .select("shard", "n_docs")
+      .as[(Long, Long)].collect()
+    assert(dirs == stats.length, "one directory per occupied shard")
+    assert(stats.map(_._2).sum == docs.count())
+    // written shard assignment matches the stats query's definition
+    val byShard = back.groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    stats.foreach { case (sh, n) => assert(byShard(sh) == n) }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("int8Quant: codes in range, zero error on degenerate dims, exact sums") {
+    val rows = Similarity.int8Quant(spark, sf)
+      .select("vec_id", "code_sum", "err6_sum")
+      .as[(Long, Long, Long)].collect()
+    val vecs = Sources.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    assert(rows.length == vecs.length)
+    // reference quantizer per vector
+    val dims = (0 until 64).map { p =>
+      val xs = vecs.map(_._2(p)); (xs.min, xs.max)
+    }
+    val byId = vecs.toMap
+    rows.foreach { case (id, codeSum, err6Sum) =>
+      val v = byId(id)
+      val codes = (0 until 64).map { p =>
+        val (mn, mx) = dims(p)
+        if (mx > mn) math.min(255L, math.floor((v(p) - mn) * 255.0 / (mx - mn)).toLong)
+        else 0L
+      }
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      assert(codeSum == codes.sum, s"vec $id code checksum")
+      val err6 = (0 until 64).map { p =>
+        val (mn, mx) = dims(p)
+        math.floor(math.abs(v(p) - (mn + codes(p) * (mx - mn) / 255)) *
+          Similarity.KmeansFixedPoint).toLong
+      }.sum
+      assert(err6Sum == err6, s"vec $id reconstruction error")
+      // max per-component error is one cell width: (mx-mn)/255
+      val worst = dims.map { case (mn, mx) => (mx - mn) / 255 }.max
+      assert(err6Sum <= 64 * worst * Similarity.KmeansFixedPoint + 64)
+    }
+  }
+
   test("dimStats: 64 rows, exact fixed-point means inside [mn, mx]") {
     val rows = Similarity.dimStats(spark, sf)
       .select("pos", "n", "sq", "mn", "mx", "m6")
