@@ -412,10 +412,15 @@ object TextOps {
   /** 2-token shingles in document order (empty for docs under 2 tokens)
     * — same vectorized zip_with-over-slices construction as
     * [[shingles3]], non-distinct (occurrence-weighted consumers). */
-  def shingles2(toks: Column): Column = {
-    val m = greatest(size(toks) - 1, lit(0))
-    zip_with(slice(toks, lit(1), m), slice(toks, lit(2), m),
-      (a, b) => concat(a, lit(" "), b))
+  def shingles2(toks: Column): Column = adjacentPairs(toks, " ")
+
+  /** Adjacent-element pairs of an array column joined by `sep` — the
+    * shared construction behind [[shingles2]] (token bigrams) and
+    * [[bpeStep]] (character pairs, empty separator). */
+  private def adjacentPairs(xs: Column, sep: String): Column = {
+    val m = greatest(size(xs) - 1, lit(0))
+    zip_with(slice(xs, lit(1), m), slice(xs, lit(2), m),
+      (a, b) => if (sep.isEmpty) concat(a, b) else concat(a, lit(sep), b))
   }
 
   /** Per-document repetition signals — the Gopher-style quality filters
@@ -1111,6 +1116,36 @@ object TextOps {
         .cast(LongType).as("n_hits"),
       length(scrubbed).cast(LongType).as("scrub_len"),
       md5(scrubbed).as("sig"))
+  }
+
+  /** Merge candidates reported per [[bpeStep]]. */
+  val BpeTopPairs = 20
+
+  /** One BPE tokenizer-training step: the occurrence-weighted counts of
+    * adjacent symbol pairs across the corpus, ranked — the table whose
+    * argmax IS the next BPE merge. Symbols here are the initial
+    * character alphabet (step 0 of the merge loop); iterating =
+    * re-running over re-segmented tokens with the learned merges
+    * applied.
+    *
+    * Scale (the trick that makes BPE trainable on a 100 TB corpus):
+    * pair counting runs over the DISTINCT-token table weighted by token
+    * frequency, never over raw text — the explode is
+    * O(distinct tokens × token length) (Zipf: ≪ corpus tokens) after
+    * one linear token-count agg. Top-K via TakeOrderedAndProject like
+    * [[vocabBuild]]. Counts are exact integers. */
+  def bpeStep(s: SparkSession, d: String): DataFrame = {
+    val freq = Sources.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val ord = Window.orderBy(col("c").desc, col("pair"))
+    freq.select(col("f"), split(col("tok"), "").as("ch"))
+      .select(col("f"), explode(adjacentPairs(col("ch"), "")).as("pair"))
+      .groupBy("pair").agg(sum("f").as("c"))
+      .orderBy(col("c").desc, col("pair")).limit(BpeTopPairs)
+      .withColumn("rk", row_number().over(ord).cast(LongType))
+      .select("rk", "pair", "c")
+      .orderBy("rk")
   }
 
   /** Shard count for [[exportShards]] / [[exportShardStats]]. */

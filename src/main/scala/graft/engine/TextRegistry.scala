@@ -647,6 +647,20 @@ object TextRegistry {
          |FROM documents ORDER BY doc_id""".stripMargin
     }),
 
+    "q_bpe_step" -> e(TextOps.bpeStep,
+      s"""WITH u AS (SELECT unnest(string_split(text,' ')) AS tok
+         |   FROM documents),
+         | g AS (SELECT tok, count(*) AS f FROM u GROUP BY 1),
+         | cs AS (SELECT f, string_split(tok, '') AS ch FROM g),
+         | p AS (SELECT f, unnest(list_transform(
+         |     range(1, greatest(len(ch)-1,0)+1),
+         |     i -> ch[i]||ch[i+1])) AS pair FROM cs),
+         | a AS (SELECT pair, CAST(sum(f) AS BIGINT) AS c FROM p GROUP BY 1),
+         | r AS (SELECT pair, c,
+         |   row_number() OVER (ORDER BY c DESC, pair) AS rk FROM a)
+         |SELECT CAST(rk AS BIGINT) AS rk, pair, c
+         |FROM r WHERE rk <= ${TextOps.BpeTopPairs} ORDER BY rk""".stripMargin),
+
     "q_export_shards" -> e(TextOps.exportShardStats, {
       val h = duckH28("'shard_'||doc_id")
       s"""WITH a AS (SELECT doc_id, $h % ${TextOps.NumShards} AS shard,

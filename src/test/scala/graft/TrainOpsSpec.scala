@@ -112,6 +112,23 @@ class TrainOpsSpec extends SparkSpec {
     assert(hitSomewhere, "dictionary should hit this corpus")
   }
 
+  test("bpeStep: pair counts match an occurrence-weighted reference") {
+    val rows = TextOps.bpeStep(spark, sf)
+      .select("rk", "pair", "c")
+      .as[(Long, String, Long)].collect()
+    assert(rows.length == TextOps.BpeTopPairs)
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    val tally = docs.iterator.flatMap(_._2.split(" ", -1))
+      .flatMap(t => t.sliding(2).filter(_.length == 2))
+      .foldLeft(Map.empty[String, Long]) { (m, p) =>
+        m.updated(p, m.getOrElse(p, 0L) + 1L)
+      }
+    rows.foreach { case (_, pair, c) => assert(tally(pair) == c, pair) }
+    val want = tally.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(rows.length).map(_._1)
+    assert(rows.map(_._2).toSeq == want)
+  }
+
   test("exportShards: hash-partitioned write round-trips, stats agree") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = Sources.documents(spark, sf)
