@@ -1148,6 +1148,57 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** Train `nMerges` BPE merges from the corpus — the standard
+    * big-corpus tokenizer-training split: ONE distributed pass
+    * aggregates the distinct-token frequency table (capped at the
+    * `maxTokens` most frequent — Zipf's law makes the tail irrelevant
+    * to merge selection), then the merge loop runs locally over that
+    * (small) table, exactly how SentencePiece/HF trainers consume a
+    * pre-aggregated word-count file. Merge k is the argmax of
+    * occurrence-weighted adjacent-pair counts (ties to the
+    * lexicographically smallest pair — deterministic); its first
+    * iteration selects precisely [[bpeStep]]'s rank-1 row (asserted in
+    * TrainOpsSpec). Returns the ordered merge list. */
+  def bpeTrain(s: SparkSession, d: String, nMerges: Int,
+      maxTokens: Int = 100000): Seq[(String, String)] = {
+    val freq = Sources.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("tok")).limit(maxTokens)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var words: Map[Vector[String], Long] =
+      freq.groupMapReduce { case (t, _) => t.split("").toVector }(_._2)(_ + _)
+    val merges = Seq.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < nMerges && !done) {
+      val pairs = words.iterator.flatMap { case (w, f) =>
+        w.iterator.zip(w.iterator.drop(1)).map(p => p -> f)
+      }.foldLeft(Map.empty[(String, String), Long]) { case (m, (p, f)) =>
+        m.updated(p, m.getOrElse(p, 0L) + f)
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val best = pairs.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.groupMapReduce { case (w, _) =>
+          // merge every non-overlapping occurrence, left to right
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < w.length) {
+            if (i + 1 < w.length && w(i) == best._1 && w(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += w(i); i += 1 }
+          }
+          out.result()
+        }(_._2)(_ + _)
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Shard count for [[exportShards]] / [[exportShardStats]]. */
   val NumShards = 64L
 

@@ -129,6 +129,35 @@ class TrainOpsSpec extends SparkSpec {
     assert(rows.map(_._2).toSeq == want)
   }
 
+  test("bpeTrain: first merge = bpeStep argmax; merges deterministic and effective") {
+    val merges = TextOps.bpeTrain(spark, sf, 8)
+    assert(merges.length == 8)
+    val top = TextOps.bpeStep(spark, sf)
+      .select("rk", "pair").as[(Long, String)].collect()
+      .find(_._1 == 1L).get._2
+    assert(merges.head._1 + merges.head._2 == top,
+      "first learned merge must be the bpeStep rank-1 pair")
+    assert(TextOps.bpeTrain(spark, sf, 8) == merges, "training must be deterministic")
+    // applying the merges shortens the segmentation of a token that
+    // contains the first learned pair (guaranteed compressible)
+    val pair = merges.head._1 + merges.head._2
+    val freqTok = docs.iterator.flatMap(_._2.split(" ", -1))
+      .find(_.contains(pair)).get
+    var seg = freqTok.split("").toVector
+    merges.foreach { case (a, b) =>
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < seg.length) {
+        if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += seg(i); i += 1 }
+      }
+      seg = out.result()
+    }
+    assert(seg.length < freqTok.length,
+      s"merges should compress '$freqTok': $seg")
+  }
+
   test("exportShards: hash-partitioned write round-trips, stats agree") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = Sources.documents(spark, sf)
