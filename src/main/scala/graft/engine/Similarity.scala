@@ -326,10 +326,9 @@ object Similarity {
     * partials. Two linear scans (range, quantize), no corpus shuffle
     * beyond the per-vector rollup. */
   def int8Quant(s: SparkSession, d: String): DataFrame = {
-    val px = vectors(s, d)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "xv")))
-      .select(col("vec_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("xv"))
+    // posQuantize's q column is unused here; Catalyst prunes it
+    val px = posQuantize(vectors(s, d), "vec_id")
+      .select("vec_id", "pos", "xv")
     val dims = px.groupBy("pos").agg(min("xv").as("mn"), max("xv").as("mx"))
     val code = when(col("mx") > col("mn"),
       least(lit(255L),

@@ -986,10 +986,17 @@ object TextOps {
     * so the single-partition window is safe). Counts and cumulative
     * counts are exact integers; coverage is one integer quotient cast
     * to double — bit-deterministic cross-engine. */
-  def vocabBuild(s: SparkSession, d: String): DataFrame = {
-    val counts = Sources.documents(s, d)
+  /** (tok, f) corpus token frequencies — one linear explode into a
+    * map-side-partial hash agg; the SINGLE definition of
+    * tokenization-for-counting behind [[vocabBuild]], [[bpeStep]] and
+    * [[bpeTrain]]. */
+  def tokenFreq(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+
+  def vocabBuild(s: SparkSession, d: String): DataFrame = {
+    val counts = tokenFreq(s, d).select(col("tok"), col("f").as("c"))
     val total = counts.agg(sum("c").as("tt"))
     val ord = Window.orderBy(col("c").desc, col("tok"))
     counts.orderBy(col("c").desc, col("tok")).limit(VocabSize)
@@ -1135,11 +1142,8 @@ object TextOps {
     * one linear token-count agg. Top-K via TakeOrderedAndProject like
     * [[vocabBuild]]. Counts are exact integers. */
   def bpeStep(s: SparkSession, d: String): DataFrame = {
-    val freq = Sources.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
     val ord = Window.orderBy(col("c").desc, col("pair"))
-    freq.select(col("f"), split(col("tok"), "").as("ch"))
+    tokenFreq(s, d).select(col("f"), split(col("tok"), "").as("ch"))
       .select(col("f"), explode(adjacentPairs(col("ch"), "")).as("pair"))
       .groupBy("pair").agg(sum("f").as("c"))
       .orderBy(col("c").desc, col("pair")).limit(BpeTopPairs)
@@ -1156,14 +1160,15 @@ object TextOps {
     * (small) table, exactly how SentencePiece/HF trainers consume a
     * pre-aggregated word-count file. Merge k is the argmax of
     * occurrence-weighted adjacent-pair counts (ties to the
-    * lexicographically smallest pair — deterministic); its first
-    * iteration selects precisely [[bpeStep]]'s rank-1 row (asserted in
-    * TrainOpsSpec). Returns the ordered merge list. */
+    * lexicographically smallest pair — deterministic). When the cap
+    * does not bind (distinct tokens ≤ `maxTokens`), the first iteration
+    * selects precisely [[bpeStep]]'s rank-1 row (asserted in
+    * TrainOpsSpec); with the cap binding, pair mass from the dropped
+    * Zipf tail is excluded — the standard trainer approximation.
+    * Returns the ordered merge list. */
   def bpeTrain(s: SparkSession, d: String, nMerges: Int,
       maxTokens: Int = 100000): Seq[(String, String)] = {
-    val freq = Sources.documents(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val freq = tokenFreq(s, d)
       .orderBy(col("f").desc, col("tok")).limit(maxTokens)
       .collect().map(r => r.getString(0) -> r.getLong(1))
     var words: Map[Vector[String], Long] =
@@ -1224,12 +1229,24 @@ object TextOps {
       .orderBy("shard")
 
   /** Materialize the corpus as [[NumShards]] hash-assigned training
-    * shards: one Hive-style `shard=K/` directory each, written in a
-    * single pass (`partitionBy` on the shard column — every executor
-    * writes its rows to their shard files directly; no extra shuffle,
-    * no driver loop). Readers get shard-pruned scans for free. */
-  def exportShards(docs: DataFrame, path: String): Unit =
+    * shards (Hive-style `shard=K/` directories), with the output file
+    * count BOUNDED: rows are first repartitioned on (shard, file
+    * bucket), so total files is O(NumShards × filesPerShard) regardless
+    * of how many input tasks the scan had. A bare `partitionBy` write
+    * (no repartition) has every input task open a file in every shard
+    * it touches — tasks × shards small files at 100 TB, the
+    * small-files failure `Layout.compact` exists to repair; the bucket
+    * column (vs repartitioning on shard alone) keeps `filesPerShard`
+    * writers per shard, so one shard is never a single 1.5 TB writer.
+    * Readers get shard-pruned scans for free. */
+  def exportShards(docs: DataFrame, path: String,
+      filesPerShard: Int = 4): Unit =
     docs.withColumn("shard", shardOf(col("doc_id")))
+      .withColumn("fb",
+        h28(concat(lit("file_"), col("doc_id"))) % filesPerShard)
+      .repartition((NumShards * filesPerShard).toInt,
+        col("shard"), col("fb"))
+      .drop("fb")
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
   /** Multimodal plumbing: opaque binary payload + typed metadata. The
