@@ -77,7 +77,7 @@ class PlanSpec extends SparkSpec {
   test("vocab/top-ngram top-K plans use TakeOrderedAndProject, not a global sort") {
     // per-partition heaps + a K·P driver merge — the property that lets
     // the rank run over a 100 TB corpus's vocabulary without a full sort
-    for (q <- Seq("q_vocab_build", "q_top_ngrams")) {
+    for (q <- Seq("q_vocab_build", "q_top_ngrams", "q_bpe_step")) {
       val p = plan(q)
       assert(p.contains("TakeOrderedAndProject"), s"$q lost the top-K plan")
     }
