@@ -409,6 +409,48 @@ object TextOps {
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     fingerprint(Sources.documents(s, d)).orderBy("doc_id")
 
+  /** Parts-per-million denominator for [[qualitySample]]. */
+  val QsPpm = 1000000L
+
+  /** Keep rates per quality grade (ppm) — high-quality text is kept
+    * whole, mid down-weighted, low heavily down-weighted: the
+    * quality-temperature mixing step of a pretraining data recipe.
+    * Ordered for deterministic SQL generation. */
+  val QsRates: Seq[(String, Long)] =
+    Seq("high" -> 1000000L, "mid" -> 500000L, "low" -> 100000L)
+
+  /** Quality-weighted (temperature) sampling report: grade each
+    * document with [[qualityScore]]'s thresholds, keep it iff
+    * `h28('qs_'||doc_id) mod 10^6 < rate(grade)` — membership is a pure
+    * hash of doc_id (reproducible, order-independent, stable under
+    * corpus growth, the [[mixSample]] discipline applied to quality
+    * strata), and report per grade the totals, the rate, and the kept
+    * doc/token counts. The grade flags are per-row ([[runStats]] fold —
+    * no explode, no join); the report is one 3-key agg. */
+  def qualitySample(s: SparkSession, d: String): DataFrame = {
+    val rate = QsRates.tail.foldLeft(
+      when(col("grade") === QsRates.head._1, lit(QsRates.head._2))) {
+      case (acc, (g, r)) => acc.when(col("grade") === g, lit(r))
+    }
+    Sources.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast(LongType))
+      .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
+      .withColumn("grade",
+        when(col("n_tok") >= 60 &&
+          col("n_uniq").cast("double") / col("n_tok") >= 0.55, lit("high"))
+          .when(col("n_tok") >= 30, lit("mid"))
+          .otherwise(lit("low")))
+      .withColumn("rate_ppm", rate)
+      .withColumn("keep",
+        h28(concat(lit("qs_"), col("doc_id"))) % QsPpm < col("rate_ppm"))
+      .groupBy("grade")
+      .agg(count(lit(1)).as("n_total"), first(col("rate_ppm")).as("rate_ppm"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tok"))
+      .orderBy("grade")
+  }
+
   /** 2-token shingles in document order (empty for docs under 2 tokens)
     * — same vectorized zip_with-over-slices construction as
     * [[shingles3]], non-distinct (occurrence-weighted consumers). */

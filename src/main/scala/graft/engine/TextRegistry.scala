@@ -647,6 +647,28 @@ object TextRegistry {
          |FROM documents ORDER BY doc_id""".stripMargin
     }),
 
+    "q_quality_sample" -> e(TextOps.qualitySample, {
+      val rateCase = "CASE grade " + TextOps.QsRates.map {
+        case (g, r) => s"WHEN '$g' THEN $r"
+      }.mkString(" ") + " END"
+      val keep = s"${duckH28("'qs_'||doc_id")} % ${TextOps.QsPpm} < rate_ppm"
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |   FROM documents),
+         | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
+         |  FROM u GROUP BY 1),
+         | f AS (SELECT doc_id, n_tok,
+         |   CASE WHEN n_tok >= 60 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.55
+         |     THEN 'high' WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS grade
+         |  FROM g),
+         | r AS (SELECT doc_id, n_tok, grade, $rateCase AS rate_ppm FROM f)
+         |SELECT grade, count(*) AS n_total,
+         | CAST(min(rate_ppm) AS BIGINT) AS rate_ppm,
+         | CAST(sum(CASE WHEN $keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         | CAST(sum(CASE WHEN $keep THEN n_tok ELSE 0 END) AS BIGINT)
+         |   AS kept_tok
+         |FROM r GROUP BY 1 ORDER BY grade""".stripMargin
+    }),
+
     "q_bpe_step" -> e(TextOps.bpeStep,
       s"""WITH u AS (SELECT unnest(string_split(text,' ')) AS tok
          |   FROM documents),

