@@ -173,14 +173,64 @@ object Similarity {
   /** One O(N·K) pass assigning every vector to its nearest fixed
     * centroid (max cosine, min-centroid-id tie-break): (vec_id, v, nm,
     * cell). Shared by [[simIvf]] and [[kmeansStep]]. */
-  def assignCells(vs: DataFrame): DataFrame = {
+  def assignCells(vs: DataFrame): DataFrame =
+    assignTo(vs, centroidsFixed(vs)).drop("c_cos")
+
+  /** Nearest-centroid (cosine) assignment against an arbitrary
+    * (c_id, cv, cnm) table — the broadcast O(N·K) pass shared by the
+    * fixed-sample queries and [[kmeansIterate]]'s refreshed rounds. */
+  private def assignTo(vs: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    vs.join(broadcast(centroidsFixed(vs)), lit(true))
+    vs.join(broadcast(cents), lit(true))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
       .withColumn("c_rk", row_number().over(wAssign))
       .filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("v"), col("nm"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("v"), col("nm"),
+        col("c_id").as("cell"), col("c_cos"))
+  }
+
+  /** Full Lloyd loop: `iters` rounds of broadcast assignment +
+    * fixed-point mean recompute, starting from the fixed centroid
+    * sample. Per round, the K×64 mean table (the ONLY thing that is
+    * not corpus-sized) collects to the driver and becomes the next
+    * round's broadcast — the corpus itself never moves, each round is
+    * one O(N·K) map pass plus one (cell, pos)-keyed agg, the
+    * [[kmeansStep]] shape iterated. Cells that lose all members drop
+    * out (standard Lloyd behavior). Returns the per-round mean
+    * best-cosine (the spherical k-means objective, non-decreasing up
+    * to the 1e-6 fixed-point quantization — asserted in
+    * SimilaritySpec). */
+  def kmeansIterate(s: SparkSession, d: String, iters: Int): Seq[Double] = {
+    import s.implicits._
+    val vs = vectors(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = centroidsFixed(vs)
+      val quality = Seq.newBuilder[Double]
+      for (_ <- 1 to iters) {
+        val assigned = assignTo(vs, cents)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          quality += assigned.agg(avg(col("c_cos"))).head().getDouble(0)
+          val means = assigned
+            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "xv")))
+            .select(col("cell"), col("pos"),
+              floor(col("xv") * KmeansFixedPoint).as("q"))
+            .groupBy("cell", "pos")
+            .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+            .select(col("cell"), col("pos"), m6Col.as("m"))
+            .collect()
+          val next = means.groupBy(_.getLong(0)).toSeq.map { case (c, rows) =>
+            val arr = new Array[Double](64)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            (c, arr.toSeq)
+          }
+          cents = next.toDF("c_id", "cv").withColumn("cnm", l2norm(col("cv")))
+        } finally assigned.unpersist()
+      }
+      quality.result()
+    } finally vs.unpersist()
   }
 
   def simIvf(s: SparkSession, d: String, k: Int = 3): DataFrame = {

@@ -81,6 +81,20 @@ class SimilaritySpec extends SparkSpec {
     assert(cell20.map(_._5).toSeq == Seq(0.0, 1.0, 0.0, 0.0))
   }
 
+  test("kmeansIterate: spherical objective non-decreasing across rounds") {
+    val quality = Similarity.kmeansIterate(spark, sf, 4)
+    assert(quality.length == 4)
+    // Lloyd monotonicity, up to the 1e-6 fixed-point quantization of
+    // the mean update (each round's assignment + renormalized-mean
+    // update cannot decrease the mean best-cosine)
+    quality.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-4, s"objective dropped: $quality")
+    case _ => ()
+    }
+    // and it genuinely improves over the arbitrary hash-sampled start
+    assert(quality.last > quality.head)
+  }
+
   test("dedupEmbedBanded: more bands find a superset of verified pairs") {
     val vs = Similarity.vectors(spark, sf)
     def pairs(bands: Int) =
