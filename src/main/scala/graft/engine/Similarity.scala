@@ -190,17 +190,29 @@ object Similarity {
         col("c_id").as("cell"), col("c_cos"))
   }
 
-  /** Full Lloyd loop: `iters` rounds of broadcast assignment +
-    * fixed-point mean recompute, starting from the fixed centroid
-    * sample. Per round, the K×64 mean table (the ONLY thing that is
-    * not corpus-sized) collects to the driver and becomes the next
-    * round's broadcast — the corpus itself never moves, each round is
-    * one O(N·K) map pass plus one (cell, pos)-keyed agg, the
-    * [[kmeansStep]] shape iterated. Cells that lose all members drop
-    * out (standard Lloyd behavior). Returns the per-round mean
-    * best-cosine (the spherical k-means objective, non-decreasing up
-    * to the 1e-6 fixed-point quantization — asserted in
-    * SimilaritySpec). */
+  /** Full spherical-k-means Lloyd loop: `iters` rounds of broadcast
+    * assignment + fixed-point mean recompute, starting from the fixed
+    * centroid sample. The update averages the NORMALIZED members
+    * (xv/nm) — for the cosine objective the summed-cosine maximizer of
+    * a cell is the direction of Σ v/|v|, so averaging raw vectors
+    * (which a euclidean Lloyd step would do) could DECREASE the
+    * objective whenever member norms are skewed; the normalized mean
+    * is what makes the monotonicity assertion in SimilaritySpec sound.
+    * (Deliberately NOT [[posQuantize]]: that is the raw-component
+    * discipline shared with the oracle-checked queries; this quantizes
+    * normalized components, and its 0-based pos never leaves the
+    * driver-side rebuild below.) All-zero quantized means (possible
+    * when a cell's members cancel) are dropped with the cell — a
+    * zero-norm centroid would divide by zero in the next assignment.
+    *
+    * Per round, the K×64 mean table (the ONLY thing that is not
+    * corpus-sized) collects to the driver and becomes the next round's
+    * broadcast — the corpus itself never moves; each round is one
+    * O(N·K) map pass plus one (cell, pos)-keyed agg, the
+    * [[kmeansStep]] shape iterated; the update is skipped on the final
+    * round (its result would be discarded). Cells that lose all
+    * members drop out (standard Lloyd behavior). Returns the
+    * per-round mean best-cosine. */
   def kmeansIterate(s: SparkSession, d: String, iters: Int): Seq[Double] = {
     import s.implicits._
     val vs = vectors(s, d)
@@ -208,25 +220,31 @@ object Similarity {
     try {
       var cents = centroidsFixed(vs)
       val quality = Seq.newBuilder[Double]
-      for (_ <- 1 to iters) {
+      for (round <- 1 to iters) {
         val assigned = assignTo(vs, cents)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           quality += assigned.agg(avg(col("c_cos"))).head().getDouble(0)
-          val means = assigned
-            .select(col("cell"), posexplode(col("v")).as(Seq("pos", "xv")))
-            .select(col("cell"), col("pos"),
-              floor(col("xv") * KmeansFixedPoint).as("q"))
-            .groupBy("cell", "pos")
-            .agg(count(lit(1)).as("n"), sum("q").as("sq"))
-            .select(col("cell"), col("pos"), m6Col.as("m"))
-            .collect()
-          val next = means.groupBy(_.getLong(0)).toSeq.map { case (c, rows) =>
-            val arr = new Array[Double](64)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-            (c, arr.toSeq)
+          if (round < iters) {
+            val means = assigned
+              .select(col("cell"),
+                posexplode(transform(col("v"), x => x / col("nm")))
+                  .as(Seq("pos", "xv")))
+              .select(col("cell"), col("pos"),
+                floor(col("xv") * KmeansFixedPoint).as("q"))
+              .groupBy("cell", "pos")
+              .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+              .select(col("cell"), col("pos"), m6Col.as("m"))
+              .collect()
+            val next = means.groupBy(_.getLong(0)).toSeq.flatMap {
+              case (c, rows) =>
+                val arr = new Array[Double](64)
+                rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+                if (arr.exists(_ != 0.0)) Some((c, arr.toSeq)) else None
+            }
+            cents = next.toDF("c_id", "cv")
+              .withColumn("cnm", l2norm(col("cv")))
           }
-          cents = next.toDF("c_id", "cv").withColumn("cnm", l2norm(col("cv")))
         } finally assigned.unpersist()
       }
       quality.result()

@@ -390,6 +390,26 @@ object TextOps {
       .select("doc_id", "lang", "n_tok", "n_stop", "stop_ratio", "pred_lang")
       .orderBy("doc_id")
 
+  /** Quality-grade thresholds — single-sourced into [[qualityScore]],
+    * [[qualitySample]] and both generated oracles. */
+  val QHighTok = 60L
+  val QHighTtr = 0.55
+  val QMidTok = 30L
+
+  /** The grade column over (n_tok, n_uniq) — the ONE definition of the
+    * high/mid/low quality strata. */
+  def gradeCol(nTok: Column, nUniq: Column): Column =
+    when(nTok >= QHighTok && nUniq.cast("double") / nTok >= QHighTtr,
+      lit("high"))
+      .when(nTok >= QMidTok, lit("mid"))
+      .otherwise(lit("low"))
+
+  /** DuckDB twin of [[gradeCol]]. */
+  def duckGrade(nTok: String, nUniq: String): String =
+    s"CASE WHEN $nTok >= $QHighTok AND CAST($nUniq AS DOUBLE)/$nTok " +
+      s">= $QHighTtr THEN 'high' WHEN $nTok >= $QMidTok THEN 'mid' " +
+      "ELSE 'low' END"
+
   def qualityScore(s: SparkSession, d: String): DataFrame =
     Sources.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -399,10 +419,7 @@ object TextOps {
         sum(length(col("tok"))).as("sum_len"))
       .withColumn("ttr", col("n_uniq").cast("double") / col("n_tok"))
       .withColumn("mean_tok_len", col("sum_len").cast("double") / col("n_tok"))
-      .withColumn("grade",
-        when(col("n_tok") >= 60 && col("ttr") >= 0.55, lit("high"))
-          .when(col("n_tok") >= 30, lit("mid"))
-          .otherwise(lit("low")))
+      .withColumn("grade", gradeCol(col("n_tok"), col("n_uniq")))
       .select("doc_id", "n_tok", "n_uniq", "ttr", "mean_tok_len", "grade")
       .orderBy("doc_id")
 
@@ -436,11 +453,7 @@ object TextOps {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
-      .withColumn("grade",
-        when(col("n_tok") >= 60 &&
-          col("n_uniq").cast("double") / col("n_tok") >= 0.55, lit("high"))
-          .when(col("n_tok") >= 30, lit("mid"))
-          .otherwise(lit("low")))
+      .withColumn("grade", gradeCol(col("n_tok"), col("n_uniq")))
       .withColumn("rate_ppm", rate)
       .withColumn("keep",
         h28(concat(lit("qs_"), col("doc_id"))) % QsPpm < col("rate_ppm"))

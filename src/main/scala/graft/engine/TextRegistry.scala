@@ -138,16 +138,15 @@ object TextRegistry {
         |FROM g ORDER BY doc_id""".stripMargin),
 
     "q_quality_score" -> e(TextOps.qualityScore,
-      """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
-        |  FROM documents),
-        | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
-        |   CAST(sum(length(tok)) AS BIGINT) AS sum_len FROM u GROUP BY 1)
-        |SELECT doc_id, n_tok, n_uniq,
-        | CAST(n_uniq AS DOUBLE)/n_tok AS ttr,
-        | CAST(sum_len AS DOUBLE)/n_tok AS mean_tok_len,
-        | CASE WHEN n_tok >= 60 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.55 THEN 'high'
-        |      WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS grade
-        |FROM g ORDER BY doc_id""".stripMargin),
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq,
+         |   CAST(sum(length(tok)) AS BIGINT) AS sum_len FROM u GROUP BY 1)
+         |SELECT doc_id, n_tok, n_uniq,
+         | CAST(n_uniq AS DOUBLE)/n_tok AS ttr,
+         | CAST(sum_len AS DOUBLE)/n_tok AS mean_tok_len,
+         | ${TextOps.duckGrade("n_tok", "n_uniq")} AS grade
+         |FROM g ORDER BY doc_id""".stripMargin),
 
     "q_repetition" -> e(TextOps.repetitionStats,
       s"""WITH $toksCte,
@@ -657,8 +656,7 @@ object TextRegistry {
          | g AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_uniq
          |  FROM u GROUP BY 1),
          | f AS (SELECT doc_id, n_tok,
-         |   CASE WHEN n_tok >= 60 AND CAST(n_uniq AS DOUBLE)/n_tok >= 0.55
-         |     THEN 'high' WHEN n_tok >= 30 THEN 'mid' ELSE 'low' END AS grade
+         |   ${TextOps.duckGrade("n_tok", "n_uniq")} AS grade
          |  FROM g),
          | r AS (SELECT doc_id, n_tok, grade, $rateCase AS rate_ppm FROM f)
          |SELECT grade, count(*) AS n_total,

@@ -125,12 +125,24 @@ class TrainOpsSpec extends SparkSpec {
     }
     // totals cover the corpus; high-rate strata keep proportionally more
     assert(rows.map(_._2).sum == docs.length.toLong)
-    // reference: recompute keep decision per doc via the engine's own
-    // grade columns (hash membership is engine-side; we check counts)
+    // reference: recompute the whole per-doc decision — grade from
+    // qualityScore, hash membership by evaluating h28 per doc — and
+    // aggregate independently; a wrong modulus, inverted comparison or
+    // rate mis-mapping fails here even when per-grade totals look sane
     val graded = TextOps.qualityScore(spark, sf)
       .select("doc_id", "grade").as[(Long, String)].collect()
     val totals = graded.groupBy(_._2).view.mapValues(_.length.toLong).toMap
     rows.foreach { case (g, total, _, _, _) => assert(totals(g) == total) }
+    val hashes = Sources.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.engine.PortableHash.h28(concat(lit("qs_"), col("doc_id"))))
+      .as[(Long, Long)].collect().toMap
+    val keptRef = graded.groupBy(_._2).view.mapValues(_.count { case (id, g) =>
+      hashes(id) % TextOps.QsPpm < rates(g)
+    }.toLong).toMap
+    rows.foreach { case (g, _, _, kept, _) =>
+      assert(keptRef(g) == kept, s"grade $g kept count vs reference")
+    }
   }
 
   test("bpeStep: pair counts match an occurrence-weighted reference") {
