@@ -170,6 +170,24 @@ object ScaleProbe {
       println(f"SCALEPROBE pq k=$k corpus=$n codes=$codes ${secs}%.2f s")
     }
 
+    // Hash-family leg: identical dedup pipeline, MD5-portable h28 vs
+    // xxhash64 fast28 — the measured gap behind SCALE.md's "swap for
+    // xxhash64 in production" knob. Pair counts differ slightly (a
+    // different hash family shuffles LSH buckets); the pipeline and
+    // exact-Jaccard verification are identical.
+    def timePairs(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column): (Double, Long) = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = TextOps.jaccardPairs(copies(4), 0.8, h).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    import graft.engine.PortableHash
+    timePairs(PortableHash.h28) // warm
+    timePairs(PortableHash.fast28)
+    val (tp, np) = timePairs(PortableHash.h28)
+    val (tf, nf) = timePairs(PortableHash.fast28)
+    println(f"SCALEPROBE hashfamily portable=$tp%.2f s ($np pairs) fast=$tf%.2f s ($nf pairs)")
+
     // Corpus-statistics leg: the n-gram familiarity pipeline (explode →
     // gram-keyed count agg → join-back → doc rollup). The Caesar shift
     // multiplies BOTH corpus bigrams and distinct bigrams by k (copies

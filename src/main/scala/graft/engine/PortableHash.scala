@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * the same lowercase hex, and 7 hex digits fit integer arithmetic with
   * headroom (a*x+b stays far below 2^63 for 32-bit constants `a`).
   *
-  * At 100 TB scale a caller can swap [[h28]] for `xxhash64` via the
-  * `hashCol` parameters on the TextOps operators — the pipeline shape is
-  * identical; only the hash family changes.
+  * At 100 TB scale a caller can swap [[h28]] for [[fast28]] (xxhash64)
+  * via the `hash` parameter on the TextOps signature-pipeline entry
+  * points — the pipeline shape is identical; only the hash family
+  * changes (measured gap recorded in SCALE.md).
   */
 object PortableHash {
 
@@ -33,6 +34,14 @@ object PortableHash {
     * DuckDB-side formulation in [[duckH28]], but without the hex-string
     * round-trip per row). */
   def h28(c: Column): Column = graft.functions.Md5Prefix28.h28(c)
+
+  /** Production hash family: xxhash64 truncated to 28 bits (bitwise
+    * AND keeps the value in [0, 2^28) — `abs` would overflow on
+    * Long.MinValue). Same range as [[h28]], so the MinHash family
+    * arithmetic keeps its overflow headroom; no MD5, codegen'd
+    * built-in, no cross-engine oracle twin — production only. */
+  def fast28(c: Column): Column =
+    xxhash64(c).bitwiseAND(lit((1L << 28) - 1))
 
   /** The j-th MinHash-family hash of an h28 value. */
   def minhashJ(x: Column, j: Int): Column =

@@ -90,16 +90,20 @@ object TextOps {
     * the explode semantics. The hash array is materialized in its own
     * projection first — a spliced `transform(h28(...))` would re-hash
     * per array_min ([[shingleSets]]'s lesson). */
-  def minhashSignatureFromSets(sets: DataFrame): DataFrame = {
+  def minhashSignatureFromSets(sets: DataFrame,
+      hash: Column => Column = h28): DataFrame = {
     val hx = sets.filter(size(col("s")) > 0)
-      .select(col("doc_id"), transform(col("s"), sh => h28(sh)).as("hx"))
+      .select(col("doc_id"), transform(col("s"), sh => hash(sh)).as("hx"))
     withSignatureFromHx(hx)
       .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*)
   }
 
-  /** MinHash signature straight from documents. */
-  def minhashSignature(docs: DataFrame): DataFrame =
-    minhashSignatureFromSets(shingleSets(docs))
+  /** MinHash signature straight from documents. `hash` selects the
+    * family: [[PortableHash.h28]] (oracle parity, default) or
+    * [[PortableHash.fast28]] (xxhash64, production throughput). */
+  def minhashSignature(docs: DataFrame,
+      hash: Column => Column = h28): DataFrame =
+    minhashSignatureFromSets(shingleSets(docs), hash)
 
   /** LSH band rows: (doc_id, band, sig) — docs sharing a (band, sig)
     * bucket are near-dup candidates. */
@@ -147,10 +151,11 @@ object TextOps {
     * clearCache()` or unpersist) — repeated callers on a long-lived
     * session should prefer the [[Stages]]-backed query paths.
     */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+      hash: Column => Column = h28): DataFrame = {
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatureFromSets(sets)
+    val sig = minhashSignatureFromSets(sets, hash)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardPairsFrom(sets, sig, threshold)
   }

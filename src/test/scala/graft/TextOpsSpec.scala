@@ -78,6 +78,22 @@ class TextOpsSpec extends SparkSpec {
     assert(verified.filter(col("jacc") < 0.8).count() == 0)
   }
 
+  test("fast28 hash family: same pipeline, in-range values, dups still found") {
+    val docs = Sources.documents(spark, sf)
+    // values stay in the family's [0, 2^28) envelope (overflow headroom
+    // for the a·x+b minhash arithmetic)
+    val hx = docs.select(graft.engine.PortableHash.fast28(col("text")).as("x"))
+      .agg(min(col("x")), max(col("x"))).as[(Long, Long)].head()
+    assert(hx._1 >= 0L && hx._2 < (1L << 28))
+    // the production family finds the planted near-dups too: exact
+    // Jaccard verification is hash-independent, only candidate
+    // generation (LSH buckets) changes
+    val fast = TextOps.jaccardPairs(docs, 0.8, graft.engine.PortableHash.fast28)
+    assert(fast.count() > 0)
+    assert(fast.filter(col("jacc") < 0.8).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("simhash of identical token multisets is identical") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "x y z")).toDF("doc_id", "text")
     val out = TextOps.simhash(df).orderBy("doc_id").as[(Long, Long)].collect()
