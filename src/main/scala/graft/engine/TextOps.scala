@@ -449,12 +449,17 @@ object TextOps {
     * strata), and report per grade the totals, the rate, and the kept
     * doc/token counts. The grade flags are per-row ([[runStats]] fold —
     * no explode, no join); the report is one 3-key agg. */
-  def qualitySample(s: SparkSession, d: String): DataFrame = {
+  /** Per-document quality flags + sampling decision — stateless per
+    * row (the [[runStats]] fold), the shared front half of
+    * [[qualitySample]] and the streaming at-ingest quality gate
+    * (`StreamOps.qualityGateStream`). Emits (doc_id, n_tok, n_uniq,
+    * grade, rate_ppm, keep). */
+  def qualityFlags(docs: DataFrame): DataFrame = {
     val rate = QsRates.tail.foldLeft(
       when(col("grade") === QsRates.head._1, lit(QsRates.head._2))) {
       case (acc, (g, r)) => acc.when(col("grade") === g, lit(r))
     }
-    Sources.documents(s, d)
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
@@ -462,12 +467,16 @@ object TextOps {
       .withColumn("rate_ppm", rate)
       .withColumn("keep",
         h28(concat(lit("qs_"), col("doc_id"))) % QsPpm < col("rate_ppm"))
+      .select("doc_id", "n_tok", "n_uniq", "grade", "rate_ppm", "keep")
+  }
+
+  def qualitySample(s: SparkSession, d: String): DataFrame =
+    qualityFlags(Sources.documents(s, d))
       .groupBy("grade")
       .agg(count(lit(1)).as("n_total"), first(col("rate_ppm")).as("rate_ppm"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("keep"), col("n_tok")).otherwise(0L)).as("kept_tok"))
       .orderBy("grade")
-  }
 
   /** 2-token shingles in document order (empty for docs under 2 tokens)
     * — same vectorized zip_with-over-slices construction as

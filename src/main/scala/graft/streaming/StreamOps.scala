@@ -191,6 +191,18 @@ object StreamOps {
   def scrubStream(docs: DataFrame): DataFrame =
     graft.engine.TextOps.scrubOf(docs)
 
+  /** Streaming quality gate — at-ingest quality filtering: grade each
+    * arriving document ([[graft.engine.TextOps.qualityFlags]]'s per-row
+    * fold — no explode, no shuffle, no state) and keep it per the
+    * quality-temperature sampling decision. The batch twin is
+    * `q_quality_sample`; membership is a pure hash of doc_id, so a
+    * document admitted on the stream is exactly the document the batch
+    * recipe would keep — replaying the stream reproduces the corpus. */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.engine.TextOps.qualityFlags(docs)
+      .filter(col("keep"))
+      .select("doc_id", "n_tok", "grade")
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -142,6 +142,28 @@ class StreamingSpec extends SparkSpec {
       ((80 - 1) / TextOps.ChunkStride + 1), s"got ${out.length}")
   }
 
+  test("qualityGateStream admits exactly the batch recipe's keep set") {
+    implicit val sq = spark.sqlContext
+    import graft.engine.TextOps
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.qualityGateStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qg").outputMode(OutputMode.Append)
+      .start()
+    // 40 distinct-token docs (mid grade, 50% keep) + one 3-token doc
+    // (low grade, 10% keep)
+    val docs = (1L to 40L).map(i =>
+      (i, (0 until 40).map(j => s"w${i}_$j").mkString(" "))) :+
+      (99L, "a b c")
+    mem.addData(docs: _*)
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("qg").select("doc_id").as[Long].collect().toSet
+    // reference decision from the batch flags on the same frame
+    val want = TextOps.qualityFlags(docs.toDF("doc_id", "text"))
+      .filter("keep").select("doc_id").as[Long].collect().toSet
+    assert(kept == want)
+    assert(kept.nonEmpty && kept.size < docs.size, "gate must actually sample")
+  }
+
   test("scrubStream redacts in-flight, matching the batch scrub per row") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
