@@ -24,7 +24,13 @@ object Components {
     * @param maxIter safety cap on propagation rounds (rounds needed =
     *              component diameter). Hitting the cap before fixpoint
     *              THROWS — partial labels are wrong answers, not results.
-    * @return (id, component) — component = min node id reachable. */
+    * @return (id, component) — component = min node id reachable. The
+    *         frame is returned PERSISTED (MEMORY_AND_DISK): callers
+    *         typically consume it more than once (cluster rollup +
+    *         anti-join). Unpersist it (or `spark.catalog.clearCache()`,
+    *         as Verify/Bench do between queries) when done — repeated
+    *         calls on a long-lived session otherwise accumulate cached
+    *         label frames. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 100): DataFrame = {
     // the label-sum convergence check needs an exact integer sum: a
     // non-numeric id would cast to null (ANSI off), making the sum a
@@ -59,7 +65,19 @@ object Components {
     // reuse them — no exchange at session width, and no toggling of the
     // session-global spark.sql.shuffle.partitions (which would leak into
     // any query running concurrently on the same session).
-    val nEdges = sym0.count()
+    // One pass materializes the cache, sizes the shuffles AND rejects
+    // null node ids: the inner join on `nb` silently drops null-keyed
+    // rows, so a null id would absorb neighbors' labels without ever
+    // propagating back — components joined only through a null would
+    // quietly stay unmerged (this module refuses, never returns partial
+    // labels). The type guard above cannot catch nulls.
+    val firstPass = sym0.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("id").isNull || col("nb").isNull, 1L)
+        .otherwise(0L)), lit(0L)).as("nulls")).head()
+    require(firstPass.getLong(1) == 0L,
+      s"connectedComponents: ${firstPass.getLong(1)} edge endpoints are " +
+        "null — null ids break min-label propagation; filter or map them first")
+    val nEdges = firstPass.getLong(0)
     val parts = math.max(1L, math.min(10000L, nEdges / 100000L + 1)).toInt
     // Self-loops fold the "keep my own label" term into the neighbor
     // minimum, so each round is ONE co-partitioned join + agg — the
@@ -77,7 +95,8 @@ object Components {
     // the round's materialization, no prev-vs-next join. Exact decimal
     // sum — a long could wrap at extreme id×node scales.
     def labelSum(df: DataFrame): BigDecimal = {
-      val v = df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      val v = df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
       if (v == null) BigDecimal(0) else BigDecimal(v)
     }
     var prevSum: Option[BigDecimal] = None

@@ -29,12 +29,17 @@ object Layout {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
-  /** Day-partitioned event layout: `day=YYYY-MM-DD/` directories. */
-  def writePartitionedByDay(df: DataFrame, path: String, tsCol: String): Unit =
+  /** Day-partitioned event layout: `day=YYYY-MM-DD/` directories.
+    * Refuses a frame that already carries a `day` column — withColumn
+    * would silently overwrite it. */
+  def writePartitionedByDay(df: DataFrame, path: String, tsCol: String): Unit = {
+    require(!df.columns.contains("day"),
+      "input already has a 'day' column; rename it or partition manually")
     df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("day")
       .parquet(path)
+  }
 
   /** Compact a parquet table to ~`targetMB` files — the small-files
     * repair every long-lived warehouse needs (each append job leaves one
@@ -79,11 +84,19 @@ object Layout {
     val leafList =
       if (pcols.isEmpty) Seq.empty
       else leafPartitions(fs, p, pcols.length)
+    if (bytes == 0) return // nothing to compact (and no schema to probe)
     val df0 =
       if (pcols.isEmpty) spark.read.parquet(path)
       else {
         import org.apache.spark.sql.types.{StringType, StructField, StructType}
-        val dataSchema = spark.read.parquet(leafList.head._2.toString).schema
+        // merge the data schema across ALL leaves, not one arbitrary
+        // leaf: under schema evolution a single-leaf probe would drop
+        // the columns that leaf predates — and overwriteInPlace would
+        // rewrite the table without them (permanent data loss). The
+        // footer reads are noise next to the full rewrite that follows;
+        // empty leaf dirs contribute no files and are harmless.
+        val dataSchema = spark.read.option("mergeSchema", "true")
+          .parquet(leafList.map(_._2.toString): _*).schema
         val full = StructType(dataSchema.fields.toIndexedSeq ++
           pcols.map(c => StructField(c, StringType, nullable = true)))
         spark.read.schema(full).parquet(path)
@@ -124,14 +137,37 @@ object Layout {
     else fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .flatMap { d =>
-        val raw = java.net.URLDecoder.decode(
-          d.getPath.getName.split("=", 2)(1), "UTF-8")
+        val raw = unescapeHive(d.getPath.getName.split("=", 2)(1))
         // Spark reads the Hive null-sentinel directory back as null
         val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
         leafPartitions(fs, d.getPath, depth - 1).map {
           case (vs, lp) => (v +: vs, lp)
         }
       }
+
+  /** Hive partition-path unescape: decode `%xx` sequences ONLY —
+    * java.net.URLDecoder additionally turns '+' into a space, which
+    * Hive escaping never produces, so a partition value containing a
+    * literal '+' would decode wrong, miss the per-value salt join, and
+    * collapse that value to a single file (the very failure the salt
+    * exists to prevent). Mirrors Spark's unescapePathName; a '%' not
+    * followed by two hex digits passes through literally. */
+  private[engine] def unescapeHive(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val hex = if (c == '%' && i + 2 < s.length)
+        try Some(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        catch { case _: NumberFormatException => None }
+      else None
+      hex match {
+        case Some(code) => sb.append(code.toChar); i += 3
+        case None => sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** Hive partition columns of an on-disk layout, outermost first: each
     * directory level whose children are all `name=value` dirs with one
@@ -162,6 +198,10 @@ object Layout {
     * to `fact.join(dim, key)`. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
+    // the identical-result contract forbids silently clobbering a
+    // user column named __salt (withColumn replaces by name)
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "input already has a '__salt' column; rename it before saltedJoin")
     val salted = fact.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val replicated = dim.withColumn("__salt",

@@ -116,28 +116,41 @@ object Stages {
         val fs = new org.apache.hadoop.fs.Path(p)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val ptr = new org.apache.hadoop.fs.Path(s"$p.ptr")
-        if (!fs.exists(ptr)) {
-          val attempt = new org.apache.hadoop.fs.Path(
-            s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
-          build.write.mode("overwrite").parquet(attempt.toString)
-          if (!publish(fs, ptr, attempt.toString)) {
-            // clean loss (our create-exclusive threw pointer-exists: we
-            // never published our path anywhere) — ours is unreferenced
-            fs.delete(attempt, true)
-          } else if (readPointer(fs, ptr) != attempt.toString) {
-            // we thought we won but the pointer names someone else: a
+        var resolved: String = null
+        var rounds = 0
+        while (resolved == null) {
+          rounds += 1
+          if (!fs.exists(ptr)) {
+            val attempt = new org.apache.hadoop.fs.Path(
+              s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
+            build.write.mode("overwrite").parquet(attempt.toString)
+            if (!publish(fs, ptr, attempt.toString)) {
+              // clean loss (our create-exclusive threw pointer-exists: we
+              // never published our path anywhere) — ours is unreferenced
+              fs.delete(attempt, true)
+            }
+            // If we "won" but the pointer ends up naming someone else, a
             // filesystem without atomic create-exclusive (S3A, NFS) let
             // two writers through the election. Another JVM may already
             // have resolved OUR attempt before the content flipped, so
             // deleting either output here risks dangling readers — leave
             // both for the age-gated reaper and follow the pointer.
-            ()
           }
-          // best-effort reap of attempts no pointer references (crashed
-          // writers / double-win losers), age-gated — see ReapAgeMs.
-          reapStaleAttempts(fs, p, readPointer(fs, ptr))
+          try resolved = readPointer(fs, ptr)
+          catch {
+            // a publisher whose post-win write failed deletes its broken
+            // pointer (see publish); a reader that raced past the
+            // exists-check must RE-ELECT, not crash — bounded so a
+            // persistently vanishing pointer still surfaces as an error
+            case _: java.io.FileNotFoundException if rounds < 3 => ()
+          }
         }
-        val resolved = readPointer(fs, ptr)
+        // reap on EVERY memo miss, not only the build branch: double-win
+        // losers and crashed writers from past sessions must remain
+        // collectable after the pointer exists, else they leak forever
+        // on a persistent root. Age-gated + name-keyed, so it never
+        // touches the resolved output or an in-flight build.
+        reapStaleAttempts(fs, p, resolved)
         done.put(key, resolved)
         resolved
       }
