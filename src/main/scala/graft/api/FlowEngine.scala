@@ -102,13 +102,32 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
         None
     }
 
+  /** After any mutation, the table's registered view and Spark's file
+    * index must see the new files: temp views pin the `InMemoryFileIndex`
+    * listed at connect() time, so without a refresh a subsequent
+    * `getData` silently reads STALE rows after an append — or crashes
+    * with FILE_NOT_EXIST after a rewrite renamed the old files away.
+    * (The reference's MSSQL connection always sees current data.) */
+  private def refreshTable(table: String): Unit = {
+    spark.catalog.refreshByPath(tablePath(table))
+    if (registered.contains(table))
+      spark.read.parquet(tablePath(table)).createOrReplaceTempView(table)
+  }
+
   /** Chunked append (`insert_data`, `sql.py:174-188`): `chunkRows` maps
-    * the reference's chunk size onto a partition count. */
+    * the reference's chunk size onto a partition count. The input is
+    * persisted around the count + write so the records plan executes
+    * once, not twice (and a non-deterministic input cannot yield a
+    * chunk count inconsistent with the rows written). */
   def insertData(table: String, records: DataFrame, chunkRows: Int = 10000): Unit = {
-    // ceil, not floor: floor put up to 2·chunkRows-1 rows in one chunk
-    val n = records.count()
-    val parts = math.max(1L, (n + chunkRows - 1) / math.max(1, chunkRows)).toInt
-    Sinks.append(records, tablePath(table), parts)
+    records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ceil, not floor: floor put up to 2·chunkRows-1 rows in one chunk
+      val n = records.count()
+      val parts = math.max(1L, (n + chunkRows - 1) / math.max(1, chunkRows)).toInt
+      Sinks.append(records, tablePath(table), parts)
+    } finally records.unpersist()
+    refreshTable(table)
   }
 
   /** Keyed update (`update_data`, `sql.py:191-249`): the per-record
@@ -127,6 +146,7 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
       s"keys ${keys.mkString(",")} must be present in update records")
     val out = Mutations.applyUpdates(target, updates, keys)
     Sinks.overwriteInPlace(spark, out, tablePath(table))
+    refreshTable(table)
   }
 
   /** Set-oriented merge from another table (`update_from_table`,
@@ -136,11 +156,18 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     val target = spark.read.parquet(tablePath(table))
     val out = Mutations.applyUpdates(target, source, keys)
     Sinks.overwriteInPlace(spark, out, tablePath(table))
+    refreshTable(table)
   }
 
-  def truncateTable(table: String): Unit = Sinks.truncate(spark, tablePath(table))
+  def truncateTable(table: String): Unit = {
+    Sinks.truncate(spark, tablePath(table))
+    refreshTable(table)
+  }
 
-  def deleteData(table: String): Unit = Sinks.deleteAll(spark, tablePath(table))
+  def deleteData(table: String): Unit = {
+    Sinks.deleteAll(spark, tablePath(table))
+    refreshTable(table)
+  }
 
   /** Conditional delete (`sql.py:321-332`): predicate string parsed by
     * Catalyst, rows matching it removed. */
@@ -148,6 +175,7 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     val target = spark.read.parquet(tablePath(table))
     val out = Mutations.deleteWhere(target, conditions)
     Sinks.overwriteInPlace(spark, out, tablePath(table))
+    refreshTable(table)
   }
 }
 

@@ -94,7 +94,14 @@ object Events {
     * shuffle). */
   def asofJoin(s: SparkSession, d: String): DataFrame = {
     val left = ev(s, d).filter(col("event_id") % 37 === 0)
-      .withColumn("eday", expr("us DIV 86400000000"))
+      // FLOOR division to epoch days, not truncation: `us DIV d` rounds
+      // toward zero, so a pre-1970 timestamp (us < 0) would land on the
+      // day AFTER its calendar day and as-of match the next day's
+      // orders, diverging from the oracle's CAST(ts AS DATE). pmod is
+      // always in [0, d), so the subtraction is exactly divisible and
+      // stays in integer arithmetic (no double rounding past 2^53).
+      .withColumn("eday",
+        expr("(us - pmod(us, 86400000000)) DIV 86400000000"))
       .select("event_id", "user_id", "eday")
     val right = Sources.orders(s, d)
       .withColumn("oday",

@@ -47,26 +47,47 @@ object Sinks {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(tmp.toString)
-    if (fs.exists(backup) && !fs.delete(backup, true))
-      throw new java.io.IOException(s"could not remove stale backup $backup")
+    if (fs.exists(backup)) {
+      // a backup with NO live target means a previous run's restore
+      // failed and the backup holds the only copy — deleting it as
+      // "stale" would be permanent data loss; refuse loudly instead
+      if (!fs.exists(target))
+        throw new java.io.IOException(
+          s"$backup exists but $target does not — a previous rewrite's " +
+            s"restore failed; move $backup back to $target before retrying")
+      if (!fs.delete(backup, true))
+        throw new java.io.IOException(s"could not remove stale backup $backup")
+    }
     if (fs.exists(target) && !fs.rename(target, backup))
       throw new java.io.IOException(s"could not move $target aside to $backup")
     if (!fs.rename(tmp, target)) {
-      fs.rename(backup, target) // restore; original is intact
-      throw new java.io.IOException(s"could not move rewritten $tmp into $target")
+      // rename reports failure by returning false — an UNCHECKED restore
+      // could leave the table missing while claiming the original is
+      // intact (and the sole copy stranded in the backup)
+      if (!fs.rename(backup, target))
+        throw new java.io.IOException(
+          s"could not move rewritten $tmp into $target AND restoring " +
+            s"$backup failed — data is preserved at $backup; restore it " +
+            "manually before retrying")
+      throw new java.io.IOException(
+        s"could not move rewritten $tmp into $target (original restored)")
     }
     fs.delete(backup, true)
   }
 
-  /** TRUNCATE TABLE (`sql.py:301`): table survives, rows don't — and a
-    * Hive-partitioned layout survives as a partitioned (empty) table
-    * rather than being flattened. */
+  /** TRUNCATE TABLE (`sql.py:301`): table survives, rows don't. The
+    * empty frame is deliberately written WITHOUT `partitionBy`: a
+    * zero-row dynamic-partition write produces NO parquet files (the
+    * writer opens files per row), so the swapped-in directory would
+    * have no schema and the table would become permanently unreadable.
+    * The non-partitioned empty write stores the full schema — partition
+    * columns included, since the read surfaces them as ordinary typed
+    * columns — in a schema-bearing empty file; the `col=value/`
+    * directory tree necessarily disappears with the rows (an empty
+    * table has no partitions). */
   def truncate(spark: SparkSession, path: String): Unit = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val empty = spark.read.parquet(path).limit(0)
-    overwriteInPlace(spark, empty, path,
-      partitionBy = Layout.partitionColumns(fs, p))
+    overwriteInPlace(spark, empty, path)
   }
 
   /** DELETE FROM without predicate (`sql.py:316`) — same visible state as

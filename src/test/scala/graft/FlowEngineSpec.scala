@@ -63,6 +63,23 @@ class FlowEngineSpec extends SparkSpec {
     assert(empty.count() == 0 && empty.columns.toSeq == Seq("k", "name", "v"))
   }
 
+  test("getData sees mutations through registered views (no stale file index)") {
+    val (eng, _) = freshWarehouse()
+    eng.connect()
+    def cnt(): Long =
+      eng.getData("SELECT count(*) AS c FROM items").get.head().getLong(0)
+    assert(cnt() == 3L)
+    // append: a stale InMemoryFileIndex would silently still report 3
+    eng.insertData("items", Seq((4L, "d", 40.0)).toDF("k", "name", "v"))
+    assert(cnt() == 4L, "view must see appended files")
+    // rewrite: a stale index would crash with FILE_NOT_EXIST
+    eng.deleteDataWithConditions("items", "k = 4")
+    assert(cnt() == 3L, "view must survive the in-place rewrite")
+    eng.truncateTable("items")
+    assert(cnt() == 0L, "view must see the truncated table")
+    eng.disconnect()
+  }
+
   test("updateFromTable merges a source frame (sql.py:253-289)") {
     val (eng, dir) = freshWarehouse()
     eng.updateFromTable("items",
