@@ -30,20 +30,42 @@ object AsOfJoin {
       s"as-of join keys must share a type: $leftKey is " +
         s"${left.schema(leftKey).dataType.sql}, $rightKey is " +
         s"${right.schema(rightKey).dataType.sql} (cast one side explicitly)")
+    // Time columns must reach __t losslessly: `cast("long")` on a
+    // TIMESTAMP truncates to whole SECONDS (a right row 300ms in the
+    // left row's future would match it), and on a string yields null —
+    // so timestamps convert via unix_micros and anything non-numeric is
+    // refused outright.
+    def timeAsLong(df: DataFrame, c: String): Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType |
+            org.apache.spark.sql.types.DateType => col(c).cast("long")
+        case t => throw new IllegalArgumentException(
+          s"as-of time column $c is ${t.sql}; pass an integral epoch " +
+            "or a timestamp (strings/doubles would cast lossily)")
+      }
     val leftCols = left.columns.toSeq
     // keys keep their native type (an earlier cast("long") nulled string
     // keys, collapsing every row into one window partition and matching
     // across keys). Null-key right rows can never match under SQL join
-    // semantics, so they are dropped; null-key left rows survive with a
-    // null match (their partition holds no right rows).
-    val rightSide = right.filter(col(rightKey).isNotNull).select(
-      col(rightKey).as("__k"),
-      col(rightTime).cast("long").as("__t"),
-      lit(0).as("__tag"),
-      struct(rightCols.map(col): _*).as("__rpay"))
+    // semantics, so they are dropped — and so are null-TIME right rows:
+    // null __t sorts first ascending, so such a row would otherwise be
+    // carried as the "latest" match for every left row before the first
+    // real right row, where SQL `rightTime <= leftTime` says no match.
+    // Null-key/time left rows survive with a null match.
+    val rightSide = right
+      .filter(col(rightKey).isNotNull && col(rightTime).isNotNull)
+      .select(
+        col(rightKey).as("__k"),
+        timeAsLong(right, rightTime).as("__t"),
+        lit(0).as("__tag"),
+        struct(rightCols.map(col): _*).as("__rpay"))
     val leftSide0 = left.select(
       col(leftKey).as("__k"),
-      col(leftTime).cast("long").as("__t"),
+      timeAsLong(left, leftTime).as("__t"),
       lit(1).as("__tag"),
       struct(leftCols.map(col): _*).as("__lpay"))
     val unioned = rightSide

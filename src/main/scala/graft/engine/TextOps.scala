@@ -452,22 +452,24 @@ object TextOps {
   /** Per-document quality flags + sampling decision — stateless per
     * row (the [[runStats]] fold), the shared front half of
     * [[qualitySample]] and the streaming at-ingest quality gate
-    * (`StreamOps.qualityGateStream`). Emits (doc_id, n_tok, n_uniq,
-    * grade, rate_ppm, keep). */
+    * (`StreamOps.qualityGateStream`). ADDS (n_tok, n_uniq, grade,
+    * rate_ppm, keep) to the input columns — preserving the frame (text
+    * included) is what lets the streaming gate stay a pure per-row
+    * filter instead of a stateful re-join to recover the document. */
   def qualityFlags(docs: DataFrame): DataFrame = {
     val rate = QsRates.tail.foldLeft(
       when(col("grade") === QsRates.head._1, lit(QsRates.head._2))) {
       case (acc, (g, r)) => acc.when(col("grade") === g, lit(r))
     }
     docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .withColumn("n_tok", size(col("toks")).cast(LongType))
-      .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
+      .withColumn("__toks", tokens(col("text")))
+      .withColumn("n_tok", size(col("__toks")).cast(LongType))
+      .withColumn("n_uniq", runStats(col("__toks")).getField("uniq"))
+      .drop("__toks")
       .withColumn("grade", gradeCol(col("n_tok"), col("n_uniq")))
       .withColumn("rate_ppm", rate)
       .withColumn("keep",
         h28(concat(lit("qs_"), col("doc_id"))) % QsPpm < col("rate_ppm"))
-      .select("doc_id", "n_tok", "n_uniq", "grade", "rate_ppm", "keep")
   }
 
   def qualitySample(s: SparkSession, d: String): DataFrame =

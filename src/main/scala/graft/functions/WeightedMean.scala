@@ -27,6 +27,13 @@ object WeightedMean extends Aggregator[(Double, Double), (Long, Long), Double] {
     if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v) ||
         java.lang.Double.isNaN(w) || java.lang.Double.isInfinite(w))
       throw new ArithmeticException(s"weighted_mean: non-finite input ($v, $w)")
+    // math.round SATURATES at Long.MaxValue rather than throwing, so a
+    // huge-but-finite input would silently poison the sum (9.2e18 cents
+    // with a tiny weight passes multiplyExact) — reject before rounding
+    if (math.abs(v) * 100 >= Long.MaxValue.toDouble ||
+        math.abs(w) * 100 >= Long.MaxValue.toDouble)
+      throw new ArithmeticException(
+        s"weighted_mean: input exceeds the cents range ($v, $w)")
     (Math.addExact(b._1, Math.multiplyExact(math.round(v * 100), math.round(w * 100))),
       Math.addExact(b._2, math.round(w * 100)))
   }

@@ -82,7 +82,11 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](idx)
-        if (bytes == null) Row.fromSeq(r.toSeq :+ null)
+        // empty payloads get NULL features, not an all-zero vector: the
+        // ANN/similarity consumers this output feeds document a
+        // non-zero-vector contract (cosine divides by the norm), so a
+        // zero vector would be a latent divide-by-zero/NaN downstream
+        if (bytes == null || bytes.isEmpty) Row.fromSeq(r.toSeq :+ null)
         else {
           val hist = new Array[Float](16)
           var i = 0
@@ -99,11 +103,15 @@ object Multimodal {
 
   /** Frame sampling: byte-range slices standing in for video frames —
     * the partition/fan-out shape of real frame extraction (one row per
-    * sampled frame, linear fan-out, no shuffle). */
+    * sampled frame, linear fan-out, no shuffle). Frame count is
+    * `(octet_length-1) DIV every` (the chunkSigs tiling formula): every
+    * byte lands in exactly one frame, with a short tail frame — the
+    * previous `DIV every - 1` dropped the trailing partial frame of any
+    * payload ≥ `every` bytes while keeping it for smaller ones. */
   def sampleFrames(df: DataFrame, every: Int, payloadCol: String = "payload"): DataFrame =
     df.withColumn("frame_no",
         explode(sequence(lit(0),
-          greatest(expr(s"octet_length($payloadCol) DIV $every") - 1, lit(0)))))
+          greatest(expr(s"(octet_length($payloadCol) - 1) DIV $every"), lit(0)))))
       .withColumn("frame",
         substring(col(payloadCol), (col("frame_no") * every + 1).cast("int"), lit(every)))
 }

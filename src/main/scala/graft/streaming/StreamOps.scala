@@ -26,6 +26,12 @@ object StreamOps {
   final case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long, total: Double)
 
+  /** True event-time micros of a timestamp — `getTime` alone is MILLIS,
+    * which would round every boundary down a millisecond and break
+    * bit-equivalence with the batch twin's microsecond arithmetic. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
   /** File-based event stream over the same parquet schema the batch path
     * reads (a directory Spark watches for new files). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
@@ -67,14 +73,21 @@ object StreamOps {
           } else {
             // Batch-per-trigger events arrive unordered within the group:
             // sort by event time, then fold session windows.
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime * 1000, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { ev =>
-              val us = ev.ts.getTime * 1000
+              val us = micros(ev.ts)
               st match {
                 case Some(s) if us - s.last <= gapUs =>
-                  st = Some(s.copy(last = us, n = s.n + 1, total = s.total + ev.value))
+                  // min/max, not overwrite: a legitimately LATE event
+                  // (inside the watermark, us < s.last) merges into the
+                  // open session — a bare `last = us` would move the
+                  // session boundary BACKWARDS, spuriously splitting on
+                  // the next on-time event and even emitting end < start
+                  st = Some(s.copy(start = math.min(s.start, us),
+                    last = math.max(s.last, us),
+                    n = s.n + 1, total = s.total + ev.value))
                 case Some(s) =>
                   out += SessionOut(userId, s.start, s.last, s.n, s.total)
                   st = Some(SessionState(us, us, 1, ev.value))
@@ -113,10 +126,14 @@ object StreamOps {
   }
 
   /** Streaming exact dedup: drop replayed event ids inside the watermark
-    * horizon — the streaming twin of the batch keyed dedup (state is one
-    * entry per id, expired as the watermark advances). */
+    * horizon — the streaming twin of the batch keyed dedup. Must be
+    * `dropDuplicatesWithinWatermark`: plain `dropDuplicates(event_id)`
+    * only evicts state when the event-time column is PART OF THE KEY, so
+    * despite the watermark it would keep one state entry per id ever
+    * seen — unbounded growth on a long-running stream. */
   def dedupEvents(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "2 hours").dropDuplicates("event_id")
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming near-dup filter against a FROZEN corpus index — the
     * streaming twin of `TextOps.dedupIncremental`'s corpus leg: documents
@@ -146,11 +163,14 @@ object StreamOps {
     def bandKey(pfx: String, b: Int) = concat_ws("_",
       col(s"$pfx${3 * b}"), col(s"$pfx${3 * b + 1}"), col(s"$pfx${3 * b + 2}"))
     val helperCols = Seq("s", "hx") ++ (0 until NumHashes).map(j => s"h$j")
+    // Build the (signature, shingle-set) corpus index ONCE: constructing
+    // it inside the band fold re-ran the corpus-sized equi-join four
+    // times per micro-batch. One static join, four cheap band-key
+    // projections of it.
+    val corpusIdx = corpusSig.join(
+      corpusSets.select(col("doc_id"), col("s").as("c_s")), Seq("doc_id"))
     val kept = (0 until Bands).foldLeft(withSig) { (cur, b) =>
-      val idx = corpusSig
-        .select(col("doc_id").as("c_id"), bandKey("h", b).as("c_sig"))
-        .join(corpusSets.select(col("doc_id").as("c_id"), col("s").as("c_s")),
-          Seq("c_id"))
+      val idx = corpusIdx.select(bandKey("h", b).as("c_sig"), col("c_s"))
       cur.join(idx,
         bandKey("h", b) === col("c_sig") &&
           size(array_intersect(col("s"), col("c_s"))) /
@@ -197,11 +217,14 @@ object StreamOps {
     * quality-temperature sampling decision. The batch twin is
     * `q_quality_sample`; membership is a pure hash of doc_id, so a
     * document admitted on the stream is exactly the document the batch
-    * recipe would keep — replaying the stream reproduces the corpus. */
+    * recipe would keep — replaying the stream reproduces the corpus.
+    * The input columns (text included) pass THROUGH the gate as added
+    * columns on the same frame — a gate that kept only ids would force
+    * downstream chunk/scrub/dedup stages into a stateful stream-stream
+    * re-join to recover the text. */
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.engine.TextOps.qualityFlags(docs)
-      .filter(col("keep"))
-      .select("doc_id", "n_tok", "grade")
+      .filter(col("keep")).drop("rate_ppm", "keep", "n_uniq")
 
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {

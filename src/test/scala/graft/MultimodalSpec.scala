@@ -44,10 +44,11 @@ class MultimodalSpec extends SparkSpec {
   test("sampleFrames fans out one row per byte-range frame") {
     val df = Multimodal.withPayload(Seq((1L, "abcdefghij")).toDF("doc_id", "text"))
     val frames = Multimodal.sampleFrames(df, every = 4)
-    // 10 bytes / 4 → frames at 0,1 (floor(10/4)-1 = 1)
-    assert(frames.count() == 2)
-    val f0 = frames.filter(col("frame_no") === 0)
-      .select(col("frame").cast("string")).as[String].head()
-    assert(f0 == "abcd")
+    // 10 bytes, every=4 → (10-1) DIV 4 = 2 → frames 0,1,2: every byte
+    // covered, short tail frame (the chunkSigs tiling geometry)
+    assert(frames.count() == 3)
+    val byNo = frames.select(col("frame_no"),
+      col("frame").cast("string")).as[(Long, String)].collect().toMap
+    assert(byNo == Map(0L -> "abcd", 1L -> "efgh", 2L -> "ij"))
   }
 }
