@@ -61,6 +61,47 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).n_events == 2 && out(0).user_id == 7)
   }
 
+  test("sessionize: a late in-watermark event merges without moving the session back") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sesslate").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(Event(1, ts(20), 7, "a", 1.0))
+    q.processAllAvailable()
+    // a legitimately LATE event (15 < 20, inside the 2h watermark):
+    // must merge via min/max — the pre-fix fold overwrote last=15, so
+    // the next on-time event spuriously split the session (and could
+    // emit end < start)
+    mem.addData(Event(2, ts(15), 7, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(3, ts(40), 7, "a", 1.0)) // 20 min after last=20: same session
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(95), 7, "a", 1.0)) // 55 min gap: closes it
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sesslate").as[SessionOut].collect()
+    assert(out.length == 1, s"expected one closed session, got ${out.toSeq}")
+    assert(out(0).n_events == 3)
+    assert(out(0).start_us == ts(15).getTime * 1000)
+    assert(out(0).end_us == ts(40).getTime * 1000)
+    assert(out(0).end_us >= out(0).start_us)
+  }
+
+  test("dedupEvents drops replayed ids within the watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("ddev").outputMode(OutputMode.Append)
+      .start()
+    mem.addData(
+      Event(1, ts(0), 7, "a", 1.0),
+      Event(1, ts(1), 7, "a", 1.0), // replay of id 1 → dropped
+      Event(2, ts(2), 7, "a", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ddev").select("event_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
   test("clicksAfterErrors: stream-stream interval join matches only in-window same-user clicks") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
