@@ -154,6 +154,48 @@ object Events {
       .select("user_id", "event_type", "event_id", "us")
       .orderBy("user_id", "event_type")
   }
+
+  /** Ordered conversion funnel view → click → purchase: per user the
+    * earliest view, the earliest click STRICTLY AFTER that view, the
+    * earliest purchase strictly after that click — the sequence-aware
+    * funnel (a user who purchased before ever viewing does not count),
+    * which plain per-stage counts get wrong. Output: per stage, the
+    * user count and the conversion rate vs the active-user base.
+    *
+    * Scale: three rounds of (filter → user-keyed min-agg → equi-join on
+    * user_id), each linear with map-side partials — the stage tables
+    * shrink monotonically and every join is user-co-partitioned. No
+    * per-user event sort, no collect_list, no inequality join: the
+    * sequential "after" constraint rides the already-aggregated t1/t2
+    * scalars. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    val stages = Seq(
+      ("0_users", e.select("user_id").distinct()),
+      ("1_view", v.select("user_id")),
+      ("2_click_after_view", c.select("user_id")),
+      ("3_purchase_after_click", p.select("user_id")))
+    val counts = stages.map { case (name, df) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+        col("n_users"))
+    }.reduce(_ unionByName _)
+    val base = counts.filter(col("stage") === "0_users")
+      .select(col("n_users").as("n0"))
+    counts.crossJoin(broadcast(base))
+      .withColumn("conv", col("n_users").cast("double") / col("n0"))
+      .select("stage", "n_users", "conv")
+      .orderBy("stage")
+  }
 }
 
 object EventsRegistry {
@@ -192,6 +234,25 @@ object EventsRegistry {
         | min(us) AS start_us, max(us) AS end_us,
         | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_events_funnel" -> e(Events.eventsFunnel,
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | v AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        | c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        | p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        | st AS (
+        |  SELECT '0_users' AS stage, count(DISTINCT user_id) AS n_users FROM e
+        |  UNION ALL SELECT '1_view', count(*) FROM v
+        |  UNION ALL SELECT '2_click_after_view', count(*) FROM c
+        |  UNION ALL SELECT '3_purchase_after_click', count(*) FROM p),
+        | base AS (SELECT n_users AS n0 FROM st WHERE stage = '0_users')
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+        | CAST(n_users AS DOUBLE)/n0 AS conv
+        |FROM st CROSS JOIN base ORDER BY stage""".stripMargin),
 
     "q_json_extract" -> e(Events.jsonExtract,
       """SELECT event_type, count(*) AS n,

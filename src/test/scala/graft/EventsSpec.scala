@@ -1,6 +1,7 @@
 package graft
 
 import graft.engine.Events
+import org.apache.spark.sql.functions.{col, unix_micros}
 
 class EventsSpec extends SparkSpec {
   import spark.implicits._
@@ -51,5 +52,35 @@ class EventsSpec extends SparkSpec {
     val bucketed = Events.rangeJoin(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(bucketed == naive && bucketed.nonEmpty)
+  }
+
+  test("eventsFunnel: monotone stages matching a per-user reference fold") {
+    val rows = Events.eventsFunnel(spark, sf)
+      .select("stage", "n_users", "conv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq("0_users", "1_view",
+      "2_click_after_view", "3_purchase_after_click"))
+    // funnel stages can only shrink, and conv is n/n0
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._2 <= a._2)
+    case _ => () }
+    assert(rows.head._3 == 1.0)
+    // reference: per-user scan of the raw events
+    val evs = graft.engine.Sources.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, String, Long)].collect().groupBy(_._1)
+    var (nV, nC, nP) = (0L, 0L, 0L)
+    evs.values.foreach { es =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(t => es.filter(e => e._2 == "click" && e._3 > t)
+        .map(_._3).minOption)
+      val t3 = t2.flatMap(t => es.filter(e => e._2 == "purchase" && e._3 > t)
+        .map(_._3).minOption)
+      if (t1.isDefined) nV += 1
+      if (t2.isDefined) nC += 1
+      if (t3.isDefined) nP += 1
+    }
+    assert(rows(0)._2 == evs.size.toLong)
+    assert(rows(1)._2 == nV && rows(2)._2 == nC && rows(3)._2 == nP)
   }
 }
