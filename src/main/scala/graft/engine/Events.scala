@@ -196,6 +196,37 @@ object Events {
       .select("stage", "n_users", "conv")
       .orderBy("stage")
   }
+
+  /** Microseconds per week — the cohort bucket of [[retention]]. */
+  val WeekUs = 7L * 86400L * 1000000L
+
+  /** Retention cohorts: users bucketed by the epoch week of their first
+    * `signup` event; for each (cohort week, week offset ≥ 0) the count
+    * of cohort members with ANY event that week — the classic BI
+    * retention triangle. Activity BEFORE the signup week is excluded
+    * (negative offsets), matching the standard definition.
+    *
+    * Scale: one user-keyed min-agg for cohorts, one co-partitioned
+    * equi-join back (the cohort table carries (user_id, long) only),
+    * then a COUNT(DISTINCT user) per (cohort, offset) — Expand-based
+    * distinct agg with map-side partials; nothing quadratic, nothing
+    * driver-side. Epoch-week arithmetic is pure integer division on
+    * non-negative timestamps. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"), col("us"))
+    // integer DIV, never double division: us is ~1e15 and the repo rule
+    // is that big-long arithmetic stays integral (timestamps are
+    // non-negative here, so DIV == floor)
+    val cohorts = e.filter(col("event_type") === "signup")
+      .groupBy("user_id")
+      .agg(expr(s"min(us) DIV $WeekUs").as("cohort_wk"))
+    e.join(cohorts, Seq("user_id"))
+      .withColumn("wk_offset", expr(s"us DIV $WeekUs") - col("cohort_wk"))
+      .filter(col("wk_offset") >= 0)
+      .groupBy("cohort_wk", "wk_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
 }
 
 object EventsRegistry {
@@ -253,6 +284,18 @@ object EventsRegistry {
         |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
         | CAST(n_users AS DOUBLE)/n0 AS conv
         |FROM st CROSS JOIN base ORDER BY stage""".stripMargin),
+
+    "q_retention" -> e(Events.retention,
+      s"""WITH e AS (SELECT user_id, event_type,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         | c AS (SELECT user_id, min(us) // ${Events.WeekUs} AS cohort_wk
+         |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+         | a AS (SELECT e.user_id, c.cohort_wk,
+         |   us // ${Events.WeekUs} - c.cohort_wk AS wk_offset
+         |  FROM e JOIN c USING (user_id))
+         |SELECT cohort_wk, wk_offset, count(DISTINCT user_id) AS n_active
+         |FROM a WHERE wk_offset >= 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_json_extract" -> e(Events.jsonExtract,
       """SELECT event_type, count(*) AS n,

@@ -83,4 +83,27 @@ class EventsSpec extends SparkSpec {
     assert(rows(0)._2 == evs.size.toLong)
     assert(rows(1)._2 == nV && rows(2)._2 == nC && rows(3)._2 == nP)
   }
+
+  test("retention: week-0 equals cohort size; offsets non-negative") {
+    val rows = Events.retention(spark, sf)
+      .select("cohort_wk", "wk_offset", "n_active")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0))
+    // reference cohort sizes from the raw events
+    val wk = Events.WeekUs
+    val cohortOf = graft.engine.Sources.events(spark, sf)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).min / wk).toMap
+    val sizes = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong)
+    // every cohort's week-0 row counts exactly its members (each member's
+    // signup event itself is active in week 0)
+    rows.filter(_._2 == 0L).foreach { case (cw, _, n) =>
+      assert(n == sizes(cw), s"cohort $cw week-0")
+    }
+    // later weeks can never exceed the cohort size
+    rows.foreach { case (cw, _, n) => assert(n <= sizes(cw)) }
+  }
 }
