@@ -1,20 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
 object Bench {
+  // JSON string escape shared with Verify's discipline: the output line
+  // must survive the driver's json.load even for hostile paths
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32] with shuffle.partitions=32 (capped at
-    // the machine's cores); SPARK_GRAFT_CPUS overrides
+    // the machine's cores); SPARK_GRAFT_CPUS overrides. The rest of the
+    // configuration comes from the shared Sessions.tuned preset so the
+    // measured session IS the one SCALE.md describes.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // cross-engine parity requires UTC (Events scaladoc); don't depend
-      // on the host's default zone
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.engine.Sessions.tuned(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Unmeasured warmup (standard benchmark practice): one tiny
     // read+shuffle+agg exercises the parquet reader, whole-stage codegen
@@ -23,9 +33,15 @@ object Bench {
     // no declared query runs before its own timer.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
+    val failed = Seq.newBuilder[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // NonFatal only: after an OutOfMemoryError every later timing is
+      // garbage — let fatal errors kill the run (rc != 0 tells the
+      // driver). A failed query is recorded by NAME, never as a
+      // plausible-looking small timing.
+      try { fn(spark, sfDir).count() }
+      catch { case NonFatal(_) => failed += name }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent; drop their persisted frames so cache
       // does not accumulate across 60+ queries (GC pauses from the
@@ -33,10 +49,12 @@ object Bench {
       spark.catalog.clearCache()
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => q(k) + ":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.result().map(q).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
     spark.stop()
+    if (failed.result().nonEmpty) sys.exit(2)
   }
 }

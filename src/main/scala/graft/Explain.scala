@@ -8,12 +8,9 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("all")
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Sessions.tuned: the printed plans are the plans Bench/Verify run
+    val spark = graft.engine.Sessions.tuned(
+      SparkSession.builder().master("local[4]"), 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (name == "all") Registry.queries.keys.toSeq.sorted else Seq(name)
     names.foreach { n =>

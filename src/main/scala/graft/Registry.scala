@@ -345,6 +345,11 @@ object Registry {
   def entries: Seq[(String, Entry)] =
     relational ++ EventsRegistry.entries ++ TextRegistry.entries
 
+  /** Raw entry names BEFORE map-collapse — the duplicate-name invariant
+    * Smoke checks (a name collision across the per-module registries
+    * would silently drop a query from the driver's inventory). */
+  def entryNames: Seq[String] = entries.map(_._1)
+
   /** Ordered (ListMap) so runners execute queries in declaration order:
     * cheap relational queries warm the session first, and queries sharing
     * a subplan (minhash signature → ngram verification) run adjacently to

@@ -8,12 +8,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.engine.Sessions.tuned(
+      SparkSession.builder().master("local[4]"), 4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val df = SparkEntry.entry(spark)
@@ -22,6 +18,13 @@ object Smoke {
 
     println("ORACLE_KEYS_SUBSET_OF_QUERIES=" +
       SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+
+    // the subset check above is near-tautological (both maps derive from
+    // Registry.entries); the invariant that CAN break is a duplicate
+    // query name across the per-module registries silently collapsing
+    // in the map — check the raw entry list for collisions
+    val names = Registry.entryNames
+    println("REGISTRY_NAMES_UNIQUE=" + (names.distinct.size == names.size))
 
     // error-path probe: missing directory surfaces a clear analysis error
     try {

@@ -246,6 +246,11 @@ object Relational {
       .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "measure", "value")
+      // align with the oracle's NULL semantics: DuckDB's UNPIVOT
+      // excludes NULL measures by default while Dataset.unpivot keeps
+      // them — latent divergence if a measure column ever carries NULLs
+      // (the current fixtures are non-null, so values are unchanged)
+      .filter(col("value").isNotNull)
       // (l_orderkey, l_linenumber) is not unique in the synthetic data —
       // value joins the sort to make it total
       .orderBy("l_orderkey", "l_linenumber", "measure", "value")
