@@ -910,9 +910,16 @@ object TextOps {
     * independently (the global-order variant would serialize the corpus
     * through one partition — exactly the non-scalable shape this
     * avoids; real pipelines pack within shards for the same reason).
-    * One shuffle on source, no joins. */
+    * One shuffle on source, no joins.
+    *
+    * Determinism: the running sum is windowed over (doc_id, n_tok) — if
+    * the input carries duplicate doc_ids, rows that tie on BOTH keys are
+    * interchangeable (same contribution, same output), so the result
+    * multiset is engine-independent. The final sort is a total order over
+    * every output column (SURVEY §2C rule). */
   def packSeqs(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("doc_id"), col("n_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Sources.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -922,7 +929,7 @@ object TextOps {
       .withColumn("seq_id", expr(s"tok_start DIV $PackBudget"))
       .withColumn("seq_off", col("tok_start") % PackBudget)
       .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
-      .orderBy("doc_id")
+      .orderBy("doc_id", "source", "n_tok", "seq_id", "seq_off")
   }
 
   /** Max documents kept per source by [[domainCap]]. */

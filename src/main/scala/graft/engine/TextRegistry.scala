@@ -389,13 +389,13 @@ object TextRegistry {
       s"""WITH t AS (SELECT doc_id, source,
          |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok FROM documents),
          | c AS (SELECT doc_id, source, n_tok,
-         |   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |   sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id, n_tok
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
          |  FROM t)
          |SELECT doc_id, source, n_tok,
          | (tok_end - n_tok) // ${TextOps.PackBudget} AS seq_id,
          | (tok_end - n_tok) % ${TextOps.PackBudget} AS seq_off
-         |FROM c ORDER BY doc_id""".stripMargin),
+         |FROM c ORDER BY doc_id, source, n_tok, seq_id, seq_off""".stripMargin),
 
     "q_domain_cap" -> e(TextOps.domainCap, {
       val h = duckH28("'cap_'||doc_id")
