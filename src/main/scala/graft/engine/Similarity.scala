@@ -366,12 +366,18 @@ object Similarity {
     *
     * Scale: one posexplode (64 rows per vector) into a hash agg keyed
     * by the 64 positions with map-side partials — the shuffle carries
-    * 64 partial rows per map task, the output is 64 rows. */
+    * 64 partial rows per map task, the output is 64 rows. The 64-row
+    * result is parquet-staged ([[Stages]]) and shared with
+    * [[int8Quant]], whose range pass is the same scan. */
+  def sharedDimStats(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "dim_stats", d)(
+      posQuantize(vectors(s, d))
+        .groupBy("pos")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+          min("xv").as("mn"), max("xv").as("mx")))
+
   def dimStats(s: SparkSession, d: String): DataFrame =
-    posQuantize(vectors(s, d))
-      .groupBy("pos")
-      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
-        min("xv").as("mn"), max("xv").as("mx"))
+    sharedDimStats(s, d)
       .withColumn("m6", m6Col)
       .select("pos", "n", "sq", "mn", "mx", "m6")
       .orderBy("pos")
@@ -389,15 +395,16 @@ object Similarity {
     * arithmetic is a fixed expression shape mirrored verbatim in the
     * oracle.
     *
-    * Scale: the range table is a 64-row broadcast; the quantize pass is
-    * one posexplode joined to it map-side plus a vec_id-keyed agg with
-    * partials. Two linear scans (range, quantize), no corpus shuffle
-    * beyond the per-vector rollup. */
+    * Scale: the range table comes from the staged [[sharedDimStats]]
+    * (64 rows, broadcast) — the encode pass is then the query's ONLY
+    * corpus posexplode, joined map-side plus a vec_id-keyed agg with
+    * partials (the previous shape re-derived the range table from a
+    * second corpus explode: 2× the scan cost at 100 TB). */
   def int8Quant(s: SparkSession, d: String): DataFrame = {
     // posQuantize's q column is unused here; Catalyst prunes it
     val px = posQuantize(vectors(s, d), "vec_id")
       .select("vec_id", "pos", "xv")
-    val dims = px.groupBy("pos").agg(min("xv").as("mn"), max("xv").as("mx"))
+    val dims = sharedDimStats(s, d).select("pos", "mn", "mx")
     val code = when(col("mx") > col("mn"),
       least(lit(255L),
         floor((col("xv") - col("mn")) * 255.0 / (col("mx") - col("mn")))))

@@ -457,10 +457,17 @@ object TextOps {
     * included) is what lets the streaming gate stay a pure per-row
     * filter instead of a stateful re-join to recover the document. */
   def qualityFlags(docs: DataFrame): DataFrame = {
-    val rate = QsRates.tail.foldLeft(
-      when(col("grade") === QsRates.head._1, lit(QsRates.head._2))) {
-      case (acc, (g, r)) => acc.when(col("grade") === g, lit(r))
-    }
+    // rate is a map LOOKUP, not a when-chain: a when-chain references
+    // `grade` once per stratum, and under downstream column pruning
+    // (qualitySample drops n_uniq) the runStats fold collapses into
+    // `grade` as a single-reference column — the when-chain then pastes
+    // the fold (and its array_sort) once per stratum into the merged
+    // Project (measured 7.3 s for a 3-row report at sf0.1; 0.7 s
+    // steady). element_at(map(...)) references grade exactly once, so
+    // the fold is evaluated once per row wherever it lands.
+    val rate = element_at(
+      map(QsRates.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*),
+      col("grade"))
     docs
       .withColumn("__toks", tokens(col("text")))
       .withColumn("n_tok", size(col("__toks")).cast(LongType))
@@ -1116,32 +1123,52 @@ object TextOps {
     * so the grade is scale-free: lift ≥ 1 means "more familiar than the
     * average bigram".
     *
-    * Scale: the bigram explode is linear; the count table comes from one
-    * hash agg keyed by bigram; the join back is an equi-join on the same
-    * key (the count side arrives already hash-partitioned by `bg`, so
-    * only the explode side shuffles); the per-doc rollup is one more
-    * keyed agg. All sums are exact BIGINTs; `fam` and `lift` are built
-    * from integer quotients cast to double in a fixed expression shape,
-    * mirrored verbatim by the oracle — bit-deterministic. Documents with
-    * fewer than two tokens have no bigrams and drop out (the explode
-    * yields no rows), matching the oracle's inner join. */
+    * Scale (the round-3 rework): ONE corpus scan builds the per-doc gram
+    * table `(doc_id, bgh=h28(bg), lc)` — local occurrence counts keyed
+    * by the 8-byte gram digest, the [[dedupExact]] discipline, so every
+    * downstream shuffle carries longs instead of ~20-byte gram strings.
+    * That table is parquet-staged ([[Stages]]): the corpus count table
+    * and the join back BOTH read the stage, so the raw corpus is
+    * tokenized+exploded exactly once (the previous shape consumed the
+    * exploded frame twice = two full corpus passes). Corpus counts
+    * aggregate the stage (`sum(lc)` ≡ occurrence count); the per-doc
+    * rollup re-derives occurrence-weighted sums as `sum(lc·c)`. A 28-bit
+    * digest collision merges two grams' counts — the same accepted,
+    * documented risk as the dedup family, mirrored exactly by the
+    * oracle's identical hash. All sums are exact BIGINTs; `fam` and
+    * `lift` are integer quotients cast to double in a fixed expression
+    * shape — bit-deterministic. Documents with fewer than two tokens
+    * have no bigrams and drop out, matching the oracle's inner join. */
   def ngramNovelty(s: SparkSession, d: String): DataFrame =
-    ngramNoveltyOf(Sources.documents(s, d))
+    ngramNoveltyFromGrams(
+      Stages.materialize(s, "doc_grams", d)(
+        docGramCounts(Sources.documents(s, d))))
+
+  /** Per-document bigram occurrence counts keyed by gram digest — the
+    * staged front half of [[ngramNovelty]]. */
+  def docGramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), h28(col("bg")).as("bgh"))
+      .agg(count(lit(1)).as("lc"))
 
   /** Frame-level [[ngramNovelty]] over any (doc_id, text) frame — the
     * single pipeline definition the query and ScaleProbe's linearity leg
-    * share. */
-  def ngramNoveltyOf(docs: DataFrame): DataFrame = {
-    val bg = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
-    val cnt = bg.groupBy("bg").agg(count(lit(1)).as("c"))
+    * share (unstaged: ScaleProbe measures the whole pipeline). */
+  def ngramNoveltyOf(docs: DataFrame): DataFrame =
+    ngramNoveltyFromGrams(docGramCounts(docs))
+
+  /** Novelty report from a [[docGramCounts]]-shaped frame. */
+  def ngramNoveltyFromGrams(grams: DataFrame): DataFrame = {
+    val cnt = grams.groupBy("bgh").agg(sum("lc").as("c"))
     val tot = cnt.agg(sum("c").as("t"), count(lit(1)).as("dbg"))
     val fam = col("sum_freq").cast("double") / col("n_big")
     val lift = fam * (col("dbg").cast("double") / col("t"))
-    bg.join(cnt, Seq("bg"))
+    grams.join(cnt, Seq("bgh"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_big"), sum("c").as("sum_freq"))
+      .agg(sum("lc").as("n_big"),
+        sum(col("lc") * col("c")).as("sum_freq"))
       .crossJoin(broadcast(tot))
       .withColumn("fam", fam)
       .withColumn("lift", lift)

@@ -610,11 +610,13 @@ object TextRegistry {
     "q_ngram_novelty" -> e(TextOps.ngramNovelty,
       s"""WITH $toksCte,
          | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
-         | g AS (SELECT bg, count(*) AS c FROM b GROUP BY 1),
+         | dg AS (SELECT doc_id, ${duckH28("bg")} AS bgh,
+         |   CAST(count(*) AS BIGINT) AS lc FROM b GROUP BY 1, 2),
+         | g AS (SELECT bgh, CAST(sum(lc) AS BIGINT) AS c FROM dg GROUP BY 1),
          | tt AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS dbg FROM g),
-         | pd AS (SELECT doc_id, count(*) AS n_big,
-         |   CAST(sum(c) AS BIGINT) AS sum_freq
-         |  FROM b JOIN g USING (bg) GROUP BY 1)
+         | pd AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS n_big,
+         |   CAST(sum(lc * c) AS BIGINT) AS sum_freq
+         |  FROM dg JOIN g USING (bgh) GROUP BY 1)
          |SELECT doc_id, CAST(n_big AS BIGINT) AS n_big, sum_freq,
          | CAST(sum_freq AS DOUBLE)/n_big AS fam,
          | (CAST(sum_freq AS DOUBLE)/n_big) * (CAST(dbg AS DOUBLE)/t) AS lift,

@@ -114,6 +114,31 @@ class PlanSpec extends SparkSpec {
     val q8 = plan("q_int8_quant")
     assert(q8.contains("BroadcastExchange"), "64-row range table not broadcast")
     assert(!q8.contains("CartesianProduct"))
+    // the range table comes from the staged dim_stats table: the encode
+    // pass must be the query's ONLY corpus posexplode (the old shape
+    // re-derived ranges from a second explode = 2× the scan at 100 TB)
+    val explodes = "posexplode".r.findAllIn(
+      Registry.queries("q_int8_quant")(spark, sf).queryExecution
+        .optimizedPlan.toString).size
+    assert(explodes == 1, s"q_int8_quant plans $explodes posexplodes")
+  }
+
+  test("per-row runStats folds are evaluated once per row (no CollapseProject blowup)") {
+    // the builder's documented pitfall: a single-reference non-cheap
+    // fold gets inlined into its consumer, and a when-chain consumer
+    // then pastes the fold once per branch into the merged Project.
+    // Lock the optimized plan to exactly one array_sort per declared
+    // fold (qualityFlags has 1; repetitionStats has 2: unigram+bigram).
+    def folds(name: String): Int =
+      "array_sort".r.findAllIn(
+        Registry.queries(name)(spark, sf).queryExecution
+          .optimizedPlan.toString).size
+    assert(folds("q_quality_sample") == 1,
+      s"q_quality_sample evaluates the fold ${folds("q_quality_sample")}×")
+    assert(folds("q_repetition") == 2,
+      s"q_repetition evaluates its two folds ${folds("q_repetition")}×")
+    assert(folds("q_filter_funnel") <= 2,
+      s"q_filter_funnel evaluates its folds ${folds("q_filter_funnel")}×")
   }
 
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
