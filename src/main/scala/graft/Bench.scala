@@ -34,26 +34,39 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // NonFatal only: after an OutOfMemoryError every later timing is
       // garbage — let fatal errors kill the run (rc != 0 tells the
-      // driver). A failed query is recorded by NAME, never as a
-      // plausible-looking small timing.
-      try { fn(spark, sfDir).count() }
-      catch { case NonFatal(_) => failed += name }
+      // driver). A failed query is recorded by NAME ONLY — it appears
+      // in `failed`, never in the per-query map or the total (its
+      // elapsed-until-exception time is not a measurement).
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case NonFatal(_) => failed += name; false }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent; drop their persisted frames so cache
       // does not accumulate across 60+ queries (GC pauses from the
       // buildup showed up as random 10x spikes on later queries)
       spark.catalog.clearCache()
-      name -> t
+      if (ok) Some(name -> t) else None
     }
-    val qs = results.map { case (k, v) => q(k) + ":" + v }
+    // Centisecond precision, trailing zeros stripped ("0.40" → "0.4"):
+    // run-to-run variance on sub-second queries is ~2×, so 2dp loses
+    // nothing — and the whole 87-query JSON line must fit the driver's
+    // 2000-char output tail capture (round 3's full-precision line was
+    // ~2.1 kB: the driver recorded parsed:null and the first 19 query
+    // timings fell off the capture window).
+    def num(v: Double): String = {
+      // Locale.ROOT: a comma decimal separator would corrupt the JSON
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
+    }
+    val qs = results.map { case (k, v) => q(k) + ":" + num(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.result().map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
     spark.stop()
     if (failed.result().nonEmpty) sys.exit(2)
   }

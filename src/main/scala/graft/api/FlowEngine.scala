@@ -120,13 +120,19 @@ final class FlowEngine(val spark: SparkSession, warehouse: String) {
     * once, not twice (and a non-deterministic input cannot yield a
     * chunk count inconsistent with the rows written). */
   def insertData(table: String, records: DataFrame, chunkRows: Int = 10000): Unit = {
-    records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // only unpersist what THIS call persisted: if the caller already
+    // persisted this exact frame, a finally-unpersist here would drop
+    // their cache entry as a side effect
+    val wePersisted =
+      records.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (wePersisted)
+      records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // ceil, not floor: floor put up to 2·chunkRows-1 rows in one chunk
       val n = records.count()
       val parts = math.max(1L, (n + chunkRows - 1) / math.max(1, chunkRows)).toInt
       Sinks.append(records, tablePath(table), parts)
-    } finally records.unpersist()
+    } finally if (wePersisted) records.unpersist()
     refreshTable(table)
   }
 

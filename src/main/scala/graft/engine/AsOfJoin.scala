@@ -30,22 +30,35 @@ object AsOfJoin {
       s"as-of join keys must share a type: $leftKey is " +
         s"${left.schema(leftKey).dataType.sql}, $rightKey is " +
         s"${right.schema(rightKey).dataType.sql} (cast one side explicitly)")
-    // Time columns must reach __t losslessly: `cast("long")` on a
-    // TIMESTAMP truncates to whole SECONDS (a right row 300ms in the
-    // left row's future would match it), and on a string yields null —
-    // so timestamps convert via unix_micros and anything non-numeric is
-    // refused outright.
+    // Time columns must reach __t losslessly AND comparably: `cast
+    // ("long")` on a TIMESTAMP truncates to whole SECONDS (a right row
+    // 300ms in the left row's future would match it), DATE→BIGINT is
+    // forbidden outright in Spark 4 (DATATYPE_MISMATCH), and on a string
+    // the cast yields null — so timestamps convert via unix_micros,
+    // dates via unix_date (days), and anything non-numeric is refused.
+    // The two sides normalize to DIFFERENT units per family (micros /
+    // days / raw epoch), so they must share a family: a timestamp left
+    // against a long right would silently compare micros to arbitrary
+    // ticks and produce wrong matches.
+    import org.apache.spark.sql.types._
+    def timeFamily(df: DataFrame, c: String): String =
+      df.schema(c).dataType match {
+        case TimestampType => "timestamp (micros)"
+        case DateType      => "date (days)"
+        case LongType | IntegerType | ShortType | ByteType => "integral epoch"
+        case t => throw new IllegalArgumentException(
+          s"as-of time column $c is ${t.sql}; pass an integral epoch, " +
+            "a date, or a timestamp (strings/doubles would cast lossily)")
+      }
+    require(timeFamily(left, leftTime) == timeFamily(right, rightTime),
+      s"as-of time columns must share a type family: $leftTime is " +
+        s"${timeFamily(left, leftTime)}, $rightTime is " +
+        s"${timeFamily(right, rightTime)} (cast one side explicitly)")
     def timeAsLong(df: DataFrame, c: String): Column =
       df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
-        case org.apache.spark.sql.types.LongType |
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.ByteType |
-            org.apache.spark.sql.types.DateType => col(c).cast("long")
-        case t => throw new IllegalArgumentException(
-          s"as-of time column $c is ${t.sql}; pass an integral epoch " +
-            "or a timestamp (strings/doubles would cast lossily)")
+        case TimestampType => unix_micros(col(c))
+        case DateType      => unix_date(col(c)).cast("long")
+        case _             => col(c).cast("long")
       }
     val leftCols = left.columns.toSeq
     // keys keep their native type (an earlier cast("long") nulled string

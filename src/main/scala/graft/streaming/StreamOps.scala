@@ -75,11 +75,27 @@ object StreamOps {
             // sort by event time, then fold session windows.
             val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var st = state.getOption
+            // Late-chain state: within-watermark events more than gapUs
+            // BEFORE the open session's start belong to their own,
+            // already-closed session (the batch fold would never merge
+            // them — an unconditional min/max merge here diverged from
+            // the batch twin). Consecutive stragglers within gapUs of
+            // each other chain together. By construction every straggler
+            // is > gapUs before s.start, so a chain can never bridge
+            // into the open session; the one residual approximation is
+            // an event within gapUs of BOTH the chain and s.start — it
+            // merges forward (batch would fuse chain+event+session).
+            var strag: Option[SessionState] = None
             val out = Seq.newBuilder[SessionOut]
+            def closeStrag(): Unit = {
+              strag.foreach(g =>
+                out += SessionOut(userId, g.start, g.last, g.n, g.total))
+              strag = None
+            }
             sorted.foreach { ev =>
               val us = micros(ev.ts)
               st match {
-                case Some(s) if us - s.last <= gapUs =>
+                case Some(s) if us >= s.start - gapUs && us - s.last <= gapUs =>
                   // min/max, not overwrite: a legitimately LATE event
                   // (inside the watermark, us < s.last) merges into the
                   // open session — a bare `last = us` would move the
@@ -88,13 +104,25 @@ object StreamOps {
                   st = Some(s.copy(start = math.min(s.start, us),
                     last = math.max(s.last, us),
                     n = s.n + 1, total = s.total + ev.value))
+                case Some(s) if us < s.start - gapUs =>
+                  strag match {
+                    case Some(g) if us - g.last <= gapUs && us >= g.start - gapUs =>
+                      strag = Some(g.copy(start = math.min(g.start, us),
+                        last = math.max(g.last, us),
+                        n = g.n + 1, total = g.total + ev.value))
+                    case _ =>
+                      closeStrag()
+                      strag = Some(SessionState(us, us, 1, ev.value))
+                  }
                 case Some(s) =>
+                  closeStrag()
                   out += SessionOut(userId, s.start, s.last, s.n, s.total)
                   st = Some(SessionState(us, us, 1, ev.value))
                 case None =>
                   st = Some(SessionState(us, us, 1, ev.value))
               }
             }
+            closeStrag()
             st.foreach { s =>
               state.update(s)
               // timeouts must sit strictly beyond the current watermark

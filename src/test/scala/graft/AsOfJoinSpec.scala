@@ -54,4 +54,27 @@ class AsOfJoinSpec extends SparkSpec {
     // 99, latest of all) matches nobody
     assert(out == Map(1L -> 10L, 2L -> 20L))
   }
+
+  test("DateType time columns join (Spark 4 forbids DATE→BIGINT casts)") {
+    import java.sql.Date
+    val l = Seq((1L, Date.valueOf("2024-03-10"), 1L),
+      (1L, Date.valueOf("2024-01-01"), 2L)).toDF("k", "t", "id")
+    val r = Seq((1L, Date.valueOf("2024-03-01"), 30L),
+      (1L, Date.valueOf("2024-02-01"), 20L)).toDF("k", "t", "rid")
+    val out = AsOfJoin.asofLatest(l, r, "k", "k", "t", "t",
+        Seq("rid"), Seq("rid"))
+      .select("id", "rid").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    assert(out == Map(1L -> 30L, 2L -> -1L))
+  }
+
+  test("mixed time-type families are refused, not silently mis-compared") {
+    import java.sql.Date
+    val l = Seq((1L, Date.valueOf("2024-03-10"), 1L)).toDF("k", "t", "id")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asofLatest(l, right, "k", "k", "t", "t", Seq("rid"), Seq("rid"))
+    }
+    assert(ex.getMessage.contains("share a type family"))
+  }
 }

@@ -87,6 +87,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(0).end_us >= out(0).start_us)
   }
 
+  test("sessionize: a straggler more than gapUs before the open session " +
+      "closes as its own session, not a backwards merge") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamOps.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sessstrag")
+      .outputMode(OutputMode.Append)
+      .start()
+    mem.addData(Event(1, ts(60), 7, "a", 1.0))
+    q.processAllAvailable()
+    // within the 2h watermark but 60 min before the open session's
+    // start (gap = 30 min): the batch fold would place these in their
+    // own session — two stragglers 5 min apart chain together
+    mem.addData(Event(2, ts(0), 7, "a", 1.0), Event(3, ts(5), 7, "a", 1.0))
+    q.processAllAvailable()
+    mem.addData(Event(4, ts(150), 7, "a", 1.0)) // 90 min gap: closes ts(60)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessstrag").as[SessionOut].collect()
+      .sortBy(_.start_us)
+    assert(out.length == 2, s"expected straggler + main sessions: ${out.toSeq}")
+    assert(out(0).n_events == 2 && out(0).start_us == ts(0).getTime * 1000
+      && out(0).end_us == ts(5).getTime * 1000)
+    assert(out(1).n_events == 1 && out(1).start_us == ts(60).getTime * 1000)
+  }
+
   test("dedupEvents drops replayed ids within the watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
