@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.LongType
   *    for oracle parity, `xxhash64` for production throughput.
   */
 object TextOps {
-  import PortableHash.{h28, minhashJ, P}
+  import PortableHash.{h28, fast28, minhashJ, P}
 
   val NumHashes = 12
   val Bands = 4 // 4 bands × 3 rows
@@ -91,7 +91,7 @@ object TextOps {
     * projection first — a spliced `transform(h28(...))` would re-hash
     * per array_min ([[shingleSets]]'s lesson). */
   def minhashSignatureFromSets(sets: DataFrame,
-      hash: Column => Column = h28): DataFrame = {
+      hash: Column => Column = fast28): DataFrame = {
     val hx = sets.filter(size(col("s")) > 0)
       .select(col("doc_id"), transform(col("s"), sh => hash(sh)).as("hx"))
     withSignatureFromHx(hx)
@@ -99,10 +99,13 @@ object TextOps {
   }
 
   /** MinHash signature straight from documents. `hash` selects the
-    * family: [[PortableHash.h28]] (oracle parity, default) or
-    * [[PortableHash.fast28]] (xxhash64, production throughput). */
+    * family: [[PortableHash.fast28]] (xxhash64, production throughput —
+    * the library default) or [[PortableHash.h28]] (MD5-derived, used by
+    * the oracle-checked staged tables, [[sharedShingleSets]]). Tables
+    * built with different families never band-collide — keep one family
+    * per corpus index and everything derived from it. */
   def minhashSignature(docs: DataFrame,
-      hash: Column => Column = h28): DataFrame =
+      hash: Column => Column = fast28): DataFrame =
     minhashSignatureFromSets(shingleSets(docs), hash)
 
   /** LSH band rows: (doc_id, band, sig) — docs sharing a (band, sig)
@@ -152,7 +155,7 @@ object TextOps {
     * session should prefer the [[Stages]]-backed query paths.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-      hash: Column => Column = h28): DataFrame = {
+      hash: Column => Column = fast28): DataFrame = {
     val sets = shingleSets(docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignatureFromSets(sets, hash)
@@ -175,16 +178,23 @@ object TextOps {
     * Scale: only the batch is shingled fresh; the corpus contributes its
     * O(|docs|) signature and shingle-set tables. The candidate join
     * shuffles (band, sig) keys — batch bands against corpus bands — so
-    * per-batch cost is O(batch + collisions), never O(corpus). */
+    * per-batch cost is O(batch + collisions), never O(corpus).
+    *
+    * `hash` MUST be the family `corpusSig` was built with (different
+    * families never band-collide → silent no-op dedup): [[PortableHash.
+    * fast28]] pairs with the [[minhashSignature]] library default;
+    * pass [[PortableHash.h28]] when indexing against the oracle-staged
+    * [[sharedSignature]] tables. */
   def dedupIncremental(newDocs: DataFrame, corpusSets: DataFrame,
-      corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
+      corpusSig: DataFrame, threshold: Double = 0.8,
+      hash: Column => Column = fast28): DataFrame = {
     // deliberately NOT persisted: the batch tables are re-derived by the
     // few joins below, but the batch is small by definition, and this
     // function's use case — one call per arriving batch on a long-lived
     // driver — would leak a pinned cache entry per call (CacheManager
     // never auto-drops plans).
     val bSets = shingleSets(newDocs)
-    val bSig = minhashSignatureFromSets(bSets)
+    val bSig = minhashSignatureFromSets(bSets, hash)
     val bBands = minhashBands(bSig)
     val cBands = minhashBands(corpusSig)
     // batch vs corpus: any band collision, verified by exact Jaccard
@@ -1315,9 +1325,12 @@ object TextOps {
   /** Deterministic shard id of a document — hash of doc_id, so the
     * assignment is reproducible, independent of row order/partitioning,
     * and stable when other documents are added or removed (the
-    * [[splitStrata]] discipline applied to output sharding). */
-  def shardOf(docId: Column): Column =
-    h28(concat(lit("shard_"), docId)) % NumShards
+    * [[splitStrata]] discipline applied to output sharding). The
+    * declared report query pins [[PortableHash.h28]] (oracle parity);
+    * [[exportShards]] defaults to the faster family. */
+  def shardOf(docId: Column,
+      hash: Column => Column = h28): Column =
+    hash(concat(lit("shard_"), docId)) % NumShards
 
   /** Shard-assignment report: per shard, the document count, token
     * total, and doc_id range — the balance check a pipeline runs before
@@ -1345,10 +1358,11 @@ object TextOps {
     * writers per shard, so one shard is never a single 1.5 TB writer.
     * Readers get shard-pruned scans for free. */
   def exportShards(docs: DataFrame, path: String,
-      filesPerShard: Int = 4): Unit =
-    docs.withColumn("shard", shardOf(col("doc_id")))
+      filesPerShard: Int = 4,
+      hash: Column => Column = fast28): Unit =
+    docs.withColumn("shard", shardOf(col("doc_id"), hash))
       .withColumn("fb",
-        h28(concat(lit("file_"), col("doc_id"))) % filesPerShard)
+        hash(concat(lit("file_"), col("doc_id"))) % filesPerShard)
       .repartition((NumShards * filesPerShard).toInt,
         col("shard"), col("fb"))
       .drop("fb")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -180,14 +180,18 @@ object StreamOps {
     * compose with [[dedupEvents]]-style `dropDuplicates` on a normalized
     * text hash inside a watermark. */
   def dedupStreamAgainstCorpus(docs: DataFrame, corpusSets: DataFrame,
-      corpusSig: DataFrame, threshold: Double = 0.8): DataFrame = {
+      corpusSig: DataFrame, threshold: Double = 0.8,
+      hash: Column => Column = graft.engine.PortableHash.fast28): DataFrame = {
+    // `hash` MUST be the family corpusSig was built with (families never
+    // band-collide across each other → silent no-op dedup): fast28 pairs
+    // with the minhashSignature library default; pass h28 for the
+    // oracle-staged sharedSignature tables.
     import graft.engine.TextOps.{tokens, shingles3, withSignatureFromHx, Bands, NumHashes}
-    import graft.engine.PortableHash.h28
     val withSig = withSignatureFromHx(docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("s", shingles3(col("toks")))
       .drop("toks")
-      .withColumn("hx", transform(col("s"), sh => h28(sh))))
+      .withColumn("hx", transform(col("s"), sh => hash(sh))))
     def bandKey(pfx: String, b: Int) = concat_ws("_",
       col(s"$pfx${3 * b}"), col(s"$pfx${3 * b + 1}"), col(s"$pfx${3 * b + 2}"))
     val helperCols = Seq("s", "hx") ++ (0 until NumHashes).map(j => s"h$j")

@@ -124,16 +124,34 @@ class StagesSpec extends SparkSpec {
   }
 
   test("shared shingle/signature/pair stages equal the unshared pipeline") {
+    // same family both sides (h28, what the staged tables pin): this
+    // test isolates shared-vs-unshared, not the hash family
     val docs = Sources.documents(spark, sf)
-    val sig0 = TextOps.minhashSignature(docs)
+    val sig0 = TextOps.minhashSignature(docs, graft.engine.PortableHash.h28)
     val sig1 = TextOps.sharedSignature(spark, sf)
     assert(sig0.exceptAll(sig1).count() == 0 && sig1.exceptAll(sig0).count() == 0)
 
-    val pairs0 = TextOps.jaccardPairs(docs, 0.8)
+    val pairs0 = TextOps.jaccardPairs(docs, 0.8, graft.engine.PortableHash.h28)
       .select(col("a"), col("b"), col("jacc"))
     val pairs1 = TextOps.sharedCandPairs(spark, sf)
       .filter(col("jacc") >= 0.8).select(col("a"), col("b"), col("jacc"))
     assert(pairs0.exceptAll(pairs1).count() == 0 &&
       pairs1.exceptAll(pairs0).count() == 0)
+    spark.catalog.clearCache() // jaccardPairs persists its two tables
+  }
+
+  test("fast28 (library default) and h28 (oracle parity) make the same dedup decisions") {
+    // The two families produce different signatures, but the surviving
+    // near-dup PAIRS must agree: banding only proposes candidates and
+    // the exact-Jaccard verification is family-independent, so parity
+    // holds as long as true near-dups band-collide under both families.
+    val docs = Sources.documents(spark, sf)
+    def pairs(h: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      TextOps.jaccardPairs(docs, 0.8, h).select("a", "b", "jacc")
+    val pf = pairs(graft.engine.PortableHash.fast28)
+    val ph = pairs(graft.engine.PortableHash.h28)
+    assert(pf.exceptAll(ph).count() == 0 && ph.exceptAll(pf).count() == 0)
+    assert(ph.count() > 0, "vacuous parity: no near-dup pairs in the corpus")
+    spark.catalog.clearCache()
   }
 }
