@@ -192,6 +192,17 @@ object Registry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority, g_s, g_p""".stripMargin),
 
+    "q_grouping_sets" -> e(Relational.aggGroupingSets,
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        | COALESCE(o_orderpriority, 'ALL') AS priority,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total,
+        | count(*) AS n,
+        | CAST(grouping(o_orderstatus) AS INT) AS g_s,
+        | CAST(grouping(o_orderpriority) AS INT) AS g_p
+        |FROM orders GROUP BY GROUPING SETS (
+        | (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority, g_s, g_p""".stripMargin),
+
     "q_unpivot" -> e(Relational.unpivotMeasures,
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
         | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -18,6 +18,46 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  // Time columns must reach the comparison losslessly AND comparably:
+  // `cast("long")` on a TIMESTAMP truncates to whole SECONDS (a right
+  // row 300ms in the left row's future would match it), DATE→BIGINT is
+  // forbidden outright in Spark 4 (DATATYPE_MISMATCH), and on a string
+  // the cast yields null — so timestamps convert via unix_micros, dates
+  // via unix_date (days), and anything non-numeric is refused. The two
+  // sides normalize to DIFFERENT units per family (micros / days / raw
+  // epoch), so they must share a family: a timestamp left against a
+  // long right would silently compare micros to arbitrary ticks and
+  // produce wrong matches. Shared with the streaming twin
+  // (StreamOps.asofStreamAgainstStatic).
+  private[graft] def timeFamily(df: DataFrame, c: String): String = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => "timestamp (micros)"
+      case DateType      => "date (days)"
+      case LongType | IntegerType | ShortType | ByteType => "integral epoch"
+      case t => throw new IllegalArgumentException(
+        s"as-of time column $c is ${t.sql}; pass an integral epoch, " +
+          "a date, or a timestamp (strings/doubles would cast lossily)")
+    }
+  }
+
+  private[graft] def requireSharedTimeFamily(
+      left: DataFrame, leftTime: String,
+      right: DataFrame, rightTime: String): Unit =
+    require(timeFamily(left, leftTime) == timeFamily(right, rightTime),
+      s"as-of time columns must share a type family: $leftTime is " +
+        s"${timeFamily(left, leftTime)}, $rightTime is " +
+        s"${timeFamily(right, rightTime)} (cast one side explicitly)")
+
+  private[graft] def timeAsLong(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case DateType      => unix_date(col(c)).cast("long")
+      case _             => col(c).cast("long")
+    }
+  }
+
   /** @param tieBreak right columns ordering equal-time right rows; the
     *                 *last* in ascending order wins (max tie-break). */
   def asofLatest(
@@ -30,36 +70,7 @@ object AsOfJoin {
       s"as-of join keys must share a type: $leftKey is " +
         s"${left.schema(leftKey).dataType.sql}, $rightKey is " +
         s"${right.schema(rightKey).dataType.sql} (cast one side explicitly)")
-    // Time columns must reach __t losslessly AND comparably: `cast
-    // ("long")` on a TIMESTAMP truncates to whole SECONDS (a right row
-    // 300ms in the left row's future would match it), DATE→BIGINT is
-    // forbidden outright in Spark 4 (DATATYPE_MISMATCH), and on a string
-    // the cast yields null — so timestamps convert via unix_micros,
-    // dates via unix_date (days), and anything non-numeric is refused.
-    // The two sides normalize to DIFFERENT units per family (micros /
-    // days / raw epoch), so they must share a family: a timestamp left
-    // against a long right would silently compare micros to arbitrary
-    // ticks and produce wrong matches.
-    import org.apache.spark.sql.types._
-    def timeFamily(df: DataFrame, c: String): String =
-      df.schema(c).dataType match {
-        case TimestampType => "timestamp (micros)"
-        case DateType      => "date (days)"
-        case LongType | IntegerType | ShortType | ByteType => "integral epoch"
-        case t => throw new IllegalArgumentException(
-          s"as-of time column $c is ${t.sql}; pass an integral epoch, " +
-            "a date, or a timestamp (strings/doubles would cast lossily)")
-      }
-    require(timeFamily(left, leftTime) == timeFamily(right, rightTime),
-      s"as-of time columns must share a type family: $leftTime is " +
-        s"${timeFamily(left, leftTime)}, $rightTime is " +
-        s"${timeFamily(right, rightTime)} (cast one side explicitly)")
-    def timeAsLong(df: DataFrame, c: String): Column =
-      df.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case DateType      => unix_date(col(c)).cast("long")
-        case _             => col(c).cast("long")
-      }
+    requireSharedTimeFamily(left, leftTime, right, rightTime)
     val leftCols = left.columns.toSeq
     // keys keep their native type (an earlier cast("long") nulled string
     // keys, collapsing every row into one window partition and matching

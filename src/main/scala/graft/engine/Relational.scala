@@ -238,6 +238,27 @@ object Relational {
         col("total"), col("n"), col("g_s"), col("g_p"))
       .orderBy("status", "priority", "g_s", "g_p")
 
+  /** GROUPING SETS — the general form rollup/cube specialize: exactly
+    * the declared grouping combinations, here (status, priority) +
+    * (status) + (priority), no grand total. One Expand over the scan
+    * (same physical shape as rollup/cube), grouping() flags
+    * disambiguate NULL-as-ALL from genuine NULLs. */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(outD(sum(money(col("o_totalprice")))).as("total"),
+        count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"), col("g_s"), col("g_p"))
+      .orderBy("status", "priority", "g_s", "g_p")
+
   /** UNPIVOT/melt: wide measures → long (measure, value) rows. */
   def unpivotMeasures(s: SparkSession, d: String): DataFrame =
     li(s, d).filter(col("l_orderkey") % 499 === 0)

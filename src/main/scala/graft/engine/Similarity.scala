@@ -472,35 +472,115 @@ object Similarity {
     * per vector. (A production codebook comes from k-means — the
     * [[kmeansStep]] operator — this operator is the encoding pass.)
     * Output: (vec_id, sub, code, d26 = round(L2², 6)). */
-  def pqCodes(s: SparkSession, d: String): DataFrame = {
-    val vs = vectors(s, d)
-    val subIdx = (0 until PqSubspaces).map { k =>
+  /** (sub, subvector) struct list splitting a 64-dim `v` into
+    * [[PqSubspaces]] slices — shared by codebook, encode and search. */
+  private def pqSubIdx: Seq[Column] =
+    (0 until PqSubspaces).map { k =>
       struct(lit(k.toLong).as("sub"),
         slice(col("v"), k * PqSubDim + 1, PqSubDim).as("sv"))
     }
-    // codewords: 16 hash-ranked sample vectors, code id = rank order
+
+  /** The deterministic hash-ranked codebook: (code, sub, cv). */
+  private def pqCodebookOf(vs: DataFrame): DataFrame = {
     val wCode = Window.orderBy(col("ck"), col("vec_id"))
-    val codebook = vs
-      .withColumn("ck", PortableHash.h28(concat(lit("pq_"), col("vec_id"))))
+    vs.withColumn("ck", PortableHash.h28(concat(lit("pq_"), col("vec_id"))))
       .orderBy(col("ck"), col("vec_id")).limit(PqCodebook)
       .withColumn("code", (row_number().over(wCode) - 1).cast("long"))
-      .select(col("code"), explode(array(subIdx: _*)).as("cs"))
+      .select(col("code"), explode(array(pqSubIdx: _*)).as("cs"))
       .select(col("code"), col("cs.sub").as("sub"), col("cs.sv").as("cv"))
-    val corpus = vs
-      .select(col("vec_id"), explode(array(subIdx: _*)).as("xs"))
-      .select(col("vec_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
-    val d2 = aggregate(
-      zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Squared L2 between the row's `sv` and `cv` subvectors. */
+  private def pqD2: Column = aggregate(
+    zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+    lit(0.0), (acc, x) => acc + x)
+
+  /** Nearest-codeword encoding (vec_id, sub, code, d2) of `vs` against
+    * a broadcast codebook. */
+  private def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("code"))
-    corpus.join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2", d2)
+    vs.select(col("vec_id"), explode(array(pqSubIdx: _*)).as("xs"))
+      .select(col("vec_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("d2", pqD2)
       .withColumn("rk", row_number().over(wBest))
       .filter(col("rk") === 1)
+      .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+  }
+
+  def pqCodes(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    pqEncode(vs, pqCodebookOf(vs))
       .select(col("vec_id"), col("sub"), col("code"),
         round(col("d2"), 6).as("d26"))
       .orderBy("vec_id", "sub")
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search — how a PQ index is
+    * actually served: each query precomputes a per-subspace lookup
+    * table of squared distances to every codeword ([[PqSubspaces]] ×
+    * [[PqCodebook]] = 128 rows per query, broadcast), and a corpus
+    * vector's approximate distance is the SUM of 8 table lookups over
+    * its stored codes — no touch of the original floats. Completes the
+    * ANN family: brute ([[simTopK]]) / LSH / IVF search over full
+    * vectors; [[pqCodes]] + this = search over the 4-byte-per-vector
+    * compressed index.
+    *
+    * Determinism: per-subspace LUT distances are floor-quantized to
+    * [[KmeansFixedPoint]] integers BEFORE the 8-way sum (exact BIGINT,
+    * order-independent — the fixed-point discipline), so ranking and
+    * output are bit-identical cross-engine.
+    *
+    * Scale: the code table is the [[pqCodes]] map-side pass; the LUT
+    * join is broadcast (2 048 rows); the per-(query, vector) rollup is
+    * a map-side-partial agg whose shuffle carries N·[[NumQueries]]
+    * partial rows of three longs; top-k rank gets the WindowGroupLimit
+    * partial push-down ([[TextOps.domainCap]] discipline). */
+  def pqSearch(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val vs = vectors(s, d)
+    val codebook = pqCodebookOf(vs)
+    val codes = pqEncode(vs, codebook)
+      .select(col("vec_id"), col("sub"), col("code"))
+    // LUT: query subvectors × codewords, fixed-point quantized
+    val lut = vs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), explode(array(pqSubIdx: _*)).as("xs"))
+      .select(col("q_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
+      .join(codebook, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        floor(pqD2 * KmeansFixedPoint).as("pd6"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("adist6"), col("vec_id"))
+    codes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id")) // self-match excluded, as simTopK
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd6")).as("adist6"))
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist6"))
+      .orderBy("q_id", "rk", "vec_id", "adist6")
+  }
+
+  /** ANN recall@k report: per fixed query, how many of the brute-force
+    * cosine top-k ([[simTopK]], ground truth) the LSH-bucketed search
+    * ([[simLsh]]) recovered — the evaluation loop a pipeline runs when
+    * tuning the bits/recall dial before trusting an approximate index.
+    * Set intersection on (q_id, vec_id); `recall` is the exact small-
+    * integer quotient n_hit/k in a fixed expression shape — bit-
+    * deterministic. Queries the LSH side misses entirely surface as
+    * n_hit = 0 (left join from the ground-truth query list), not as
+    * absent rows. Scale: both legs are the existing broadcast-query
+    * scans; the report join touches [[NumQueries]]·k rows. */
+  def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val b = simTopK(s, d, k).select(col("q_id"), col("vec_id"))
+    val l = simLsh(s, d, k).select(col("q_id"), col("vec_id"))
+    val hits = b.join(l, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    b.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", col("n_hit").cast("double") / k)
+      .orderBy("q_id", "n_hit", "recall")
   }
 
   /** Embedding near-dup pairs, LSH-blocked (never O(n²)): same-bucket

@@ -497,6 +497,42 @@ object TextRegistry {
          |FROM r WHERE rk = 1 ORDER BY vec_id, sub""".stripMargin
     }),
 
+    "q_pq_search" -> e((s, d) => Similarity.pqSearch(s, d), {
+      val sd = Similarity.PqSubDim
+      val fp = Similarity.KmeansFixedPoint
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | ck AS (SELECT vec_id, v, ${duckH28("'pq_'||vec_id")} AS hk FROM e),
+         | cw AS (SELECT v, CAST(row_number() OVER (ORDER BY hk, vec_id) - 1
+         |     AS BIGINT) AS code
+         |  FROM ck ORDER BY hk, vec_id LIMIT ${Similarity.PqCodebook}),
+         | cs AS (SELECT code, sub, cv FROM cw
+         |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS sub)
+         |  CROSS JOIN LATERAL (SELECT v[sub*$sd+1 : sub*$sd+$sd] AS cv)),
+         | xs AS (SELECT vec_id, sub, sv FROM e
+         |  CROSS JOIN (SELECT unnest(range(0, ${Similarity.PqSubspaces})) AS sub)
+         |  CROSS JOIN LATERAL (SELECT v[sub*$sd+1 : sub*$sd+$sd] AS sv)),
+         | d AS (SELECT vec_id, xs.sub, code,
+         |   list_sum(list_transform(range(1, $sd + 1),
+         |     i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS d2
+         |  FROM xs JOIN cs ON xs.sub = cs.sub),
+         | r AS (SELECT vec_id, sub, code, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY d2, code) AS rk FROM d),
+         | codes AS (SELECT vec_id, sub, code FROM r WHERE rk = 1),
+         | lut AS (SELECT xs.vec_id AS q_id, xs.sub, cs.code,
+         |   CAST(floor(list_sum(list_transform(range(1, $sd + 1),
+         |     i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) * $fp) AS BIGINT) AS pd6
+         |  FROM xs JOIN cs ON xs.sub = cs.sub
+         |  WHERE xs.vec_id < ${Similarity.NumQueries}),
+         | a AS (SELECT q_id, c.vec_id, CAST(sum(pd6) AS BIGINT) AS adist6
+         |  FROM codes c JOIN lut ON c.sub = lut.sub AND c.code = lut.code
+         |  WHERE c.vec_id != q_id GROUP BY 1, 2),
+         | t AS (SELECT q_id, vec_id, adist6, CAST(row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist6, vec_id) AS BIGINT) AS rk FROM a)
+         |SELECT q_id, rk, vec_id, adist6 FROM t WHERE rk <= 5
+         |ORDER BY q_id, rk, vec_id, adist6""".stripMargin
+    }),
+
     "q_binary_meta" -> e(TextOps.binaryMeta,
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
         | md5(text) AS sig
@@ -529,6 +565,38 @@ object TextRegistry {
          |  FROM s)
          |SELECT q_id, vec_id, bkt, CAST(rk AS BIGINT) AS rk, round(cos, 4) AS cos4
          |FROM r WHERE rk <= 3 ORDER BY q_id, rk, vec_id""".stripMargin),
+
+    "q_ann_recall" -> e((s, d) => Similarity.annRecall(s, d),
+      s"""WITH $embCtes,
+         | $duckBitsCte,
+         | q0 AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm FROM n
+         |   WHERE vec_id < ${Similarity.NumQueries}),
+         | bs AS (SELECT q_id, vec_id,
+         |   list_dot_product(qv, v)/(qnm*nm) AS cos
+         |  FROM q0 JOIN n ON vec_id != q_id),
+         | br AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM bs),
+         | b AS (SELECT q_id, vec_id FROM br WHERE rk <= 3),
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucketDyn("v")} AS bkt
+         |   FROM n CROSS JOIN bi),
+         | ql AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm, bkt FROM nb
+         |   WHERE vec_id < ${Similarity.NumQueries}),
+         | ls AS (SELECT ql.q_id, nb.vec_id,
+         |   list_dot_product(ql.qv, nb.v)/(ql.qnm*nb.nm) AS cos
+         |  FROM ql JOIN nb ON ql.bkt = nb.bkt AND nb.vec_id != ql.q_id),
+         | lr AS (SELECT q_id, vec_id,
+         |   row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM ls),
+         | l AS (SELECT q_id, vec_id FROM lr WHERE rk <= 3),
+         | h AS (SELECT b.q_id, count(*) AS n_hit
+         |  FROM b JOIN l ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+         |  GROUP BY 1),
+         | qs AS (SELECT DISTINCT q_id FROM b)
+         |SELECT qs.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+         | CAST(COALESCE(n_hit, 0) AS DOUBLE)/3 AS recall
+         |FROM qs LEFT JOIN h ON qs.q_id = h.q_id
+         |ORDER BY qs.q_id, n_hit, recall""".stripMargin),
 
     "q_sim_ivf" -> e((s, d) => Similarity.simIvf(s, d),
       s"""WITH $embCtes,

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -257,6 +258,47 @@ object StreamOps {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.engine.TextOps.qualityFlags(docs)
       .filter(col("keep")).drop("rate_ppm", "keep", "n_uniq")
+
+  /** Streaming as-of enrichment against a STATIC snapshot table — the
+    * streaming twin of `AsOfJoin.asofLatest`: each arriving event picks
+    * up the latest same-key snapshot with snapshot-time <= event-time
+    * (the dimension state that was in force when the event happened).
+    *
+    * The batch union+window formulation cannot stream (it sorts both
+    * sides), so the streaming shape converts the static side into
+    * VALIDITY INTERVALS batch-side — `lead(time)` over each key gives
+    * every snapshot a [start, end) range; equal-time snapshots collapse
+    * to zero-width ranges for all but the tie-break winner, matching
+    * the batch max-tie-break — and then the stream joins it with a
+    * plain stream-static left-outer range join: exactly one interval
+    * matches per event, so the operator is STATELESS (no state store,
+    * no watermark needed; unmatched events pass through with nulls,
+    * the batch left-join semantics).
+    *
+    * Scale: the interval table is O(snapshots) and computed once per
+    * trigger from the static frame; the join is the standard broadcast
+    * (small dims) or shuffled stream-static hash join on the key. */
+  def asofStreamAgainstStatic(events: DataFrame, snapshots: DataFrame,
+      key: String, eventTime: String, snapTime: String,
+      snapCols: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    import graft.engine.AsOfJoin
+    AsOfJoin.requireSharedTimeFamily(events, eventTime, snapshots, snapTime)
+    val ordCols = col("__t") +: tieBreak.map(c => col("__rpay").getField(c))
+    val w = Window.partitionBy(col("__k")).orderBy(ordCols: _*)
+    val iv = snapshots
+      .filter(col(key).isNotNull && col(snapTime).isNotNull)
+      .select(col(key).as("__k"),
+        AsOfJoin.timeAsLong(snapshots, snapTime).as("__t"),
+        struct(snapCols.map(col): _*).as("__rpay"))
+      .withColumn("__end", lead(col("__t"), 1).over(w))
+    val lt = AsOfJoin.timeAsLong(events, eventTime)
+    events.join(iv,
+        col(key) === col("__k") && lt >= col("__t") &&
+          (col("__end").isNull || lt < col("__end")),
+        "left_outer")
+      .select(events.columns.toSeq.map(col) ++
+        snapCols.map(c => col("__rpay").getField(c).as(c)): _*)
+  }
 
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {

@@ -163,6 +163,46 @@ class StreamingSpec extends SparkSpec {
       s"expected user 7's final session flushed by timeout, got ${out.toSeq}")
   }
 
+  test("asofStreamAgainstStatic matches the batch as-of join on the same data") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // snapshot table: per-user plan changes over time (equal-time tie
+    // at t=4 for user 1 — max rid must win, as in the batch join)
+    val snaps = Seq(
+      (1L, 4L, 40L, "basic"), (1L, 4L, 41L, "plus"), (1L, 9L, 90L, "pro"),
+      (2L, 6L, 60L, "basic"))
+      .toDF("user_id", "st", "rid", "plan")
+    val eventsSeq = Seq(
+      (100L, 1L, 10L), // after t=9 → pro
+      (101L, 1L, 4L),  // inclusive tie → plus (rid 41)
+      (102L, 2L, 5L),  // before user 2's first snapshot → null
+      (103L, 3L, 7L))  // no snapshots for user 3 → null
+    val batch = graft.engine.AsOfJoin.asofLatest(
+      eventsSeq.toDF("id", "user_id", "t"), snaps,
+      "user_id", "user_id", "t", "st", Seq("rid", "plan"), Seq("rid"))
+      .select("id", "rid", "plan")
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = StreamOps.asofStreamAgainstStatic(
+      mem.toDS().toDF("id", "user_id", "t"), snaps,
+      "user_id", "t", "st", Seq("rid", "plan"), Seq("rid"))
+      .select("id", "rid", "plan")
+    val q = stream.writeStream.format("memory").queryName("asofst")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(eventsSeq: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asofst").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSet
+    val want = batch.collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSet
+    assert(got == want, s"stream $got != batch $want")
+    assert(want == Set((100L, 90L, "pro"), (101L, 41L, "plus"),
+      (102L, -1L, ""), (103L, -1L, "")))
+  }
+
   test("dedupStreamAgainstCorpus drops corpus near-dups, passes novel/short docs") {
     implicit val sq = spark.sqlContext
     def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")

@@ -194,7 +194,10 @@ class TrainOpsSpec extends SparkSpec {
   test("exportShards: hash-partitioned write round-trips, stats agree") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = Sources.documents(spark, sf)
-    TextOps.exportShards(docs, dir)
+    // same family as the oracle-checked stats report (the writer's
+    // default is fast28; the report describes whatever family it's
+    // given — agreement requires giving both the same one)
+    TextOps.exportShards(docs, dir, hash = graft.engine.PortableHash.h28)
     // Hive-style shard dirs exist and the round-trip loses nothing
     val back = spark.read.parquet(dir)
     assert(back.count() == docs.count())
@@ -208,6 +211,18 @@ class TrainOpsSpec extends SparkSpec {
     val byShard = back.groupBy("shard").count()
       .as[(Long, Long)].collect().toMap
     stats.foreach { case (sh, n) => assert(byShard(sh) == n) }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("exportShards: fast28 default round-trips losslessly and stays sharded") {
+    val dir = java.nio.file.Files.createTempDirectory("shards28").toString
+    val docs = Sources.documents(spark, sf)
+    TextOps.exportShards(docs, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id").exceptAll(docs.select("doc_id")).count() == 0)
+    val dirs = new java.io.File(dir).list().count(_.startsWith("shard="))
+    assert(dirs > 1 && dirs <= TextOps.NumShards)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
