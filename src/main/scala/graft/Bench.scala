@@ -50,23 +50,23 @@ object Bench {
       spark.catalog.clearCache()
       if (ok) Some(name -> t) else None
     }
-    // Centisecond precision, trailing zeros stripped ("0.40" → "0.4"):
-    // run-to-run variance on sub-second queries is ~2×, so 2dp loses
-    // nothing — and the whole 87-query JSON line must fit the driver's
-    // 2000-char output tail capture (round 3's full-precision line was
-    // ~2.1 kB: the driver recorded parsed:null and the first 19 query
-    // timings fell off the capture window).
-    def num(v: Double): String = {
+    // Deciseconds per query, centiseconds for the total, trailing zeros
+    // stripped ("0.50" → "0.5"): run-to-run variance on sub-second
+    // queries is ~2×, so 1dp loses nothing — and the whole 90-query
+    // JSON line must fit the driver's 2000-char output tail capture
+    // (round 3's full-precision line was ~2.6 kB: the driver recorded
+    // parsed:null and the first 19 query timings fell off the window).
+    def num(v: Double, dp: Int): String = {
       // Locale.ROOT: a comma decimal separator would corrupt the JSON
-      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       else s
     }
-    val qs = results.map { case (k, v) => q(k) + ":" + num(v) }
+    val qs = results.map { case (k, v) => q(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.result().map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
+    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
     spark.stop()
     if (failed.result().nonEmpty) sys.exit(2)
   }
