@@ -1211,6 +1211,41 @@ object TextOps {
         (col("n_docs") - col("n_uniq_texts")).cast("double") / col("n_docs"))
       .withColumn("avg_tok", col("total_tok").cast("double") / col("n_docs"))
 
+  /** Corpus snapshot diff — the data-versioning report a pipeline runs
+    * between crawl drops: per doc_id, `added` (new id), `removed` (id
+    * gone), `changed` (text digest differs), `same`. The join carries
+    * 16-byte md5 digests, never text (the [[dedupExact]] discipline:
+    * the full-outer shuffle is O(ids), tiny next to the corpus), and
+    * the report is a 4-key agg with map-side partials. */
+  def datasetDiff(cur: DataFrame, prev: DataFrame): DataFrame = {
+    val c = cur.select(col("doc_id"), md5(col("text")).as("csig"))
+    val p = prev.select(col("doc_id"), md5(col("text")).as("psig"))
+    c.join(p, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("psig").isNull, lit("added"))
+          .when(col("csig").isNull, lit("removed"))
+          .when(col("csig") =!= col("psig"), lit("changed"))
+          .otherwise(lit("same")))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** The declared-query binding of [[datasetDiff]]: the "previous
+    * snapshot" is derived deterministically from the current corpus
+    * (every 17th doc absent = since-added, every 13th reworded =
+    * changed, plus shifted-id rows = since-removed), so both engines
+    * diff the same two frames without a second input table. */
+  def datasetDiffQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d)
+    val prevBase = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    val prevGone = docs.filter(col("doc_id") % 19 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    datasetDiff(docs, prevBase.unionByName(prevGone))
+  }
+
   /** Term-scrub dictionary for [[piiScrub]], as a word-boundary
     * alternation. The synthetic corpus carries no true PII (pure
     * lowercase words — verified: zero digits or '@'s), so the dictionary

@@ -692,6 +692,23 @@ object TextRegistry {
          |   >= 1.0 THEN 'common' ELSE 'novel' END AS grade
          |FROM pd CROSS JOIN tt ORDER BY doc_id""".stripMargin),
 
+    "q_dataset_diff" -> e(TextOps.datasetDiffQ,
+      """WITH cur AS (SELECT doc_id, md5(text) AS csig FROM documents),
+        | prev0 AS (SELECT doc_id,
+        |   md5(CASE WHEN doc_id % 13 = 5 THEN text || ' v2' ELSE text END)
+        |     AS psig
+        |  FROM documents WHERE doc_id % 17 != 3),
+        | prevx AS (SELECT doc_id + 10000000 AS doc_id, md5(text) AS psig
+        |  FROM documents WHERE doc_id % 19 = 7),
+        | prev AS (SELECT * FROM prev0 UNION ALL SELECT * FROM prevx),
+        | j AS (SELECT csig, psig
+        |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id)
+        |SELECT CASE WHEN psig IS NULL THEN 'added'
+        |  WHEN csig IS NULL THEN 'removed'
+        |  WHEN csig != psig THEN 'changed' ELSE 'same' END AS status,
+        | count(*) AS n
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin),
+
     "q_dataset_card" -> e(TextOps.datasetCard,
       """SELECT count(*) AS n_docs,
         | count(DISTINCT source) AS n_sources,
