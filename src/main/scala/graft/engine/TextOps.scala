@@ -633,6 +633,25 @@ object TextOps {
     sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
       .select("a", "b", "jacc").orderBy("a", "b")
 
+  /** Source-pair near-dup leakage matrix: for every unordered source
+    * pair, how many verified near-dup pairs cross it — the report that
+    * tells a curation team which crawl feeds are re-serving each
+    * other's content (and whether an eval source leaks into training).
+    * Reads the materialized pair stage (O(pairs)), joins doc→source on
+    * ids only; `least/greatest` canonicalize the pair so the matrix is
+    * triangular. Same-source pairs count on the diagonal. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val pr = sharedCandPairs(s, d)
+      .filter(col("jacc") >= NearDupJaccard).select("a", "b")
+    val src = Sources.documents(s, d).select(col("doc_id"), col("source"))
+    pr.join(src.toDF("a", "sa"), Seq("a"))
+      .join(src.toDF("b", "sb"), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Connected components over the verified near-dup pairs — the shared
     * cluster assignment behind [[dupClusters]] and [[dedupApply]] (one
     * definition, so the cluster report and the materialized deduped
@@ -947,6 +966,30 @@ object TextOps {
       .withColumn("seq_off", col("tok_start") % PackBudget)
       .select("doc_id", "source", "n_tok", "seq_id", "seq_off")
       .orderBy("doc_id", "source", "n_tok", "seq_id", "seq_off")
+  }
+
+  /** Power-of-two token-length bucket boundaries for [[lenBuckets]]. */
+  val LenBucketBounds: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L)
+
+  /** Token-length histogram over power-of-two buckets — the sequence-
+    * length distribution a pipeline inspects before choosing a packing
+    * budget ([[PackBudget]]): bucket_lo ≤ n_tok < next bound, plus doc
+    * and token totals and the share of tokens a [[PackBudget]]-token
+    * window would truncate per doc (docs longer than the budget).
+    * Pure map + 7-key agg with map-side partials; all integers. */
+  def lenBuckets(s: SparkSession, d: String): DataFrame = {
+    // ascending fold: the outermost `when` tests the LARGEST bound, so
+    // a 600-token doc lands in 512, not the first bound it exceeds
+    val lo = LenBucketBounds.foldLeft(lit(0L)) { (acc, b) =>
+      when(col("n_tok") >= b, lit(b)).otherwise(acc)
+    }
+    Sources.documents(s, d)
+      .select(size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .select(lo.as("bucket_lo"), col("n_tok"))
+      .groupBy("bucket_lo")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tot_tok"),
+        sum(greatest(col("n_tok") - PackBudget, lit(0L))).as("over_budget_tok"))
+      .orderBy("bucket_lo")
   }
 
   /** Max documents kept per source by [[domainCap]]. */

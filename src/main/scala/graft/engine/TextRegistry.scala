@@ -218,6 +218,16 @@ object TextRegistry {
       s"""WITH $ngramPairCtes
          |SELECT a, b, jacc FROM p WHERE jacc >= ${TextOps.NearDupJaccard} ORDER BY a, b""".stripMargin),
 
+    "q_source_overlap" -> e(TextOps.sourceOverlap,
+      s"""WITH $ngramPairCtes,
+         | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | sp AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |   FROM pr JOIN documents da ON da.doc_id = pr.a
+         |        JOIN documents db ON db.doc_id = pr.b)
+         |SELECT src_a, src_b, count(*) AS n_pairs FROM sp
+         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin),
+
     "q_minhash_est" -> e(TextOps.minhashEstimate, {
       val nEq = (0 until TextOps.NumHashes)
         .map(j => s"(CASE WHEN sa.h$j = sb.h$j THEN 1 ELSE 0 END)")
@@ -396,6 +406,19 @@ object TextRegistry {
          | (tok_end - n_tok) // ${TextOps.PackBudget} AS seq_id,
          | (tok_end - n_tok) % ${TextOps.PackBudget} AS seq_off
          |FROM c ORDER BY doc_id, source, n_tok, seq_id, seq_off""".stripMargin),
+
+    "q_len_buckets" -> e(TextOps.lenBuckets, {
+      val cases = TextOps.LenBucketBounds.reverse
+        .map(b => s"WHEN n_tok >= $b THEN $b").mkString(" ")
+      s"""WITH t AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT)
+         |    AS n_tok FROM documents)
+         |SELECT CASE $cases ELSE 0 END AS bucket_lo,
+         | count(*) AS n_docs,
+         | CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+         | CAST(sum(greatest(n_tok - ${TextOps.PackBudget}, 0)) AS BIGINT)
+         |   AS over_budget_tok
+         |FROM t GROUP BY 1 ORDER BY bucket_lo""".stripMargin
+    }),
 
     "q_domain_cap" -> e(TextOps.domainCap, {
       val h = duckH28("'cap_'||doc_id")
