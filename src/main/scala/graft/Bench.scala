@@ -65,8 +65,20 @@ object Bench {
     val qs = results.map { case (k, v) => q(k) + ":" + num(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.result().map(q).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":${q(sfDir)}}""")
+    // "failed" is omitted when empty — every byte counts against the
+    // tail window, and absence-of-key reads the same as [].
+    val failedJson = if (failed.result().isEmpty) ""
+      else s""","failed":${failed.result().map(q).mkString("[", ",", "]")}"""
+    val line =
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","queries":$qs$failedJson,"sf":${q(sfDir)}}"""
+    println(line)
+    // Belt and braces: the driver's stdout tail capture is 2000 chars
+    // and sbt appends its own trailer, so ALSO drop the line as a file
+    // artifact next to the build — committed per round, it survives any
+    // stdout windowing.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(_) => () }
     spark.stop()
     if (failed.result().nonEmpty) sys.exit(2)
   }
