@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout toolkit — the knobs that decide whether a plan
@@ -207,5 +207,58 @@ object Layout {
     val replicated = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Morton (Z-order) interleave of `cols`, each range-scaled to a
+    * `bits`-wide integer against its broadcast (mn, mx) pair: bit b of
+    * column i lands at position b·n+i. Nearby points in ALL dimensions
+    * get nearby z-values, which is what makes multi-column clustering
+    * work: a file sorted by z is tight on every z-column's min/max
+    * footer stats, so a 2-D predicate skips files on both columns —
+    * where a plain sort clusters only its leading column. */
+  private[graft] def zValue(cols: Seq[Column],
+      mins: Seq[Column], maxs: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1 && n * bits <= 62,
+      s"z-value needs n·bits <= 62 (got $n × $bits)")
+    val top = (1L << bits) - 1
+    val scaled = cols.lazyZip(mins).lazyZip(maxs).map { (c, mn, mx) =>
+      // degenerate (mn = mx) dimensions contribute 0, like int8Quant
+      when(mx > mn, least(lit(top),
+        floor((c.cast("double") - mn) / (mx - mn) * top)))
+        .otherwise(lit(0L))
+    }
+    val terms = for {
+      b <- 0 until bits
+      i <- 0 until n
+    } yield shiftleft(shiftright(scaled(i), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce[Column](_ bitwiseOR _)
+  }
+
+  /** Z-order-clustered parquet layout over `zCols` (numeric/timestamp):
+    * one agg pass for the per-column ranges (broadcast back), a range
+    * repartition + in-partition sort on the interleaved z-value, then a
+    * plain parquet write — `files` output files whose per-file min/max
+    * stats are tight on EVERY z-column. The maintenance pass behind
+    * "OPTIMIZE ... ZORDER BY" in lakehouse engines, as a library
+    * operator. Query-side needs nothing: parquet readers skip on footer
+    * stats automatically. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bits: Int = 12, files: Int = 8): Unit = {
+    require(zCols.nonEmpty, "writeZOrdered needs at least one column")
+    require(!df.columns.contains("__z"),
+      "input already has a '__z' column; rename it before writeZOrdered")
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__mn_$c"),
+      max(col(c)).cast("double").as(s"__mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zValue(zCols.map(col),
+        zCols.map(c => col(s"__mn_$c")), zCols.map(c => col(s"__mx_$c")),
+        bits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z" +: zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
   }
 }

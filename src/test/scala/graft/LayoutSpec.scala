@@ -69,6 +69,58 @@ class LayoutSpec extends SparkSpec {
       s"pruning lost after compact:\n$scan")
   }
 
+  test("zValue is exact Morton interleave of the range-scaled inputs") {
+    val bits = 8
+    val top = (1L << bits) - 1
+    // JVM-side reference with the identical IEEE scaling formula
+    def scale(v: Double, mn: Double, mx: Double): Long =
+      if (mx > mn) math.min(top, math.floor((v - mn) / (mx - mn) * top).toLong)
+      else 0L
+    def morton(xs: Seq[Long]): Long =
+      (0 until bits).flatMap(b => xs.indices.map(i =>
+        ((xs(i) >> b) & 1L) << (b * xs.size + i))).reduce(_ | _)
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toDouble * 3 + 1, y.toDouble * 7 - 2)
+    val df = pts.toDF("x", "y")
+    val (mnx, mxx) = (pts.map(_._1).min, pts.map(_._1).max)
+    val (mny, mxy) = (pts.map(_._2).min, pts.map(_._2).max)
+    val got = df.withColumn("z", Layout.zValue(
+        Seq(col("x"), col("y")),
+        Seq(lit(mnx), lit(mny)), Seq(lit(mxx), lit(mxy)), bits))
+      .select("x", "y", "z").as[(Double, Double, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      val want = morton(Seq(scale(x, mnx, mxx), scale(y, mny, mxy)))
+      assert(z == want, s"z($x,$y) = $z, want $want")
+    }
+  }
+
+  test("writeZOrdered files are range-tight on BOTH columns; a plain sort is not") {
+    // uniform 100×100 grid: a z-ordered 4-file layout bounds each
+    // file's bbox on both dims; sorting by x alone leaves y unbounded
+    val grid = (0 until 10000).map(i => (i % 100, i / 100)).toDF("x", "y")
+    def fileSpans(path: String): Seq[(Double, Double)] =
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max("x") - min("x")).cast("double").as("sx"),
+          (max("y") - min("y")).cast("double").as("sy"))
+        .select("sx", "sy").as[(Double, Double)].collect().toSeq
+    val zdir = Files.createTempDirectory("graft_z").toString
+    Layout.writeZOrdered(grid, zdir, Seq("x", "y"), bits = 8, files = 4)
+    val zspans = fileSpans(zdir)
+    val sdir = Files.createTempDirectory("graft_s").toString
+    grid.repartitionByRange(4, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(sdir)
+    val sspans = fileSpans(sdir)
+    def meanY(sp: Seq[(Double, Double)]) = sp.map(_._2).sum / sp.size
+    assert(meanY(zspans) <= 70.0,
+      s"z-order should bound y spans, got ${zspans}")
+    assert(meanY(sspans) >= 95.0,
+      s"x-sort baseline should leave y unbounded, got ${sspans}")
+    assert(spark.read.parquet(zdir).count() == 10000)
+    // the layout pass must not add or drop data columns
+    assert(spark.read.parquet(zdir).columns.sorted.toSeq == Seq("x", "y"))
+  }
+
   test("saltedJoin returns exactly the plain-join result") {
     // one hot key (1) dominating — the salting target
     val fact = ((1 to 500).map(_ => 1L) ++ (1 to 100).map(_.toLong))
