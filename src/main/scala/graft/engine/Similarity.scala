@@ -540,8 +540,14 @@ object Similarity {
   def pqSearch(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val vs = vectors(s, d)
     val codebook = pqCodebookOf(vs)
+    // co-locate each vector's 8 code rows before the LUT join: the
+    // encode window leaves them hash-spread by (vec_id, sub), where the
+    // rollup's map-side partials would barely combine — one N·8-row
+    // shuffle here makes the (q_id, vec_id) agg emit N·NumQueries
+    // partials instead of ~8× that
     val codes = pqEncode(vs, codebook)
       .select(col("vec_id"), col("sub"), col("code"))
+      .repartition(col("vec_id"))
     // LUT: query subvectors × codewords, fixed-point quantized
     val lut = vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), explode(array(pqSubIdx: _*)).as("xs"))

@@ -68,17 +68,23 @@ object PropertySpecs extends Properties("graft") {
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
       val sets = TextOps.shingleSets(docs)
-      val viaAgg = {
-        val aggs = (0 until TextOps.NumHashes)
-          .map(j => min(PortableHash.minhashJ(col("x"), j)).as(s"h$j"))
-        sets.select(col("doc_id"), explode(col("s")).as("sh"))
-          .withColumn("x", PortableHash.h28(col("sh")))
-          .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      // both hash families must agree with their explode/groupBy twin
+      val props = Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        "h28" -> PortableHash.h28, "fast28" -> PortableHash.fast28
+      ).map { case (fam, hash) =>
+        val viaAgg = {
+          val aggs = (0 until TextOps.NumHashes)
+            .map(j => min(PortableHash.minhashJ(col("x"), j)).as(s"h$j"))
+          sets.select(col("doc_id"), explode(col("s")).as("sh"))
+            .withColumn("x", hash(col("sh")))
+            .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        }
+        val viaRow = TextOps.minhashSignatureFromSets(sets, hash)
+        val a = viaAgg.collect().map(_.toSeq).toSet
+        val b = viaRow.collect().map(_.toSeq).toSet
+        Prop(a == b) :| s"family=$fam agg=$a row=$b"
       }
-      val viaRow = TextOps.minhashSignatureFromSets(sets)
-      val a = viaAgg.collect().map(_.toSeq).toSet
-      val b = viaRow.collect().map(_.toSeq).toSet
-      Prop(a == b) :| s"agg=$a row=$b"
+      props.reduce(_ && _)
     }
 
   private val docGen: Gen[List[(Long, String)]] = Gen.listOfN(5,
