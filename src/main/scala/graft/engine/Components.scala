@@ -127,4 +127,58 @@ object Components {
     }
     labels
   }
+
+  /** Fixed-point damping constants for [[pagerank]]: damping 0.85 as the
+    * exact rational 17/20, scores in parts-per-million. Integer-only
+    * arithmetic (multiply, floor-divide, sum) so both engines compute
+    * bit-identical scores — the [[graft.engine.Similarity]] fixed-point
+    * discipline. */
+  val PrScale = 1000000L
+  val PrBase = 150000L // (1 - d) · PrScale
+
+  /** PageRank over an undirected edge list `(a, b)` — the importance
+    * signal a dedup pipeline uses to pick the CANONICAL document of a
+    * duplicate cluster (keep the best-connected copy, drop the rest),
+    * and the classic iterative-join workload on the near-dup graph.
+    *
+    * A FIXED `iters` rounds (not convergence-tested): the score is a
+    * ranking signal, not a fixpoint certificate, and a fixed round count
+    * is what makes the oracle SQL expressible as `iters` unrolled CTEs.
+    * Each round is one equi-join of scores onto edges + one sum by
+    * destination — co-partitioned on the node id, edge-list-sized
+    * shuffles, nothing driver-side. Scores are ppm BIGINTs:
+    * `pr' = PrBase + Σ_in (pr(u)·17) div (20·deg(u))` with floor
+    * division, deterministic on both engines. At 100 TB the loop wants
+    * the edge list persisted and the score frame checkpointed every few
+    * rounds (lineage growth), exactly as [[connectedComponents]] does —
+    * `iters` here is small and the frames are pair-stage-sized, so a
+    * plain loop suffices. */
+  def pagerank(pairs: DataFrame, iters: Int = 3): DataFrame = {
+    val sym = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = sym.join(deg, Seq("src")) // (src, dst, deg of src)
+    var pr = deg.select(col("src").as("node"), lit(PrScale).as("pr"))
+    for (_ <- 1 to iters) {
+      pr = adj.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"pr * 17 DIV (20 * deg)").as("c"))
+        .groupBy("node").agg((lit(PrBase) + sum(col("c"))).as("pr"))
+      // every node of the symmetric graph has deg ≥ 1 inbound, so the
+      // sum never needs an outer join / coalesce
+    }
+    // sym/deg stay persisted: the returned plan re-reads them once per
+    // iteration, and an eager unpersist here would force `iters` full
+    // recomputes of the edge pipeline at materialization time. Callers
+    // drop them via unpersist/clearCache when done (the
+    // [[connectedComponents]] cache-courtesy contract; Verify/Bench
+    // clear between queries).
+    deg.select(col("src").as("node"), col("deg"))
+      .join(pr, Seq("node"))
+      .select(col("node"), col("deg"), col("pr"))
+  }
 }

@@ -105,12 +105,28 @@ object Similarity {
       .count(b => n > (TargetBucket << b))
 
   /** Sign-LSH bucket id of a double-array embedding over `bits`
-    * hyperplanes. */
+    * hyperplanes.
+    *
+    * The weight matrix is ONE nested `typedLit` (a single Literal node
+    * holding bits×64 doubles) consumed by a zip_with/aggregate pair —
+    * not `bits` separate `array(lit…)` nodes each feeding its own
+    * dot/when in a `bits`-long `+` chain. Values are identical; the
+    * expression tree drops from O(bits·64) nodes to a handful, which is
+    * what the per-query Catalyst+Janino constant actually prices (the
+    * round-3 bench-tail lesson). */
   def lshBucket(v: Column, bits: Int = MinLshBits): Column =
-    (0 until bits).map { j =>
-      val w = array((0 until 64).map(i => lit(lshWeight(j, i).toDouble)): _*)
-      when(dot(v, w) >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    lshBucketFrom(v,
+      (0 until bits).map(j => (0 until 64).map(i => lshWeight(j, i).toDouble)))
+
+  /** [[lshBucket]] over an explicit weight matrix (row j = hyperplane
+    * for bit j) — shared with [[dedupEmbedBanded]]'s offset planes. */
+  private def lshBucketFrom(v: Column, rows: Seq[Seq[Double]]): Column = {
+    val pows = rows.indices.map(j => 1L << j)
+    aggregate(
+      zip_with(typedLit(rows), typedLit(pows),
+        (wrow, p) => when(dot(v, wrow) >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
 
   /** The fixed query set: the first [[NumQueries]] vector ids. */
   private def queriesFixed(vs: DataFrame): DataFrame =
@@ -621,11 +637,8 @@ object Similarity {
   def dedupEmbedBanded(vs: DataFrame, bands: Int, bits: Int,
       threshold: Double): DataFrame = {
     val banded = (0 until bands).map { bd =>
-      val bkt = (0 until bits).map { j =>
-        val w = array((0 until 64).map(i =>
-          lit(lshWeight(bd * bits + j, i).toDouble)): _*)
-        when(dot(col("v"), w) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
+      val bkt = lshBucketFrom(col("v"), (0 until bits).map(j =>
+        (0 until 64).map(i => lshWeight(bd * bits + j, i).toDouble)))
       vs.select(col("vec_id"), lit(bd).as("band"), bkt.as("bkt"))
     }.reduce(_ unionByName _)
     val cand = banded.select(col("band"), col("bkt"), col("vec_id").as("a"))

@@ -1167,6 +1167,113 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** Per-document token occurrence counts `(doc_id, tok, lc)`,
+    * parquet-staged — the unigram sibling of the [[ngramNovelty]]
+    * doc-gram stage: every consumer (inverted index, co-occurrence)
+    * reads this thin table instead of re-tokenizing the corpus, so the
+    * raw text is scanned exactly ONCE per corpus however many queries
+    * run. Distinct (doc_id, tok) pairs are the stage's keys; `lc`
+    * carries the within-doc occurrence count for collection-frequency
+    * consumers. */
+  def sharedDocToks(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "doc_toks", d)(
+      Sources.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("lc")))
+
+  /** Posting-list head length for [[invertedIndex]] — a CONSTANT so the
+    * per-token collected list is bounded whatever the corpus size. */
+  val PostingsCap = 8
+
+  /** Inverted index over the corpus: per token its document frequency,
+    * collection frequency, and the first [[PostingsCap]] posting doc_ids
+    * (ascending, comma-joined) — the retrieval-side index build every
+    * RAG/dedup pipeline runs next to its training corpus.
+    *
+    * Scale shape: reads the [[sharedDocToks]] stage (corpus tokenized
+    * once, ever); df/cf are hash aggregations with map-side partials
+    * (never a collect). The posting HEAD is the part that would naively
+    * collect O(docs-per-token) ids for stopword-like tokens; instead a
+    * `row_number` over (token, doc_id ASC) is filtered to the cap
+    * BEFORE the collect — Spark's WindowGroupLimit pushes that rank
+    * filter below the shuffle (the [[domainCap]] plan shape, locked in
+    * PlanSpec), so every partition ships at most [[PostingsCap]] rows
+    * per token and the final `collect_list` is bounded by
+    * construction. */
+  def invertedIndex(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d)
+    val stats = dt.groupBy("tok")
+      .agg(count(lit(1)).as("df"), sum(col("lc")).as("cf"))
+    val w = Window.partitionBy(col("tok")).orderBy(col("doc_id"))
+    val heads = dt.select(col("tok"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= PostingsCap)
+      .groupBy("tok")
+      .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+        x => x.cast("string")), ",").as("postings"))
+    stats.join(heads, Seq("tok"))
+      .select(col("tok"), col("df"), col("cf"), col("postings"))
+      .orderBy("tok")
+  }
+
+  /** Vocabulary slice size for [[cooccur]] — a CONSTANT: the pair space
+    * is C(CooccurTop, 2) however big the corpus grows, and the top-token
+    * table stays broadcast-sized (the [[Similarity.NumQueries]]
+    * discipline). */
+  val CooccurTop = 20
+
+  /** Document-level token co-occurrence with association lift for the
+    * [[CooccurTop]] highest-df tokens — the corpus-statistics signal
+    * behind collocation mining and template detection (a pair whose
+    * lift ≫ 1 travels together far more than its marginals predict —
+    * boilerplate phrasing; lift ≪ 1 means the tokens split the corpus).
+    *
+    * Lift is the exact double `n_xy · n_docs / (df_x · df_y)` computed
+    * in ONE fixed expression shape mirrored verbatim by the oracle
+    * (bit-deterministic per the Relational doubles rule), rounded for
+    * display. The BIGINT product `df_x · df_y` overflows past ~3·10⁹
+    * docs; the double form never materializes it.
+    *
+    * Scale shape: reads the [[sharedDocToks]] stage (no re-tokenize);
+    * the top-token table (df included) is broadcast; the per-doc pair
+    * explosion is a self-join of the ≤[[CooccurTop]]-row per-doc
+    * slice — ≤ C(20,2) pairs per document, linear in docs; the closing
+    * agg carries (x, y) string pairs drawn from a 20-token
+    * vocabulary. */
+  def cooccur(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d).select(col("doc_id"), col("tok"))
+    val top = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(CooccurTop)
+    val nd = Sources.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val dtop = dt.join(broadcast(top), Seq("tok"))
+    dtop.select(col("doc_id"), col("tok").as("x"), col("df").as("df_x"))
+      .join(dtop.select(col("doc_id"), col("tok").as("y"),
+        col("df").as("df_y")), Seq("doc_id"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"), col("df_x"), col("df_y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .crossJoin(broadcast(nd))
+      .withColumn("lift6",
+        round(col("n_xy").cast("double") * col("n_docs") /
+          (col("df_x") * col("df_y")), 6))
+      .select(col("x"), col("y"), col("n_xy"), col("df_x"), col("df_y"),
+        col("lift6"))
+      .orderBy(col("n_xy").desc, col("x"), col("y"))
+  }
+
+  /** PageRank scores over the verified near-dup graph
+    * ([[sharedCandPairs]] at [[NearDupJaccard]]) — the canonical-copy
+    * selector: inside a duplicate cluster the highest-scored (best
+    * connected) document is the one a curation pass keeps. Fixed
+    * [[Components.pagerank]] rounds in ppm fixed-point; output is every
+    * node of the dup graph with its degree and score. */
+  def pagerankDup(s: SparkSession, d: String): DataFrame =
+    Components.pagerank(
+      sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
+        .select("a", "b"))
+      .select(col("node").as("doc_id"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("doc_id"))
+
   /** Per-document n-gram familiarity — the corpus-statistics quality
     * signal (CCNet-style): a document whose bigrams are rare across the
     * corpus is novel (or noise); one built from the corpus's most common

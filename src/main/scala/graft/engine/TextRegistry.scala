@@ -698,6 +698,68 @@ object TextRegistry {
          | CAST(n_docs AS BIGINT) AS n_docs
          |FROM r WHERE rk <= ${TextOps.TopNgrams} ORDER BY rk""".stripMargin),
 
+    "q_inverted_index" -> e(TextOps.invertedIndex,
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT doc_id, tok, count(*) AS lc FROM t GROUP BY 1, 2),
+         | stats AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |   CAST(sum(lc) AS BIGINT) AS cf FROM dt GROUP BY 1),
+         | r AS (SELECT tok, doc_id,
+         |   row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+         |  FROM dt),
+         | heads AS (SELECT tok,
+         |   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |     AS postings
+         |  FROM r WHERE rk <= ${TextOps.PostingsCap} GROUP BY 1)
+         |SELECT tok, df, cf, postings
+         |FROM stats JOIN heads USING (tok) ORDER BY tok""".stripMargin),
+
+    "q_cooccur" -> e(TextOps.cooccur,
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT DISTINCT doc_id, tok FROM t),
+         | dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+         |  FROM dt GROUP BY 1),
+         | topt AS (SELECT tok, df FROM dfq
+         |  ORDER BY df DESC, tok LIMIT ${TextOps.CooccurTop}),
+         | nd AS (SELECT count(*) AS n_docs FROM documents),
+         | dtop AS (SELECT dt.doc_id, dt.tok, topt.df
+         |  FROM dt JOIN topt USING (tok)),
+         | co AS (SELECT a.tok AS x, b.tok AS y, a.df AS df_x, b.df AS df_y,
+         |   CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM dtop a JOIN dtop b
+         |    ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT x, y, n_xy, df_x, df_y,
+         | round(CAST(n_xy AS DOUBLE) * n_docs / (df_x * df_y), 6) AS lift6
+         |FROM co CROSS JOIN nd
+         |ORDER BY n_xy DESC, x, y""".stripMargin),
+
+    "q_pagerank" -> e(TextOps.pagerankDup, {
+      // fixed 3 unrolled rounds over the near-dup edge list — integer
+      // fixed-point mirror of Components.pagerank (ppm, 17/20 damping,
+      // floor division on both engines)
+      def round_(prev: String, next: String) =
+        s"""$next AS (SELECT adj.dst AS node,
+           |   150000 + sum(($prev.pr * 17) // (20 * adj.deg)) AS pr
+           |  FROM adj JOIN $prev ON $prev.node = adj.src GROUP BY 1)"""
+          .stripMargin
+      s"""WITH $ngramPairCtes,
+         | ed AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | e AS (SELECT a AS src, b AS dst FROM ed
+         |   UNION ALL SELECT b AS src, a AS dst FROM ed),
+         | dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e GROUP BY 1),
+         | adj AS (SELECT e.src, e.dst, dg.deg FROM e JOIN dg USING (src)),
+         | pg0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM dg),
+         | ${round_("pg0", "pg1")},
+         | ${round_("pg1", "pg2")},
+         | ${round_("pg2", "pg3")}
+         |SELECT dg.src AS doc_id, dg.deg, CAST(pg3.pr AS BIGINT) AS pr
+         |FROM dg JOIN pg3 ON pg3.node = dg.src
+         |ORDER BY pr DESC, doc_id""".stripMargin
+    }),
+
     "q_ngram_novelty" -> e(TextOps.ngramNovelty,
       s"""WITH $toksCte,
          | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),

@@ -56,6 +56,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_domain_cap").contains("WindowGroupLimit"))
   }
 
+  test("q_inverted_index caps posting heads map-side; q_cooccur broadcasts the vocab slice") {
+    val inv = plan("q_inverted_index")
+    // the rank≤cap filter must push below the shuffle so stopword-like
+    // tokens never ship their full posting list
+    assert(inv.contains("WindowGroupLimit"), "posting cap not pushed map-side")
+    val co = plan("q_cooccur")
+    assert(co.contains("BroadcastExchange"), "top-token table not broadcast")
+    assert(!co.contains("CartesianProduct"), "q_cooccur plans a cartesian")
+  }
+
   test("q_pq_codes broadcasts the codebook; q_knn_label the query set") {
     val pq = plan("q_pq_codes")
     assert(pq.contains("BroadcastExchange"), "codebook not broadcast")
