@@ -51,4 +51,72 @@ class MultimodalSpec extends SparkSpec {
       col("frame").cast("string")).as[(Long, String)].collect().toMap
     assert(byNo == Map(0L -> "abcd", 1L -> "efgh", 2L -> "ij"))
   }
+
+  // --- real header parsing (no codec needed: headers are just bytes) ---
+
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33)
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+    b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.array()
+  }
+
+  private def jpeg(w: Int, h: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 18 + 19)
+    bb.put(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    // APP0 segment (JFIF), length 16: the walker must SKIP it by length
+    bb.put(Array(0xff, 0xe0).map(_.toByte)).putShort(16.toShort)
+      .put("JFIF".getBytes).put(new Array[Byte](10))
+    // SOF0: length 17, precision 8, height, width, 3 components
+    bb.put(Array(0xff, 0xc0).map(_.toByte)).putShort(17.toShort)
+      .put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+      .put(new Array[Byte](9))
+    bb.array()
+  }
+
+  private def gif(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+    b.array()
+  }
+
+  private def bmp(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h)
+    b.array()
+  }
+
+  test("sniffImageMeta parses real PNG/JPEG/GIF/BMP headers") {
+    assert(Multimodal.sniffImageMeta(png(640, 480)) == Some((640, 480, "png")))
+    assert(Multimodal.sniffImageMeta(jpeg(1920, 1080)) == Some((1920, 1080, "jpeg")))
+    assert(Multimodal.sniffImageMeta(gif(320, 200)) == Some((320, 200, "gif")))
+    assert(Multimodal.sniffImageMeta(bmp(800, 600)) == Some((800, 600, "bmp")))
+    // top-down BMP stores negative height; magnitude is the pixel height
+    val td = bmp(800, -600); assert(Multimodal.sniffImageMeta(td) == Some((800, 600, "bmp")))
+    // non-image bytes and truncated headers are unrecognized, not errors
+    assert(Multimodal.sniffImageMeta("just text".getBytes).isEmpty)
+    assert(Multimodal.sniffImageMeta(png(1, 1).take(10)).isEmpty)
+    assert(Multimodal.sniffImageMeta(jpeg(9, 9).take(6)).isEmpty)
+    assert(Multimodal.sniffImageMeta(Array[Byte]()).isEmpty)
+  }
+
+  test("decodeMeta uses header-parsed metadata for real containers, stub otherwise") {
+    val rows = Seq(
+      (1L, png(99, 77)), (2L, jpeg(50, 40)), (3L, "plain".getBytes))
+    val df = rows.toDF("id", "payload")
+    val out = Multimodal.decodeMeta(df)
+      .select(col("id"), col("meta.width"), col("meta.height"),
+        col("meta.format"), col("meta.n_bytes"))
+      .as[(Long, Int, Int, String, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == (1L, 99, 77, "png", png(99, 77).length.toLong))
+    assert(out(2L) == (2L, 50, 40, "jpeg", jpeg(50, 40).length.toLong))
+    // unrecognized → deterministic stub, n_bytes still real
+    val (w, h, f, n) = Multimodal.decodeImageStub("plain".getBytes)
+    assert(out(3L) == (3L, w, h, f, n))
+  }
 }
