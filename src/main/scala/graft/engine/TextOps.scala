@@ -1504,6 +1504,77 @@ object TextOps {
     merges.result()
   }
 
+  /** Encode ONE token with an ordered BPE merge list: repeatedly merge
+    * the present pair with the LOWEST merge rank (all non-overlapping
+    * occurrences, left to right — the same replacement rule
+    * [[bpeTrain]] applies, so training then encoding the training
+    * corpus reproduces the trainer's segmentation). Pure local loop —
+    * runs on executors over broadcast ranks. */
+  def bpeEncodeToken(word: String,
+      rank: Map[(String, String), Int]): Vector[String] = {
+    var w: Vector[String] = word.split("").toVector
+    var more = w.length > 1
+    while (more) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i < w.length - 1) {
+        val r = rank.getOrElse((w(i), w(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = (w(i), w(i + 1)) }
+        i += 1
+      }
+      if (best == null) more = false
+      else {
+        val joined = best._1 + best._2
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < w.length) {
+          if (j + 1 < w.length && w(j) == best._1 && w(j + 1) == best._2) {
+            out += joined; j += 2
+          } else { out += w(j); j += 1 }
+        }
+        w = out.result()
+        more = w.length > 1
+      }
+    }
+    w
+  }
+
+  /** Apply trained BPE merges to the corpus — the ENCODE half of the
+    * tokenizer story ([[bpeTrain]] is the train half). Returns one row
+    * per document: `(doc_id, n_tok, n_pieces, pieces_per_tok)` — the
+    * fertility report a tokenizer team reads before committing to a
+    * vocabulary (pieces/token ≈ 1 means the merges cover the corpus;
+    * ≫ 1 means the vocabulary undertrained).
+    *
+    * Scale shape (the [[bpeTrain]] Zipf trick in reverse): the merge
+    * loop runs once per DISTINCT token — a vocabulary-sized Dataset map
+    * over broadcast ranks (mapPartitions-style imperative loop, the
+    * documented last-resort tier: the iterative lowest-rank merge is
+    * not expressible in codegen'd functions) — and the per-doc rollup
+    * is a broadcast join of that tiny piece table back onto the shared
+    * doc-token stage. The raw corpus is never re-tokenized and the
+    * O(len²) merge loop never runs per occurrence. */
+  def bpeEncode(s: SparkSession, d: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(merges.zipWithIndex.toMap)
+    val dt = sharedDocToks(s, d)
+    val pieces = dt.select(col("tok")).distinct().as[String]
+      .mapPartitions { it =>
+        val rank = bc.value
+        it.map(t => (t, bpeEncodeToken(t, rank).length.toLong))
+      }.toDF("tok", "n_piece")
+    dt.join(broadcast(pieces), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lc")).as("n_tok"),
+        sum(col("lc") * col("n_piece")).as("n_pieces"))
+      .withColumn("pieces_per_tok",
+        round(col("n_pieces").cast("double") / col("n_tok"), 6))
+      .select("doc_id", "n_tok", "n_pieces", "pieces_per_tok")
+      .orderBy("doc_id")
+  }
+
   /** Shard count for [[exportShards]] / [[exportShardStats]]. */
   val NumShards = 64L
 

@@ -191,6 +191,43 @@ class TrainOpsSpec extends SparkSpec {
       s"merges should compress '$freqTok': $seg")
   }
 
+  test("bpeEncodeToken: lowest-rank-first greedy merging, concat-preserving") {
+    val rank = Seq(("a", "b"), ("ab", "ab"), ("c", "d")).zipWithIndex.toMap
+    assert(TextOps.bpeEncodeToken("abab", rank) == Vector("abab"))
+    assert(TextOps.bpeEncodeToken("abcd", rank) == Vector("ab", "cd"))
+    // rank order decides: ("b","c") unranked, so "abc" → ["ab","c"]
+    assert(TextOps.bpeEncodeToken("abc", rank) == Vector("ab", "c"))
+    assert(TextOps.bpeEncodeToken("xyz", rank) == Vector("x", "y", "z"))
+    assert(TextOps.bpeEncodeToken("a", rank) == Vector("a"))
+    // pieces always concatenate back to the word
+    for (w <- Seq("abab", "abcd", "abc", "aabbab", ""))
+      assert(TextOps.bpeEncodeToken(w, rank).mkString == w)
+  }
+
+  test("bpeEncode: fertility falls monotonically with merge count") {
+    val merges = TextOps.bpeTrain(spark, sf, 8)
+    // zero merges: every token splits to chars → n_pieces = char count
+    val base = TextOps.bpeEncode(spark, sf, Nil)
+      .select("doc_id", "n_tok", "n_pieces")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val chars = docs.map { case (id, t) =>
+      id -> t.split(" ", -1).map(_.length.toLong).sum }.toMap
+    base.foreach { case (id, (_, np)) =>
+      assert(np == chars(id), s"doc $id: $np pieces vs ${chars(id)} chars")
+    }
+    // more merges never increase any document's piece count
+    val m4 = TextOps.bpeEncode(spark, sf, merges.take(4))
+      .select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+    val m8 = TextOps.bpeEncode(spark, sf, merges)
+      .select("doc_id", "n_pieces").as[(Long, Long)].collect().toMap
+    m8.foreach { case (id, np8) =>
+      assert(np8 <= m4(id) && m4(id) <= base(id)._2,
+        s"doc $id: pieces must shrink with merges")
+    }
+    // at least one document actually compresses under the trained merges
+    assert(m8.exists { case (id, np8) => np8 < base(id)._2 })
+  }
+
   test("exportShards: hash-partitioned write round-trips, stats agree") {
     val dir = java.nio.file.Files.createTempDirectory("shards").toString
     val docs = Sources.documents(spark, sf)
