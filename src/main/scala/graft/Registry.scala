@@ -350,6 +350,63 @@ object Registry {
         | SELECT u.c_custkey, u.c_name, u.c_acctbal AS bal, u.c_mktsegment
         | FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM t)) z
         |ORDER BY c_custkey""".stripMargin),
+
+    "q_scd2_merge" -> e(Relational.scd2Merge,
+      // mirrors Mutations.scd2Merge: full outer current×batch, generic
+      // IS DISTINCT FROM change detection, history passthrough
+      """WITH t AS (SELECT c_custkey, c_name,
+        |   CAST(c_acctbal AS DECIMAL(10,2)) AS c_acctbal, c_mktsegment
+        |  FROM customer),
+        | cur AS (SELECT *, DATE '1995-01-01' AS valid_from,
+        |   CAST(NULL AS DATE) AS valid_to, TRUE AS is_current FROM t),
+        | hist AS (SELECT c_custkey, c_name,
+        |   CAST(c_acctbal - 10.00 AS DECIMAL(10,2)) AS c_acctbal,
+        |   'OLDSEG' AS c_mktsegment, DATE '1994-01-01' AS valid_from,
+        |   DATE '1995-01-01' AS valid_to, FALSE AS is_current
+        |  FROM t WHERE c_custkey % 11 = 0),
+        | mx AS (SELECT max(c_custkey) + 1 AS m FROM t),
+        | ch AS (
+        |  SELECT c_custkey, c_name,
+        |   CAST(CASE WHEN c_custkey % 10 = 0 THEN c_acctbal
+        |        ELSE c_acctbal + 25.00 END AS DECIMAL(10,2)) AS c_acctbal,
+        |   CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+        |        ELSE 'SCD_' || c_mktsegment END AS c_mktsegment
+        |  FROM t WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + m, 'NEW_' || c_name,
+        |   CAST(0.00 AS DECIMAL(10,2)), 'NEWSEG'
+        |  FROM t CROSS JOIN mx WHERE c_custkey % 13 = 0),
+        | j AS (SELECT cur.c_custkey AS k_cur, cur.c_name, cur.c_acctbal,
+        |   cur.c_mktsegment, cur.valid_from, cur.valid_to, cur.is_current,
+        |   ch.c_custkey AS k_ch, ch.c_name AS u_name,
+        |   ch.c_acctbal AS u_bal, ch.c_mktsegment AS u_seg
+        |  FROM cur FULL JOIN ch ON cur.c_custkey = ch.c_custkey),
+        | jd AS (SELECT *, COALESCE(k_cur, k_ch) AS c_custkey,
+        |   (c_name IS DISTINCT FROM u_name
+        |    OR c_acctbal IS DISTINCT FROM u_bal
+        |    OR c_mktsegment IS DISTINCT FROM u_seg) AS differs
+        |  FROM j),
+        | merged AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    valid_from, valid_to, is_current
+        |  FROM jd WHERE k_cur IS NOT NULL AND (k_ch IS NULL OR NOT differs)
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    valid_from, DATE '1996-06-01', FALSE
+        |  FROM jd WHERE k_cur IS NOT NULL AND k_ch IS NOT NULL AND differs
+        |  UNION ALL
+        |  SELECT c_custkey, u_name, u_bal, u_seg,
+        |    DATE '1996-06-01', CAST(NULL AS DATE), TRUE
+        |  FROM jd WHERE (k_cur IS NOT NULL AND k_ch IS NOT NULL AND differs)
+        |     OR k_cur IS NULL
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    valid_from, valid_to, is_current FROM hist)
+        |SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS bal6,
+        | c_mktsegment, valid_from, valid_to, is_current
+        |FROM merged
+        |ORDER BY c_custkey, c_name, bal6, c_mktsegment,
+        | valid_from, valid_to, is_current""".stripMargin),
   )
 
   /** All declared queries, in a stable order. */

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Set-oriented rewrites of the reference's row-at-a-time mutations.
@@ -58,6 +58,83 @@ object Mutations {
     val updated = applyUpdates(target, updates, keys)
     val newRows = updates.join(target.select(keys.map(col): _*), keys, "left_anti")
     updated.unionByName(newRows.select(target.columns.toIndexedSeq.map(col): _*))
+  }
+
+  /** SCD Type-2 merge: apply a change batch to a versioned dimension,
+    * preserving history — the standard warehouse shape the reference's
+    * flat `update_data` overwrite cannot express (every flowbyte UPDATE
+    * destroys the prior attribute values; `sql.py:191-249`).
+    *
+    * `dim` carries the full history: business key(s) + tracked
+    * attribute columns + the three meta columns `valid_from`,
+    * `valid_to` (null = open) and `is_current`. `changes` carries
+    * exactly keys + tracked attributes (the post-image of each changed
+    * entity). Per joined row:
+    *   - change row equal on every tracked attribute (null-safe) →
+    *     NO new version (idempotent re-delivery is a no-op);
+    *   - attribute change → current row closes (`valid_to = eff`,
+    *     `is_current = false`) and a new open version starts at `eff`;
+    *   - unknown key → new open version (SCD2 insert);
+    *   - no change row → current row passes through.
+    * Closed history rows pass through untouched, never joined.
+    *
+    * Contract (same single-row discipline as [[applyUpdates]]): at most
+    * one `is_current` row per key in `dim` and at most one row per key
+    * in `changes` — dedupe upstream (keep-latest CDC).
+    *
+    * Scale shape: ONE key-keyed join of the current slice against the
+    * batch (broadcast when the batch is small — AQE decides, or pass
+    * `hintBroadcast`), and each joined row emits its 1-or-2 output rows
+    * through a conditional struct-array explode — a single pass, no
+    * second join or window, history untouched (zero shuffle on the
+    * closed rows). This is the Delta/Iceberg MERGE access pattern
+    * expressed on plain frames. */
+  def scd2Merge(dim: DataFrame, changes: DataFrame, keys: Seq[String],
+      eff: Column, hintBroadcast: Boolean = false): DataFrame = {
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(dim.columns.contains),
+      s"dim must carry the SCD2 meta columns $meta")
+    require(changes.columns.toSet == dim.columns.toSet -- meta,
+      "changes must carry exactly the dim's key + tracked columns; got " +
+        s"${changes.columns.toSet} vs ${dim.columns.toSet -- meta}")
+    require(keys.nonEmpty && keys.forall(changes.columns.contains),
+      s"changes must carry the key columns $keys")
+    val tracked = changes.columns.filterNot(keys.contains).toSeq
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val u0 = changes.select(keys.map(col) ++
+      tracked.map(c => col(c).as(s"u_$c")): _*)
+    val u = if (hintBroadcast) broadcast(u0) else u0
+    // full outer on the keys: current-only rows keep, matched rows diff,
+    // change-only rows insert. Side presence is read off non-nullable
+    // payload (is_current on the dim side, a changes-side marker lit).
+    val j = cur.join(u.withColumn("u_present", lit(true)),
+      keys, "full_outer")
+    val matched = col("is_current").isNotNull && col("u_present").isNotNull
+    val differs = tracked.map(c => !(col(c) <=> col(s"u_$c"))).reduce(_ || _)
+    val nullTo = lit(null).cast(dim.schema("valid_to").dataType)
+    def emit(trackedFrom: String => Column, vf: Column, vt: Column,
+        curFlag: Column): Column =
+      struct(dim.columns.toIndexedSeq.map {
+        case k if keys.contains(k) => col(k).as(k)
+        case "valid_from" => vf.as("valid_from")
+        case "valid_to"   => vt.as("valid_to")
+        case "is_current" => curFlag.as("is_current")
+        case t => trackedFrom(t).as(t)
+      }: _*)
+    val keepRow = emit(col, col("valid_from"), col("valid_to"), lit(true))
+    val closedRow = emit(col, col("valid_from"), eff, lit(false))
+    val freshRow =
+      emit(t => col(s"u_$t"), eff, nullTo, lit(true))
+    val rows = array(
+      when(col("is_current").isNotNull &&
+        (col("u_present").isNull || !differs), keepRow),
+      when(matched && differs, closedRow),
+      when((matched && differs) || col("is_current").isNull, freshRow))
+    val emitted = j
+      .select(explode(filter(rows, r => r.isNotNull)).as("r"))
+      .select(col("r.*"))
+    hist.unionByName(emitted)
   }
 
   /** Conditional delete (`sql.py:321-332`) as an anti-filter: keep exactly

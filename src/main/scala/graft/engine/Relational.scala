@@ -495,4 +495,49 @@ object Relational {
         outD(col("c_acctbal")).as("bal6"), col("c_mktsegment"))
       .orderBy("c_custkey")
   }
+
+  /** SCD Type-2 merge over the customer dimension
+    * ([[Mutations.scd2Merge]]): a versioned dim (every customer current
+    * since 1995-01-01; every 11th key also carries a closed 1994
+    * history row) absorbs a change batch — every 5th key re-delivered,
+    * of which the 10th-key half is attribute-identical (must NOT
+    * version: idempotency), the rest move segment and balance (close +
+    * reopen at the effective date); every 13th key arrives as a brand-
+    * new entity (open insert). The whole merge is the single
+    * current-slice×batch join of [[Mutations.scd2Merge]]; history rows
+    * never shuffle. */
+  def scd2Merge(s: SparkSession, d: String): DataFrame = {
+    val t = mutTarget(s, d)
+    val vf0 = to_date(lit("1995-01-01"))
+    val dim = t
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("c_mktsegment"), vf0.as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+      .unionByName(t.filter(col("c_custkey") % 11 === 0)
+        .select(col("c_custkey"), col("c_name"),
+          money(col("c_acctbal") - money(lit(10.0))).as("c_acctbal"),
+          lit("OLDSEG").as("c_mktsegment"),
+          to_date(lit("1994-01-01")).as("valid_from"),
+          vf0.as("valid_to"), lit(false).as("is_current")))
+    val mx = t.agg((max(col("c_custkey")) + 1L).as("mx"))
+    val redelivered = t.filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), col("c_name"),
+        money(when(col("c_custkey") % 10 === 0, col("c_acctbal"))
+          .otherwise(col("c_acctbal") + money(lit(25.0)))).as("c_acctbal"),
+        when(col("c_custkey") % 10 === 0, col("c_mktsegment"))
+          .otherwise(concat(lit("SCD_"), col("c_mktsegment")))
+          .as("c_mktsegment"))
+    val arrivals = t.filter(col("c_custkey") % 13 === 0)
+      .crossJoin(broadcast(mx))
+      .select((col("c_custkey") + col("mx")).as("c_custkey"),
+        concat(lit("NEW_"), col("c_name")).as("c_name"),
+        money(lit(0.0)).as("c_acctbal"), lit("NEWSEG").as("c_mktsegment"))
+    Mutations.scd2Merge(dim, redelivered.unionByName(arrivals),
+        Seq("c_custkey"), to_date(lit("1996-06-01")))
+      .select(col("c_custkey"), col("c_name"),
+        outD(col("c_acctbal")).as("bal6"), col("c_mktsegment"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("c_custkey", "c_name", "bal6", "c_mktsegment",
+        "valid_from", "valid_to", "is_current")
+  }
 }

@@ -53,4 +53,55 @@ class MutationsSpec extends SparkSpec {
     // DELETE removes only IS-TRUE rows; the NULL-flag row stays
     assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
+
+  // ---- SCD Type-2 ----------------------------------------------------
+
+  private def scd2Dim = Seq(
+    // k, seg, valid_from, valid_to, is_current
+    (1, "A", "2020-01-01", Some("2021-01-01"), false), // closed history
+    (1, "B", "2021-01-01", None, true),
+    (2, "C", "2020-01-01", None, true),
+    (3, "D", "2020-01-01", None, true)
+  ).toDF("k", "seg", "vf", "vt", "is_current")
+    .select($"k", $"seg", to_date($"vf").as("valid_from"),
+      to_date($"vt").as("valid_to"), $"is_current")
+
+  private def scd2Out(changes: org.apache.spark.sql.DataFrame) =
+    Mutations.scd2Merge(scd2Dim, changes, Seq("k"),
+        to_date(lit("2022-06-01")))
+      .select($"k", $"seg", date_format($"valid_from", "yyyy-MM-dd").as("vf"),
+        coalesce(date_format($"valid_to", "yyyy-MM-dd"), lit("open")).as("vt"),
+        $"is_current")
+      .as[(Int, String, String, String, Boolean)].collect().toSeq.sorted
+
+  test("scd2Merge: attribute change closes the current row and opens a new version") {
+    val out = scd2Out(Seq((1, "B2")).toDF("k", "seg"))
+    assert(out.filter(_._1 == 1) == Seq(
+      (1, "A", "2020-01-01", "2021-01-01", false),
+      (1, "B", "2021-01-01", "2022-06-01", false),
+      (1, "B2", "2022-06-01", "open", true)))
+    // untouched keys pass through verbatim
+    assert(out.filter(_._1 == 2) == Seq((2, "C", "2020-01-01", "open", true)))
+  }
+
+  test("scd2Merge: identical re-delivery is a no-op and unknown keys insert open") {
+    val out = scd2Out(Seq((2, "C"), (9, "Z")).toDF("k", "seg"))
+    // (2, C) matches the current version exactly — no new version
+    assert(out.filter(_._1 == 2) == Seq((2, "C", "2020-01-01", "open", true)))
+    assert(out.filter(_._1 == 9) == Seq((9, "Z", "2022-06-01", "open", true)))
+    // exactly one open row per key, always
+    val open = out.filter(_._5)
+    assert(open.map(_._1).distinct.size == open.size)
+  }
+
+  test("scd2Merge twice with the same batch == once (idempotent)") {
+    val ch = Seq((1, "B2"), (3, "D2"), (9, "Z")).toDF("k", "seg")
+    val once = Mutations.scd2Merge(scd2Dim, ch, Seq("k"),
+      to_date(lit("2022-06-01")))
+    val twice = Mutations.scd2Merge(once, ch, Seq("k"),
+      to_date(lit("2022-06-01")))
+    val cols = Seq("k", "seg", "valid_from", "valid_to", "is_current")
+    assert(once.orderBy(cols.map(col): _*).collect().toSeq ==
+      twice.orderBy(cols.map(col): _*).collect().toSeq)
+  }
 }
