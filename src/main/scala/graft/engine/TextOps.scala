@@ -1181,6 +1181,50 @@ object TextOps {
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("lc")))
 
+  /** Fixed-point scale (millibits) for the per-term surprisal quantum.
+    * Deliberately coarse: the per-term double is floor-quantized BEFORE
+    * the per-doc sum so the aggregate is exact integer arithmetic
+    * (order-independent, cross-engine identical — the
+    * [[Similarity.KmeansFixedPoint]] discipline); a coarser quantum also
+    * keeps the probability that an engine-side log2 ulp difference
+    * crosses a floor boundary negligible. */
+  val SurprisalScale = 1000L
+
+  /** Unigram-LM surprisal per document — the CCNet-style perplexity
+    * quality signal: fit the corpus's own unigram distribution and
+    * score each document by mean per-token surprisal, in bits
+    * (−log2 cf/total). Boilerplate and low-content documents score low
+    * (their tokens are corpus-frequent); lexically unusual documents
+    * score high; both tails are what a quality-filtering pass inspects
+    * before training.
+    *
+    * Scale: both the collection-frequency aggregate and the scoring
+    * join read the [[sharedDocToks]] stage (raw text tokenized once per
+    * corpus, ever). `cf` is a vocab-sized tok-keyed aggregate; the
+    * scoring join shuffles on `tok` (AQE broadcasts it when the vocab
+    * slice measures small) and the per-doc roll-up is a map-side-
+    * partial sum over exact millibit integers — doubles never cross an
+    * engine or partition boundary unquantized. */
+  def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d)
+    val cf = dt.groupBy("tok").agg(sum("lc").as("cf"))
+    val tot = cf.agg(sum(col("cf")).as("tot"))
+    dt.join(cf, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("lc"),
+        floor(col("lc") * log2(col("tot").cast("double") / col("cf")) *
+          SurprisalScale).as("mb"))
+      .groupBy("doc_id")
+      .agg(sum("lc").cast(LongType).as("n_tok"), sum("mb").as("mbits"))
+      // mean surprisal as exact integer millibits-per-token (floor
+      // division) — a rounded double here produced genuine half-ties
+      // (mbits/1000/n_tok hits x.xxxx5 exactly), and DuckDB rounds
+      // half-even where Spark rounds half-up
+      .withColumn("mb_tok", expr("mbits DIV n_tok"))
+      .select("doc_id", "n_tok", "mbits", "mb_tok")
+      .orderBy("doc_id", "n_tok", "mbits", "mb_tok")
+  }
+
   /** Posting-list head length for [[invertedIndex]] — a CONSTANT so the
     * per-token collected list is bounded whatever the corpus size. */
   val PostingsCap = 8

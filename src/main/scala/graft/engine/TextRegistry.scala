@@ -310,6 +310,21 @@ object TextRegistry {
         | round(w, 6) AS w6, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk, term""".stripMargin),
 
+    "q_unigram_ppl" -> e(TextOps.unigramSurprisal,
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT doc_id, tok, count(*) AS lc FROM u GROUP BY 1, 2),
+         | cf AS (SELECT tok, sum(lc) AS cf FROM dt GROUP BY 1),
+         | tot AS (SELECT sum(cf) AS tot FROM cf),
+         | q AS (SELECT doc_id, lc,
+         |   CAST(floor(lc * log2(CAST(tot AS DOUBLE)/cf)
+         |     * ${TextOps.SurprisalScale}) AS BIGINT) AS mb
+         |  FROM dt JOIN cf USING (tok) CROSS JOIN tot),
+         | g AS (SELECT doc_id, CAST(sum(lc) AS BIGINT) AS n_tok,
+         |   CAST(sum(mb) AS BIGINT) AS mbits FROM q GROUP BY 1)
+         |SELECT doc_id, n_tok, mbits, mbits // n_tok AS mb_tok
+         |FROM g ORDER BY doc_id, n_tok, mbits, mb_tok""".stripMargin),
+
     "q_curate" -> e(TextOps.curateDocs,
       """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |  FROM documents),

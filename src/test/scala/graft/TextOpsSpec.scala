@@ -43,6 +43,22 @@ class TextOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("unigramSurprisal matches hand-computed millibit sums") {
+    // corpus: doc1 = "a a b", doc2 = "a c" → tot = 5, cf(a)=3 cf(b)=cf(c)=1
+    // doc1: floor(2·log2(5/3)·1000) + floor(1·log2(5)·1000) = 1473 + 2321
+    // doc2: floor(1·log2(5/3)·1000) + floor(1·log2(5)·1000) =  736 + 2321
+    val dir = java.nio.file.Files.createTempDirectory("surpr").toString
+    Seq((1L, "a a b", "en", "s1", 5L), (2L, "a c", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.unigramSurprisal(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3794L, 1264L),
+      (2L, 2L, 3057L, 1528L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("shingles3 builds ordered 3-token shingles; short docs yield empty") {
     val df = Seq("a b c d", "x y").toDF("text")
     val out = df.select(TextOps.shingles3(TextOps.tokens(col("text"))).as("s"))
