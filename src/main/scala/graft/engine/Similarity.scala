@@ -626,6 +626,48 @@ object Similarity {
       .orderBy("a", "b")
   }
 
+  /** Cosine threshold for [[semDedup]] — tuned to the synthetic
+    * embedding table's similarity mass (all-pairs p99 ≈ 0.29 at
+    * sf0.01), the way a real pipeline tunes it to a held-out
+    * duplicate-labeled sample. */
+  val SemDedupCos = 0.3
+
+  /** SemDeDup-style cluster-bucketed semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-style cells act as the blocking
+    * structure — pairwise cosine is computed only WITHIN a cell, and
+    * every vector similar (≥ threshold) to an earlier cell-mate is
+    * listed for dropping with its canonical keeper (the smallest such
+    * cell-mate), near-neighbor count and max cosine. Complements
+    * [[dedupEmbed]]: random-hyperplane buckets are data-oblivious;
+    * centroid cells adapt to the actual density, which is what makes
+    * semantic (not just near-exact) duplicates land in one block.
+    *
+    * Scale: the assignment is the one broadcast O(N·K) pass
+    * ([[assignCells]], persisted — the SCALE.md checkpoint shape); the
+    * within-cell self-join shuffles on `cell` once, and its pair count
+    * is bounded by Σ cell² — at fixed K that grows as (N/K)² per cell,
+    * so production raises K with N exactly like [[lshBitsFor]] raises
+    * bits (SemDeDup's own recipe: K ∝ N keeps cells constant-sized;
+    * K only grows the broadcast, never the shuffle). */
+  def semDedup(s: SparkSession, d: String,
+      threshold: Double = SemDedupCos): DataFrame = {
+    val assigned = assignCells(vectors(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("v").as("va"), col("nm").as("na"))
+    val y = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    x.join(y, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("b").as("vec_id"), col("cell"))
+      .agg(min(col("a")).as("keep_id"), count(lit(1)).as("n_near"),
+        round(max(col("cos")), 4).as("cos4"))
+      .select("vec_id", "cell", "keep_id", "n_near", "cos4")
+      .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
+  }
+
   /** Multi-band OR-construction near-dup pairs (library operator): `bands`
     * independent sign-LSH projections of `bits` hyperplanes each; a pair
     * is a candidate if it collides in ANY band, then exact cosine

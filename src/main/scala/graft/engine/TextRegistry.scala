@@ -689,6 +689,26 @@ object TextRegistry {
          |SELECT a, b, bkt, round(cos, 4) AS cos4 FROM p
          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin),
 
+    "q_semdedup" -> e((s, d) => Similarity.semDedup(s, d),
+      s"""WITH $embCtes,
+         | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n
+         |   ORDER BY ${duckH28("'c_'||vec_id")}, vec_id
+         |   LIMIT ${Similarity.NumCentroids}),
+         | asg AS (SELECT vec_id, v, nm, c_id AS cell FROM (
+         |   SELECT n.vec_id, n.v, n.nm, c.c_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY list_dot_product(n.v, c.cv)/(n.nm*c.cnm) DESC, c.c_id)
+         |      AS c_rk
+         |   FROM n CROSS JOIN c) x WHERE c_rk = 1),
+         | p AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+         |   list_dot_product(x.v, y.v)/(x.nm*y.nm) AS cos
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         | g AS (SELECT b AS vec_id, cell, min(a) AS keep_id,
+         |   CAST(count(*) AS BIGINT) AS n_near, round(max(cos), 4) AS cos4
+         |  FROM p WHERE cos >= ${Similarity.SemDedupCos} GROUP BY 1, 2)
+         |SELECT vec_id, cell, keep_id, n_near, cos4
+         |FROM g ORDER BY vec_id, cell, keep_id, n_near, cos4""".stripMargin),
+
     "q_vocab_build" -> e(TextOps.vocabBuild,
       s"""WITH u AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
          | g AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),

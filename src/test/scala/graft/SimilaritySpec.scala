@@ -81,6 +81,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cell20.map(_._5).toSeq == Seq(0.0, 1.0, 0.0, 0.0))
   }
 
+  test("semDedup drops a planted near-duplicate within its cell, keeps the earliest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    // a corpus this small makes every vector a centroid, so only exact
+    // copies co-locate (cos-1 tie -> min-centroid-id): the cell
+    // structure of real corpora is covered by the oracle check at
+    // sf0.001-0.1; this spec pins the drop/keep/count semantics
+    Seq(
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // copy of 10 -> cell 10
+      (12L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // copy -> cell 10
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))    // orthogonal, own cell
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.semDedup(spark, dir, threshold = 0.9)
+      .select("vec_id", "keep_id", "n_near")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 11 and 12 are each similar to every earlier cell-mate; canonical
+    // keeper is always the earliest (10). 20 is alone in its cell.
+    assert(out == Seq((11L, 10L, 1L), (12L, 10L, 2L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("kmeansIterate: spherical objective non-decreasing across rounds") {
     val quality = Similarity.kmeansIterate(spark, sf, 4)
     assert(quality.length == 4)
