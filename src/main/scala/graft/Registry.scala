@@ -351,6 +351,32 @@ object Registry {
         | FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM t)) z
         |ORDER BY c_custkey""".stripMargin),
 
+    "q_dq_checks" -> e(Relational.dqChecks,
+      """WITH b AS (SELECT count(*) AS n_rows,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_orderdate,
+        |  count(DISTINCT o_orderkey) AS dist_orderkey,
+        |  count(DISTINCT o_orderstatus) AS dist_status,
+        |  sum(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS nonpos_price,
+        |  sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+        |      THEN 1 ELSE 0 END) AS date_below_floor
+        | FROM orders),
+        | fk AS (SELECT count(*) AS v FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        | m AS (
+        |  SELECT 'n_rows' AS "check", CAST(n_rows AS BIGINT) AS value FROM b
+        |  UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM b
+        |  UNION ALL SELECT 'null_orderdate', CAST(null_orderdate AS BIGINT) FROM b
+        |  UNION ALL SELECT 'dup_orderkey',
+        |    CAST(n_rows - dist_orderkey AS BIGINT) FROM b
+        |  UNION ALL SELECT 'distinct_status', CAST(dist_status AS BIGINT) FROM b
+        |  UNION ALL SELECT 'nonpos_price', CAST(nonpos_price AS BIGINT) FROM b
+        |  UNION ALL SELECT 'date_below_floor',
+        |    CAST(date_below_floor AS BIGINT) FROM b
+        |  UNION ALL SELECT 'fk_orphans_custkey', CAST(v AS BIGINT) FROM fk)
+        |SELECT "check", value FROM m ORDER BY "check", value""".stripMargin),
+
     "q_scd2_merge" -> e(Relational.scd2Merge,
       // mirrors Mutations.scd2Merge: full outer current×batch, generic
       // IS DISTINCT FROM change detection, history passthrough

@@ -496,6 +496,55 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Data-quality audit over the orders fact — the expectation battery
+    * an ETL pipeline (the reference's domain) runs on every load before
+    * publishing: row count, per-column null counts, key uniqueness
+    * (dup count via count − distinct), domain cardinality, range
+    * violations, and referential integrity against the customer dim.
+    * Long format `(check, value)`, all exact BIGINTs.
+    *
+    * Scale: the whole metric battery is ONE aggregate pass over the
+    * fact scan (the two countDistincts ride a single fused Expand, the
+    * q_dataset_card discipline); the FK check is one anti-join against
+    * the dim (broadcast when small — at 100 TB these are the only two
+    * jobs however many expectations are declared). Exact distincts are
+    * oracle-parity; production swaps in approx_count_distinct (the
+    * library's HLL sketch) above memory budget. */
+  def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val o = Sources.orders(s, d)
+    val c = cust(s, d)
+    def nulls(cn: String) = sum(when(col(cn).isNull, 1L).otherwise(0L))
+    val battery = o.agg(
+      count(lit(1)).as("n_rows"),
+      nulls("o_custkey").as("null_custkey"),
+      nulls("o_orderdate").as("null_orderdate"),
+      countDistinct(col("o_orderkey")).as("dist_orderkey"),
+      countDistinct(col("o_orderstatus")).as("dist_status"),
+      sum(when(col("o_totalprice") <= 0.0, 1L).otherwise(0L))
+        .as("nonpos_price"),
+      sum(when(col("o_orderdate") < to_timestamp(lit("1990-01-01")), 1L)
+        .otherwise(0L)).as("date_below_floor"))
+    // a NULL key is not an orphan (it's already counted by null_custkey)
+    // — without the filter the anti-join's null-never-matches rule
+    // would double-report every null key as a missing parent
+    val orphans = o.filter(col("o_custkey").isNotNull)
+      .join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("fk_orphans_custkey").as("check"), col("v").as("value"))
+    battery
+      .select(explode(map(
+        lit("n_rows"), col("n_rows"),
+        lit("null_custkey"), col("null_custkey"),
+        lit("null_orderdate"), col("null_orderdate"),
+        lit("dup_orderkey"), col("n_rows") - col("dist_orderkey"),
+        lit("distinct_status"), col("dist_status"),
+        lit("nonpos_price"), col("nonpos_price"),
+        lit("date_below_floor"), col("date_below_floor")))
+        .as(Seq("check", "value")))
+      .unionByName(orphans)
+      .orderBy("check", "value")
+  }
+
   /** SCD Type-2 merge over the customer dimension
     * ([[Mutations.scd2Merge]]): a versioned dim (every customer current
     * since 1995-01-01; every 11th key also carries a closed 1994

@@ -99,6 +99,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "card must be a single-scan aggregate")
   }
 
+  test("q_dq_checks: one fused-Expand battery pass + one broadcast anti-join") {
+    val p = plan("q_dq_checks")
+    assert(p.contains("Expand"), "distinct metrics not Expand-fused")
+    assert(p.contains("LeftAnti"), "FK check must be an anti-join")
+    assert(p.contains("BroadcastHashJoin"), "dim side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q_pii_scrub is a pure per-row map (no joins, no aggregates)") {
     val p = plan("q_pii_scrub")
     assert(!p.contains("Join") && !p.contains("HashAggregate"))
