@@ -170,6 +170,28 @@ object ScaleProbe {
       println(f"SCALEPROBE pq k=$k corpus=$n codes=$codes ${secs}%.2f s")
     }
 
+    // SemDeDup leg: centroid-cell blocking with K raised ∝ N (the
+    // documented occupancy dial — K only grows the broadcast). Cell
+    // occupancy, and with it within-cell candidate pairs per vector,
+    // should stay ~constant, so pair counts and runtime grow ~linearly;
+    // a FIXED K would grow pairs as N²/K (the probe would show 4×/16×).
+    def semPairs(corpus: DataFrame, cents: Int): (Long, Long) = {
+      val vs = corpus.withColumn("nm", Similarity.l2norm(col("v")))
+      val asg = Similarity.assignCells(vs, cents)
+        .select(col("cell"), col("vec_id"))
+      val cand = asg.select(col("cell"), col("vec_id").as("a"))
+        .join(asg.select(col("cell"), col("vec_id").as("b")), Seq("cell"))
+        .filter(col("a") < col("b")).count()
+      (corpus.count(), cand)
+    }
+    semPairs(embCopies(1), 64) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (n, cand) = semPairs(embCopies(k), 64 * k)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE semdedup k=$k corpus=$n cents=${64 * k} cand_pairs=$cand ${secs}%.2f s")
+    }
+
     // Hash-family leg: identical dedup pipeline, MD5-portable h28 vs
     // xxhash64 fast28 — the measured gap behind SCALE.md's "swap for
     // xxhash64 in production" knob. Pair counts differ slightly (a

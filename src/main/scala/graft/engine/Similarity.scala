@@ -181,16 +181,21 @@ object Similarity {
   /** The fixed centroid sample: the [[NumCentroids]] smallest
     * (h28('c_'||vec_id), vec_id) keys — an O(N log K) selection whose
     * result is broadcast-sized by construction. */
-  private def centroidsFixed(vs: DataFrame): DataFrame =
+  private def centroidsFixed(vs: DataFrame,
+      k: Int = NumCentroids): DataFrame =
     vs.withColumn("ck", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
-      .orderBy(col("ck"), col("vec_id")).limit(NumCentroids)
+      .orderBy(col("ck"), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
 
   /** One O(N·K) pass assigning every vector to its nearest fixed
     * centroid (max cosine, min-centroid-id tie-break): (vec_id, v, nm,
-    * cell). Shared by [[simIvf]] and [[kmeansStep]]. */
-  def assignCells(vs: DataFrame): DataFrame =
-    assignTo(vs, centroidsFixed(vs)).drop("c_cos")
+    * cell). Shared by [[simIvf]] and [[kmeansStep]]. `k` is the
+    * centroid count — the oracle-checked queries pin [[NumCentroids]];
+    * scale callers raise it with the corpus (K ∝ N holds cell
+    * occupancy, and therefore [[semDedup]]'s within-cell pair count,
+    * constant per vector — K only grows the broadcast). */
+  def assignCells(vs: DataFrame, k: Int = NumCentroids): DataFrame =
+    assignTo(vs, centroidsFixed(vs, k)).drop("c_cos")
 
   /** Nearest-centroid (cosine) assignment against an arbitrary
     * (c_id, cv, cnm) table — the broadcast O(N·K) pass shared by the
