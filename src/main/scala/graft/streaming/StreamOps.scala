@@ -300,6 +300,44 @@ object StreamOps {
         snapCols.map(c => col("__rpay").getField(c).as(c)): _*)
   }
 
+  /** Streaming SCD Type-2 maintenance: absorb a change-batch STREAM
+    * into a versioned dimension with the exact batch semantics of
+    * [[graft.engine.Mutations.scd2Merge]] — the standard CDC-to-
+    * warehouse sink (Kafka upserts → dimension history).
+    *
+    * Shape: `foreachBatch`, because an SCD2 merge is a whole-table
+    * rewrite relative to the CURRENT slice — not an append — so it
+    * cannot be a continuous sink; per micro-batch the merge runs the
+    * single current×batch join and the caller-supplied `publish`
+    * callback atomically swaps the new dimension in (a parquet
+    * overwrite, a Delta MERGE, a table swap — storage-layer's choice).
+    * Within a micro-batch, duplicate keys collapse to the LAST change
+    * per key by `seqCol` (CDC log order): the scd2Merge single-row
+    * contract, enforced here instead of pushed to every producer.
+    * State between batches lives in the dimension itself — no state
+    * store, so a restart resumes from the last published dimension
+    * (exactly-once if `publish` is atomic, the foreachBatch norm).
+    *
+    * `getDim` re-reads the CURRENT dimension at each batch (the
+    * previous publish's result), `eff` stamps the batch's effective
+    * date. Returns the started query. */
+  def scd2Stream(changes: DataFrame, keys: Seq[String], seqCol: String,
+      getDim: () => DataFrame, publish: DataFrame => Unit,
+      eff: () => Column): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(seqCol).desc)
+        val lastPerKey = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn", seqCol)
+        val merged = graft.engine.Mutations
+          .scd2Merge(getDim(), lastPerKey, keys, eff())
+        publish(merged)
+      }
+      .start()
+
   /** Drain a (test) stream to an in-memory table and return it. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append): Unit = {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()

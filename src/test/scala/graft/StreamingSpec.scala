@@ -290,4 +290,43 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == ((1L, 2L, scrub1.length.toLong, md5hex(scrub1))))
     assert(out(1)._2 == 0L && out(1)._4 == md5hex("no dictionary words here"))
   }
+
+  test("scd2Stream: CDC micro-batches maintain the versioned dimension") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, to_date}
+    // published dimension lives across batches (the foreachBatch state)
+    var dim = Seq((1, "A"), (2, "B")).toDF("k", "seg")
+      .select(col("k"), col("seg"),
+        to_date(lit("2020-01-01")).as("valid_from"),
+        lit(null).cast("date").as("valid_to"), lit(true).as("is_current"))
+    val mem = MemoryStream[(Int, String, Long)]
+    val q = StreamOps.scd2Stream(
+      mem.toDF().toDF("k", "seg", "seq"),
+      keys = Seq("k"), seqCol = "seq",
+      getDim = () => dim,
+      publish = d => {
+        dim = spark.createDataFrame(
+          java.util.Arrays.asList(d.collect(): _*), d.schema)
+      },
+      eff = () => to_date(lit("2022-06-01")))
+    try {
+      // batch 1: k=1 changes twice in one batch (last-by-seq wins: A2),
+      // k=2 re-delivered unchanged (no-op), k=9 brand new
+      mem.addData((1, "A1", 10L), (1, "A2", 11L), (2, "B", 12L), (9, "Z", 13L))
+      q.processAllAvailable()
+      val afterB1 = dim.orderBy("k", "valid_from")
+        .select("k", "seg", "is_current")
+        .as[(Int, String, Boolean)].collect().toSeq
+      assert(afterB1 == Seq(
+        (1, "A", false), (1, "A2", true),
+        (2, "B", true), (9, "Z", true)))
+      // batch 2: re-deliver batch 1's final state — must be a pure no-op
+      mem.addData((1, "A2", 20L), (9, "Z", 21L))
+      q.processAllAvailable()
+      val afterB2 = dim.orderBy("k", "valid_from")
+        .select("k", "seg", "is_current")
+        .as[(Int, String, Boolean)].collect().toSeq
+      assert(afterB2 == afterB1, "idempotent re-delivery versioned rows")
+    } finally q.stop()
+  }
 }
