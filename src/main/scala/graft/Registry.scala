@@ -351,6 +351,18 @@ object Registry {
         | FROM u WHERE u.c_custkey NOT IN (SELECT c_custkey FROM t)) z
         |ORDER BY c_custkey""".stripMargin),
 
+    "q_incr_agg" -> e(Relational.incrAgg,
+      // the oracle is the FULL recompute — incremental state merge must
+      // be indistinguishable from rescanning all of history
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sp6,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+        |   / count(*) AS avg6,
+        | min(o_orderdate) AS first_od, max(o_orderdate) AS last_od
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, o_orderstatus, n, sp6, avg6,
+        | first_od, last_od""".stripMargin),
+
     "q_dq_checks" -> e(Relational.dqChecks,
       """WITH b AS (SELECT count(*) AS n_rows,
         |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,

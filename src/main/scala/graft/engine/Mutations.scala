@@ -137,6 +137,32 @@ object Mutations {
     hist.unionByName(emitted)
   }
 
+  /** Merge pre-aggregated state tables (algebraic-aggregate roll-up) —
+    * the incremental-ETL shape: a nightly pipeline keeps a keyed
+    * aggregate table and folds each new partition's PARTIAL aggregate
+    * in, never rescanning history. Works because sum/count/min/max are
+    * mergeable (count merges as SUM of partial counts; avg is derived
+    * sum/count at read time — never stored, stored averages don't
+    * merge). All inputs must share the same schema: keys + `sums` +
+    * `mins` + `maxs`.
+    *
+    * Scale: each state table is already aggregate-sized (keys, not
+    * events); the merge is one key-keyed agg over their union with
+    * map-side partials — cost proportional to the STATE, independent
+    * of the history the state summarizes. */
+  def mergeAggStates(states: Seq[DataFrame], keys: Seq[String],
+      sums: Seq[String], mins: Seq[String], maxs: Seq[String]): DataFrame = {
+    require(states.nonEmpty, "need at least one state table")
+    val cols = (keys ++ sums ++ mins ++ maxs).toSet
+    states.foreach(st => require(st.columns.toSet == cols,
+      s"state schema mismatch: ${st.columns.toSet} vs $cols"))
+    val aggs = sums.map(c => sum(col(c)).as(c)) ++
+      mins.map(c => min(col(c)).as(c)) ++ maxs.map(c => max(col(c)).as(c))
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Conditional delete (`sql.py:321-332`) as an anti-filter: keep exactly
     * the rows NOT matching the caller's predicate string. SQL DELETE
     * removes only rows where the predicate IS TRUE — rows where it

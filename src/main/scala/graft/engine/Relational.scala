@@ -545,6 +545,41 @@ object Relational {
       .orderBy("check", "value")
   }
 
+  /** Incremental aggregation ([[Mutations.mergeAggStates]]): the
+    * running orders-by-(priority, status) aggregate table is maintained
+    * from per-period partial aggregates — here the pre-2000 state plus
+    * three yearly delta partials, merged WITHOUT rescanning history.
+    * The oracle is the full recompute over all of orders: incremental
+    * maintenance must be indistinguishable from recomputation (the
+    * algebraic-mergeability law). avg is derived sum/count at read
+    * time — a stored average would not merge. */
+  def incrAgg(s: SparkSession, d: String): DataFrame = {
+    def partial(lo: String, hi: String): DataFrame =
+      Sources.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
+          col("o_orderdate") < to_timestamp(lit(hi)))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(money(col("o_totalprice"))).as("sum_price"),
+          min(col("o_orderdate")).as("first_od"),
+          max(col("o_orderdate")).as("last_od"))
+    val states = Seq(
+      partial("1990-01-01", "2000-01-01"),  // the accumulated state
+      partial("2000-01-01", "2001-01-01"),  // yearly deltas
+      partial("2001-01-01", "2002-01-01"),
+      partial("2002-01-01", "2100-01-01"))  // empty partial: no-op merge
+    Mutations.mergeAggStates(states,
+        keys = Seq("o_orderpriority", "o_orderstatus"),
+        sums = Seq("n", "sum_price"),
+        mins = Seq("first_od"), maxs = Seq("last_od"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        outD(col("sum_price")).as("sp6"),
+        (outD(col("sum_price")) / col("n")).as("avg6"),
+        col("first_od"), col("last_od"))
+      .orderBy("o_orderpriority", "o_orderstatus", "n", "sp6", "avg6",
+        "first_od", "last_od")
+  }
+
   /** SCD Type-2 merge over the customer dimension
     * ([[Mutations.scd2Merge]]): a versioned dim (every customer current
     * since 1995-01-01; every 11th key also carries a closed 1994

@@ -403,6 +403,73 @@ object Similarity {
       .select("pos", "n", "sq", "mn", "mx", "m6")
       .orderBy("pos")
 
+  /** Upper-triangle covariance of the embedding dimensions — the
+    * 64×64 second-moment table a whitening / PCA pass starts from
+    * (population covariance, ÷n). Per row, the 2 080 upper-triangle
+    * products are generated with array HOFs (an index-sliced nested
+    * transform — no self-join, no 4 096-row full square) and floor-
+    * quantized to [[KmeansFixedPoint]] integers BEFORE the aggregate,
+    * so the big sum is exact and order-independent; the covariance
+    * double is derived at the end from exact integers (means ride the
+    * staged [[sharedDimStats]] sums — no second moment pass).
+    *
+    * Scale: the explode multiplies the scan 2 080× but the agg combines
+    * map-side into 2 080 keys — the shuffle carries 2 080 partials per
+    * map task regardless of corpus size; the mean join is a 64-row
+    * broadcast. O(dim²·N) work is inherent to covariance. */
+  def embedCov(s: SparkSession, d: String): DataFrame = {
+    val tri = flatten(transform(col("v"), (xi, i) =>
+      transform(slice(col("v"), i + 1, lit(64) - i), (xj, jj) =>
+        struct((i + 1).cast("long").as("i"),
+          (i + 1 + jj).cast("long").as("j"),
+          floor(xi * xj * KmeansFixedPoint).as("qp")))))
+    val prods = vectors(s, d)
+      .select(explode(tri).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(sum(col("p.qp")).as("spp"))
+    val ds = sharedDimStats(s, d).select("pos", "n", "sq")
+    val di = ds.toDF("i", "n", "si")
+    val dj = ds.toDF("j", "nj", "sj")
+    prods.join(broadcast(di), Seq("i")).join(broadcast(dj), Seq("j"))
+      // + 0.0 canonicalizes IEEE negative zero (round keeps Spark's
+      // -0.0 where DuckDB emits 0.0; adding positive zero maps -0.0 to
+      // 0.0 and is the identity on every other double)
+      .withColumn("cov6", round(
+        (col("spp").cast("double") / KmeansFixedPoint) / col("n") -
+          ((col("si").cast("double") / KmeansFixedPoint) / col("n")) *
+          ((col("sj").cast("double") / KmeansFixedPoint) / col("nj")), 6)
+        + lit(0.0))
+      .select("i", "j", "spp", "cov6")
+      .orderBy("i", "j", "spp", "cov6")
+  }
+
+  /** Top principal component by power iteration (library operator) —
+    * the dominant direction of [[embedCov]]'s covariance, for whitening
+    * or a rank-1 ABTT-style common-direction removal. The matrix is
+    * 64×64 — driver-side iteration is the bounded part; the corpus-
+    * sized work is the one [[embedCov]] pass. Sign is fixed to make
+    * the largest-magnitude component positive (eigenvectors are
+    * sign-ambiguous). Returns (eigenvalue, eigenvector). */
+  def pcaTop(s: SparkSession, d: String, iters: Int = 50): (Double, Array[Double]) = {
+    val m = Array.ofDim[Double](64, 64)
+    embedCov(s, d).select("i", "j", "cov6").collect().foreach { r =>
+      val i = r.getLong(0).toInt - 1; val j = r.getLong(1).toInt - 1
+      m(i)(j) = r.getDouble(2); m(j)(i) = r.getDouble(2)
+    }
+    var v = Array.fill(64)(1.0 / math.sqrt(64.0))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(64)(i =>
+        (0 until 64).map(j => m(i)(j) * v(j)).sum)
+      lambda = (0 until 64).map(i => v(i) * w(i)).sum
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      if (nrm > 0) v = w.map(_ / nrm)
+    }
+    val k = v.indices.maxBy(i => math.abs(v(i)))
+    if (v(k) < 0) v = v.map(-_)
+    (lambda, v)
+  }
+
   /** Int8 scalar quantization of the embedding corpus against the
     * per-dimension observed range — the compression pass an ANN index
     * applies before serving (4× smaller than float32, distance error

@@ -689,6 +689,26 @@ object TextRegistry {
          |SELECT a, b, bkt, round(cos, 4) AS cos4 FROM p
          |WHERE cos >= 0.4 ORDER BY a, b""".stripMargin),
 
+    "q_embed_cov" -> e((s, d) => Similarity.embedCov(s, d),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |   FROM embeddings),
+         | u AS (SELECT vec_id, i, v[i] AS xi
+         |   FROM e CROSS JOIN range(1, 65) t(i)),
+         | pp AS (SELECT a.i AS i, b.i AS j,
+         |   CAST(sum(CAST(floor(a.xi * b.xi * 1000000) AS BIGINT))
+         |     AS BIGINT) AS spp
+         |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND b.i >= a.i
+         |  GROUP BY 1, 2),
+         | ds AS (SELECT i, count(*) AS n,
+         |   CAST(sum(CAST(floor(xi * 1000000) AS BIGINT)) AS BIGINT) AS s
+         |  FROM u GROUP BY 1)
+         |SELECT CAST(pp.i AS BIGINT) AS i, CAST(pp.j AS BIGINT) AS j, spp,
+         | round((CAST(spp AS DOUBLE)/1000000)/di.n
+         |   - ((CAST(di.s AS DOUBLE)/1000000)/di.n)
+         |     * ((CAST(dj.s AS DOUBLE)/1000000)/dj.n), 6) + 0.0 AS cov6
+         |FROM pp JOIN ds di ON pp.i = di.i JOIN ds dj ON pp.j = dj.i
+         |ORDER BY i, j, spp, cov6""".stripMargin),
+
     "q_semdedup" -> e((s, d) => Similarity.semDedup(s, d),
       s"""WITH $embCtes,
          | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n

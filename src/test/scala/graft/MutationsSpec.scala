@@ -54,6 +54,26 @@ class MutationsSpec extends SparkSpec {
     assert(out.select("k").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("mergeAggStates: incremental merge == full recompute; empty partial is a no-op") {
+    val events = Seq(
+      ("a", 1L, 10.0, 1), ("a", 2L, 20.0, 2), ("b", 3L, 5.0, 1),
+      ("a", 4L, 1.0, 3), ("b", 5L, 2.0, 3)
+    ).toDF("k", "id", "v", "day")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        min("id").as("lo"), max("id").as("hi"))
+    val partials = (1 to 4).map(dd => agg(events.filter($"day" === dd)))
+    val merged = Mutations.mergeAggStates(partials, Seq("k"),
+      sums = Seq("n", "sv"), mins = Seq("lo"), maxs = Seq("hi"))
+    val full = agg(events)
+    assert(merged.orderBy("k").collect().toSeq ==
+      full.orderBy("k").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Mutations.mergeAggStates(Seq(full.drop("hi"), full), Seq("k"),
+        Seq("n", "sv"), Seq("lo"), Seq("hi"))
+    }
+  }
+
   // ---- SCD Type-2 ----------------------------------------------------
 
   private def scd2Dim = Seq(

@@ -103,6 +103,27 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("pcaTop recovers a planted dominant axis from the exact covariance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
+    // variance 100 along dim 0 (components ±10), tiny deterministic
+    // jitter along dim 1 so the matrix isn't exactly rank-1
+    val rows = (0 until 200).map { i =>
+      val e = Array.fill(64)(0.0f)
+      e(0) = if (i % 2 == 0) 10.0f else -10.0f
+      e(1) = (i % 5) * 0.01f
+      (i.toLong, e.toSeq)
+    }
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (lambda, v) = Similarity.pcaTop(spark, dir)
+    assert(math.abs(lambda - 100.0) < 1.0, s"eigenvalue $lambda")
+    assert(math.abs(v(0)) > 0.999, s"axis ${v.toSeq.take(4)}")
+    assert(v(0) > 0, "sign fixed to positive largest component")
+    // eigenvector is unit-norm
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("kmeansIterate: spherical objective non-decreasing across rounds") {
     val quality = Similarity.kmeansIterate(spark, sf, 4)
     assert(quality.length == 4)
