@@ -264,6 +264,19 @@ object Registry {
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "q_window_range" -> e(Relational.windowRange,
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |   CAST(o_totalprice AS DECIMAL(10,2)) AS p,
+        |   date_diff('day', DATE '1990-01-01',
+        |     CAST(o_orderdate AS DATE)) AS dd
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderdate,
+        | count(*) OVER w AS n_30d,
+        | CAST(sum(p) OVER w AS DOUBLE) AS sum30
+        |FROM t WINDOW w AS (PARTITION BY o_custkey ORDER BY dd
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey, o_custkey, o_orderdate, n_30d, sum30""".stripMargin),
+
     "q_window_funcs" -> e(Relational.windowFuncs,
       """SELECT o_custkey, o_orderkey,
         | lag(o_totalprice, 1) OVER w AS prev_price,

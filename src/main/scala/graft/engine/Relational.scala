@@ -350,6 +350,29 @@ object Relational {
 
   // ---- window-function breadth / dates / nulls / SQL entry -----------
 
+  /** Time-RANGE window frame — the trailing-30-day running aggregate
+    * per customer (`RANGE BETWEEN 30 PRECEDING AND CURRENT ROW` over
+    * epoch days), the value-based frame ROWS frames cannot express:
+    * the frame holds every order within the DATE distance, however
+    * many rows tie. Epoch-day integers (not raw timestamps) are the
+    * frame key on both engines, so the range arithmetic is exact and
+    * tie order is irrelevant (a value-range frame is a set, not a
+    * position span). One shuffle on the partition key, sort within. */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        money(col("o_totalprice")).as("p"))
+      .withColumn("dd",
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01"))).cast("long"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("dd"))
+      .rangeBetween(-30, Window.currentRow)
+    base
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("sum30", outD(sum(col("p")).over(w)))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "n_30d", "sum30")
+      .orderBy("o_orderkey", "o_custkey", "o_orderdate", "n_30d", "sum30")
+  }
+
   /** lead/lag/first/last/ntile/percent_rank/cume_dist in one pass. */
   def windowFuncs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

@@ -26,6 +26,24 @@ object Sinks {
   def overwrite(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Delimited-text load — the export half of the [[Sources.readCsv]]
+    * connector. Timestamps serialize in the same fixed format the
+    * reader parses, so a CSV round trip is type-lossless given the
+    * same explicit schema. */
+  def writeCsv(df: DataFrame, path: String,
+      header: Boolean = true, delimiter: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** JSON-lines load ([[Sources.readJsonLines]] mirror). */
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
   /** Overwrite a table with a frame derived from that same table: Spark
     * forbids reading and overwriting one location in a single job, so
     * stage to a sibling temp dir, then swap via filesystem rename.

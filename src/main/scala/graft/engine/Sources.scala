@@ -36,6 +36,34 @@ object Sources {
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
+  /** Delimited-text extract — the flat-file connector an ETL engine
+    * pairs with its database connector. The schema is EXPLICIT and
+    * required: inference would scan the file once just to guess types
+    * (2× the IO at 100 TB) and guess nondeterministically across
+    * drops. Mode is PERMISSIVE: malformed lines land in the
+    * `_corrupt_record` column when the caller includes it in the
+    * schema (the quarantine-not-crash discipline a bulk load needs) —
+    * add it and filter to split good/bad streams. */
+  def readCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** JSON-lines extract, explicit schema (same rationale as
+    * [[readCsv]]): one object per line splits cleanly by newline, so
+    * the read parallelizes like any text scan. */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .json(path)
+
   /** `events.parquet` carries a nanosecond-precision timestamp, which
     * Spark's Parquet reader does not model natively; read it as raw
     * nanos (legacy long mode) and truncate to microseconds — matching

@@ -46,4 +46,45 @@ class SinksSpec extends SparkSpec {
     Sinks.deleteAll(spark, p)
     assert(spark.read.parquet(p).count() == 0)
   }
+
+  test("CSV and JSON-lines round trips are type-lossless under the explicit schema") {
+    import org.apache.spark.sql.functions._
+    val src = Seq(
+      (1L, Some("alpha"), Some(12.50), "2020-03-04 05:06:07"),
+      (2L, None, None, "1999-12-31 23:59:59")
+    ).toDF("k", "name", "amt", "tss")
+      .select(col("k"), col("name"),
+        col("amt").cast("decimal(10,2)").as("amt"),
+        to_timestamp(col("tss")).as("ts"))
+    def sortRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().toSeq
+    // file reads are always nullable — compare names and types
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val pc = tmp(); Sinks.writeCsv(src, pc)
+    val backC = graft.engine.Sources.readCsv(spark, pc, src.schema)
+    assert(shape(backC) == shape(src))
+    assert(sortRows(backC) == sortRows(src))
+    val pj = tmp(); Sinks.writeJsonLines(src, pj)
+    val backJ = graft.engine.Sources.readJsonLines(spark, pj, src.schema)
+    assert(shape(backJ) == shape(src))
+    assert(sortRows(backJ) == sortRows(src))
+  }
+
+  test("readCsv quarantines malformed lines in _corrupt_record instead of crashing") {
+    import org.apache.spark.sql.types._
+    val p = tmp()
+    Files.createDirectories(java.nio.file.Paths.get(p))
+    Files.writeString(java.nio.file.Paths.get(s"$p/part.csv"),
+      "k,v\n1,10\nnot_a_number,20\n3,30\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType),
+      StructField("_corrupt_record", StringType)))
+    val df = graft.engine.Sources.readCsv(spark, p, schema).cache()
+    val bad = df.filter(df("_corrupt_record").isNotNull)
+    val good = df.filter(df("_corrupt_record").isNull)
+    assert(good.count() == 2 && bad.count() == 1)
+    assert(bad.select("_corrupt_record").as[String].head().startsWith("not_a_number"))
+    df.unpersist()
+  }
 }
