@@ -277,6 +277,17 @@ object Registry {
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey, o_custkey, o_orderdate, n_30d, sum30""".stripMargin),
 
+    "q_fuzzy_match" -> e(Relational.fuzzyMatch,
+      """WITH n AS (SELECT p_name, count(*) AS n_rows,
+        |    string_split(p_name, ' ')[2] AS noun
+        |  FROM part GROUP BY 1),
+        | p AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |    CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+        |    a.n_rows AS n_a, b.n_rows AS n_b
+        |  FROM n a JOIN n b ON a.noun = b.noun AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, dist, n_a, n_b FROM p WHERE dist <= 2
+        |ORDER BY name_a, name_b, dist, n_a, n_b""".stripMargin),
+
     "q_window_funcs" -> e(Relational.windowFuncs,
       """SELECT o_custkey, o_orderkey,
         | lag(o_totalprice, 1) OVER w AS prev_price,

@@ -373,6 +373,35 @@ object Relational {
       .orderBy("o_orderkey", "o_custkey", "o_orderdate", "n_30d", "sum30")
   }
 
+  /** Fuzzy record linkage over part names — the entity-resolution join
+    * every ETL engine grows: pair names whose edit distance is ≤ 2,
+    * without the O(N²) cross join. Two scale levers, both load-bearing
+    * at 100 TB:
+    *  1. match the DISTINCT-value dictionary, not rows — a groupBy
+    *     collapses the corpus to its name vocabulary (64 values here;
+    *     bounded by catalog size, not data size) and carries row
+    *     counts along, so the quadratic step never sees row volume;
+    *  2. block on a cheap equi-key (the head noun) so the pair space
+    *     is per-block B², shuffled as an ordinary equi-join — the
+    *     standard blocking discipline from the record-linkage
+    *     literature. Skewed blocks fall to AQE / Layout.saltedJoin.
+    * levenshtein() is unit-cost edit distance in both engines. */
+  def fuzzyMatch(s: SparkSession, d: String): DataFrame = {
+    val names = Sources.part(s, d)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("noun", split(col("p_name"), " ").getItem(1))
+    val a = names.select(col("noun"), col("p_name").as("name_a"),
+      col("n_rows").as("n_a"))
+    val b = names.select(col("noun"), col("p_name").as("name_b"),
+      col("n_rows").as("n_b"))
+    a.join(b, Seq("noun"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b", "dist", "n_a", "n_b")
+  }
+
   /** lead/lag/first/last/ntile/percent_rank/cume_dist in one pass. */
   def windowFuncs(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

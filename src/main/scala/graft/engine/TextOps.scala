@@ -1225,6 +1225,76 @@ object TextOps {
       .orderBy("doc_id", "n_tok", "mbits", "mb_tok")
   }
 
+  /** Fixed query-term set for [[bm25]] — a CONSTANT: the operator
+    * demonstrates scoring for one query; a retrieval service would
+    * broadcast its (small) per-request term list the same way. */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "filter")
+
+  /** BM25 retrieval scoring (Robertson k1=1.2, b=0.75) — the ranking
+    * function a RAG / decontamination pipeline runs against its corpus
+    * next to [[invertedIndex]]. Top-100 documents for the fixed
+    * [[Bm25Terms]] query.
+    *
+    * Scale shape: reads the [[sharedDocToks]] stage (corpus tokenized
+    * once, ever); the term filter prunes it to query-term postings
+    * BEFORE any join, so the scoring join carries |terms|·df rows, not
+    * the corpus. df and the corpus length stats are tiny aggregates
+    * (broadcast). Per-(doc,term) scores are floor-quantized to integer
+    * milliscore BEFORE the per-doc sum (the [[SurprisalScale]]
+    * discipline: doubles never cross an engine or partition boundary
+    * unquantized), and the top-100 is orderBy+limit →
+    * TakeOrderedAndProject, never a global sort. */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d)
+    val dl = dt.groupBy("doc_id").agg(sum("lc").as("dl"))
+    val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val qt = dt.filter(col("tok").isin(Bm25Terms: _*))
+    val dfreq = qt.groupBy("tok").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfSat = (col("lc") * lit(2.2)) /
+      (col("lc") + lit(1.2) * (lit(0.25) +
+        lit(0.75) * (col("dl") * col("n_docs")).cast("double") / col("tot")))
+    qt.join(broadcast(dfreq), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), floor(idf * tfSat * SurprisalScale).as("mb"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"), sum("mb").as("sc"))
+      .orderBy(col("sc").desc, col("hits").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** MAD outlier screen over document lengths, per source — the robust
+    * anomaly gate a corpus-intake pipeline runs before quality
+    * filtering (median/MAD, unlike mean/stddev, don't move when the
+    * outliers themselves are extreme). Flags docs with
+    * |len − median| > 3·MAD and reports the per-source tally.
+    *
+    * Determinism: exact interpolated percentiles over integers produce
+    * doubles on the binary-fraction lattice (halves, then quarters for
+    * the MAD over half-valued deviations) — bit-identical across
+    * engines, no log/round in sight. Scale shape: two source-keyed
+    * percentile aggregates + one counting pass, all shuffling the tiny
+    * source key; the med/mad tables broadcast back. The corpus is
+    * scanned column-pruned (source, n_chars only). */
+  def outlierMad(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    val med = docs.groupBy("source")
+      .agg(expr("percentile(n_chars, 0.5D)").as("med"))
+    val dev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars").cast("double") - col("med")))
+    val mad = dev.groupBy("source")
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_out"))
+      .orderBy("source", "n_docs", "med", "mad", "n_out")
+  }
+
   /** Posting-list head length for [[invertedIndex]] — a CONSTANT so the
     * per-token collected list is bounded whatever the corpus size. */
   val PostingsCap = 8

@@ -325,6 +325,43 @@ object TextRegistry {
          |SELECT doc_id, n_tok, mbits, mbits // n_tok AS mb_tok
          |FROM g ORDER BY doc_id, n_tok, mbits, mb_tok""".stripMargin),
 
+    "q_bm25" -> e(TextOps.bm25, {
+      val terms = TextOps.Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT doc_id, tok, count(*) AS lc FROM u GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, sum(lc) AS dl FROM dt GROUP BY 1),
+         | st AS (SELECT count(*) AS n_docs, sum(dl) AS tot FROM dl),
+         | qt AS (SELECT * FROM dt WHERE tok IN ($terms)),
+         | dfreq AS (SELECT tok, count(*) AS df FROM qt GROUP BY 1),
+         | sc AS (SELECT doc_id,
+         |   floor(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |     * ((lc * 2.2) / (lc + 1.2 * (0.25
+         |         + 0.75 * CAST(dl * n_docs AS DOUBLE) / tot)))
+         |     * ${TextOps.SurprisalScale}) AS mb
+         |  FROM qt JOIN dfreq USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS hits,
+         | CAST(sum(mb) AS BIGINT) AS sc
+         |FROM sc GROUP BY doc_id
+         |ORDER BY sc DESC, hits DESC, doc_id LIMIT 100""".stripMargin
+    }),
+
+    "q_outlier_mad" -> e(TextOps.outlierMad,
+      """WITH m1 AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+        |  FROM documents GROUP BY 1),
+        | d1 AS (SELECT d.source,
+        |    abs(CAST(n_chars AS DOUBLE) - med) AS dev, med
+        |  FROM documents d JOIN m1 USING (source)),
+        | m2 AS (SELECT source, quantile_cont(dev, 0.5) AS mad
+        |  FROM d1 GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | min(med) AS med, min(mad) AS mad,
+        | CAST(sum(CASE WHEN dev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_out
+        |FROM d1 JOIN m2 USING (source)
+        |GROUP BY source ORDER BY source, n_docs, med, mad, n_out""".stripMargin),
+
     "q_curate" -> e(TextOps.curateDocs,
       """WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
         |  FROM documents),

@@ -97,4 +97,41 @@ class Round4OpsSpec extends SparkSpec {
     // emitted ordered by (pr desc, doc_id)
     assert(out.sortBy(r => (-r._3, r._1)).toSeq == out.toSeq)
   }
+
+  test("fuzzyMatch: blocked pairs respect threshold, ordering, and symmetry-break") {
+    val out = graft.engine.Relational.fuzzyMatch(spark, sf)
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // threshold, canonical pair direction, same block (shared noun)
+    assert(out.forall(_._3 <= 2))
+    assert(out.forall(r => r._1 < r._2))
+    assert(out.forall(r => r._1.split(" ")(1) == r._2.split(" ")(1)))
+    // known near-pair in the synthetic adjective set: old/cold (dist 1)
+    assert(out.exists(r => r._1 == "cold ring" && r._2 == "old ring"))
+    // n_a/n_b are real row counts from the dictionary map-back
+    assert(out.forall(r => r._4 >= 1 && r._5 >= 1))
+  }
+
+  test("bm25: scores rank query-term-dense docs first and stay bounded") {
+    val out = TextOps.bm25(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty && out.length <= 100)
+    // hits bounded by the query-term count; emitted in (sc desc) order
+    assert(out.forall(r => r._2 >= 1 && r._2 <= TextOps.Bm25Terms.length))
+    assert(out.sortBy(r => (-r._3, -r._2, r._1)).toSeq == out.toSeq)
+  }
+
+  test("outlierMad: per-source tallies are consistent and MAD is robust") {
+    val rows = TextOps.outlierMad(spark, sf)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._5 >= 0 && r._5 <= r._2))
+    assert(rows.forall(r => r._3 > 0 && r._4 >= 0))
+    // outlier count matches a direct recomputation for one source
+    val (src, _, med, mad, nOut) = rows.head
+    val lens = graft.engine.Sources.documents(spark, sf)
+      .filter(col("source") === src).select("n_chars").as[Long].collect()
+    val recount = lens.count(x => math.abs(x.toDouble - med) > 3.0 * mad)
+    assert(recount.toLong == nOut)
+  }
 }
