@@ -473,7 +473,8 @@ object Registry {
 
   /** All declared queries, in a stable order. */
   def entries: Seq[(String, Entry)] =
-    relational ++ EventsRegistry.entries ++ TextRegistry.entries
+    relational ++ EventsRegistry.entries ++ TextRegistry.entries ++
+      SketchRegistry.entries
 
   /** Raw entry names BEFORE map-collapse — the duplicate-name invariant
     * Smoke checks (a name collision across the per-module registries
