@@ -227,6 +227,112 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_active"))
       .orderBy("cohort_wk", "wk_offset")
   }
+
+  /** First-touch / last-touch attribution: for each user with a
+    * purchase, the event types of the earliest and latest event
+    * STRICTLY before their first purchase, aggregated to a
+    * (first_touch, last_touch) → users matrix — the standard marketing
+    * attribution report.
+    *
+    * Scale: one user-keyed min-agg for the purchase threshold, a
+    * co-partitioned join back, and both row_numbers ride ONE window
+    * partitioning (same key, opposite orders) — a single user-keyed
+    * shuffle end-to-end. Ties inside a microsecond break on event_id,
+    * so the pick is total-ordered. */
+  def userAttrib(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), col("us"))
+    val p = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("us").as("tp"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val pre = e.join(p, Seq("user_id")).filter(col("us") < col("tp"))
+      .select(col("user_id"), col("event_type"),
+        row_number().over(w).as("rf"), row_number().over(wd).as("rl"))
+    val f = pre.filter(col("rf") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val l = pre.filter(col("rl") === 1)
+      .select(col("user_id"), col("event_type").as("last_touch"))
+    f.join(l, Seq("user_id"))
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("first_touch", "last_touch", "n_users")
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): adjacent
+    * event pairs per user in (us, event_id) order, with the transition
+    * probability in integer ppm (floor division — bit-exact both
+    * engines; doubles never appear).
+    *
+    * Scale: lead() rides one user-keyed window; the pair aggregation
+    * output is bounded by |event_type|² = 25 rows, so the second
+    * aggregation and the totals join are broadcast-trivial no matter
+    * how many events flow in. */
+  def eventTrans(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val x = ev(s, d)
+      .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val tc = x.groupBy(col("event_type").as("from_type"),
+        col("nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tc.groupBy("from_type").agg(sum("n").as("tot"))
+    tc.join(broadcast(tot), Seq("from_type"))
+      .withColumn("ppm", expr("n * 1000000 DIV tot"))
+      .select("from_type", "to_type", "n", "ppm")
+      .orderBy("from_type", "to_type", "n", "ppm")
+  }
+
+  /** Microseconds per day — the bucket for [[activeIslands]] and
+    * [[decayScore]]. */
+  val DayUs = 86400L * 1000000L
+
+  /** Gaps-and-islands: consecutive-active-day streaks per user via the
+    * classic day − row_number() grouping trick; reports per user the
+    * number of distinct streaks, the longest streak, and total active
+    * days.
+    *
+    * Scale: the distinct collapses events to (user, day) — at most
+    * users×days rows — and the window + both aggregations share the
+    * user partitioning; pure integer epoch-day arithmetic. */
+  def activeIslands(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), expr(s"us DIV $DayUs").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val isl = days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+    isl.groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("max_streak"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id", "n_islands", "max_streak", "active_days")
+  }
+
+  /** Freshness-weighted engagement score: each event contributes
+    * 1e6 / 2^age_days ppm (age capped at 20 so the weight underflows to
+    * exactly 0, not a subnormal double — the whole computation stays in
+    * long arithmetic and is bit-exact cross-engine, unlike a float
+    * exp(−λ·age) would be). The half-life dial is the shift base.
+    *
+    * Scale: the reference day is a 1-row broadcast; scoring is a single
+    * map-side-weighted user-keyed aggregation — one shuffle. */
+  def decayScore(s: SparkSession, d: String): DataFrame = {
+    val days = ev(s, d)
+      .select(col("user_id"), expr(s"us DIV $DayUs").as("day"))
+    val ref = days.agg(max("day").as("ref_day"))
+    days.crossJoin(broadcast(ref))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("1000000 DIV shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(least(ref_day - day, 20) AS INT))")).as("score"))
+      .orderBy("user_id", "n_events", "score")
+  }
 }
 
 object EventsRegistry {
@@ -336,5 +442,59 @@ object EventsRegistry {
         |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) AS rn
         | FROM events) x
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+
+    "q_user_attrib" -> e(Events.userAttrib,
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | p AS (SELECT user_id, min(us) AS tp FROM e
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        | pre AS (SELECT e.user_id, event_id, event_type, us
+        |  FROM e JOIN p USING (user_id) WHERE us < tp),
+        | r AS (SELECT user_id, event_type,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY us, event_id) AS rf,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY us DESC, event_id DESC) AS rl
+        |  FROM pre),
+        | f AS (SELECT user_id, event_type AS first_touch FROM r WHERE rf = 1),
+        | l AS (SELECT user_id, event_type AS last_touch FROM r WHERE rl = 1)
+        |SELECT first_touch, last_touch, count(*) AS n_users
+        |FROM f JOIN l USING (user_id)
+        |GROUP BY 1, 2 ORDER BY first_touch, last_touch, n_users""".stripMargin),
+
+    "q_event_trans" -> e(Events.eventTrans,
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | x AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e),
+        | tc AS (SELECT event_type AS from_type, nxt AS to_type,
+        |   count(*) AS n FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        | ft AS (SELECT from_type, sum(n) AS tot FROM tc GROUP BY 1)
+        |SELECT from_type, to_type, n, n * 1000000 // tot AS ppm
+        |FROM tc JOIN ft USING (from_type)
+        |ORDER BY from_type, to_type, n, ppm""".stripMargin),
+
+    "q_islands" -> e(Events.activeIslands,
+      s"""WITH e AS (SELECT DISTINCT user_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day
+         |  FROM events),
+         | r AS (SELECT user_id, day, day - row_number() OVER (
+         |    PARTITION BY user_id ORDER BY day) AS grp FROM e),
+         | isl AS (SELECT user_id, grp, count(*) AS len FROM r GROUP BY 1, 2)
+         |SELECT user_id, count(*) AS n_islands, max(len) AS max_streak,
+         | CAST(sum(len) AS BIGINT) AS active_days
+         |FROM isl GROUP BY 1
+         |ORDER BY user_id, n_islands, max_streak, active_days""".stripMargin),
+
+    "q_decay_score" -> e(Events.decayScore,
+      s"""WITH e AS (SELECT user_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day
+         |  FROM events),
+         | m AS (SELECT max(day) AS ref_day FROM e)
+         |SELECT user_id, count(*) AS n_events,
+         | CAST(sum(1000000 // (CAST(1 AS BIGINT)
+         |   << least(ref_day - day, 20))) AS BIGINT) AS score
+         |FROM e CROSS JOIN m GROUP BY user_id
+         |ORDER BY user_id, n_events, score""".stripMargin),
   )
 }
