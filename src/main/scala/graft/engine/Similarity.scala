@@ -403,6 +403,34 @@ object Similarity {
       .select("pos", "n", "sq", "mn", "mx", "m6")
       .orderBy("pos")
 
+  /** Fixed-point scale for [[embedNorm]]'s per-element squared terms. */
+  val NormFixedPoint = 1000000L
+
+  /** Per-label L2-norm statistics — the embedding-health report run
+    * before any cosine-based stage (un-normalized vectors silently
+    * corrupt cosine thresholds; a label whose norm range is wide is the
+    * first thing to inspect). Each vector's Σx² is floor-quantized per
+    * ELEMENT to [[NormFixedPoint]] integers before summing (exact,
+    * order-independent — the established fixed-point discipline), and
+    * norm_fp = floor(√Σfp) stays integral: sqrt is IEEE
+    * correctly-rounded in both engines, so bit-exact.
+    *
+    * Scale: one narrow per-row fold (no explode — the row never leaves
+    * its partition) then a label-keyed aggregation whose output is
+    * bounded by the label cardinality. */
+  def embedNorm(s: SparkSession, d: String): DataFrame =
+    Sources.embeddings(s, d)
+      .select(col("label"),
+        aggregate(col("embedding").cast("array<double>"), lit(0L),
+          (acc, x) => acc + floor(x * x * lit(NormFixedPoint.toDouble)))
+          .as("sfp"))
+      .withColumn("norm_fp", floor(sqrt(col("sfp").cast("double"))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vec"), min("norm_fp").as("min_n"),
+        max("norm_fp").as("max_n"), sum("norm_fp").as("sum_n"))
+      .withColumn("avg_n", expr("sum_n DIV n_vec"))
+      .orderBy("label", "n_vec", "min_n", "max_n", "sum_n", "avg_n")
+
   /** Upper-triangle covariance of the embedding dimensions — the
     * 64×64 second-moment table a whitening / PCA pass starts from
     * (population covariance, ÷n). Per row, the 2 080 upper-triangle

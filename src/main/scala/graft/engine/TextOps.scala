@@ -1225,6 +1225,31 @@ object TextOps {
       .orderBy("doc_id", "n_tok", "mbits", "mb_tok")
   }
 
+  /** Within-document token-distribution entropy (millibits): for token
+    * counts c_i in a doc of n tokens, H = Σ (c_i/n)·log2(n/c_i) —
+    * computed as exact integer millibits via the [[SurprisalScale]]
+    * floor-quantize-then-sum discipline, reported as total and
+    * per-token (floor division). Complements [[unigramSurprisal]]
+    * (corpus-relative) and the repetition fold (run-based): a LOW
+    * entropy doc repeats few distinct tokens — template/boilerplate; a
+    * HIGH entropy doc at equal length has flat token usage.
+    *
+    * Scale: both inputs read the [[sharedDocToks]] stage; the n-join is
+    * doc_id-co-partitioned with the final roll-up — one shuffle past
+    * the shared stage. */
+  def tokenEntropy(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d)
+    val dn = dt.groupBy("doc_id").agg(sum("lc").as("n"))
+    dt.join(dn, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        floor(col("lc") * log2(col("n").cast("double") / col("lc")) *
+          SurprisalScale).as("mb"))
+      .groupBy("doc_id")
+      .agg(max("n").cast(LongType).as("n_tok"), sum("mb").as("ent_mb"))
+      .withColumn("mb_tok", expr("ent_mb DIV n_tok"))
+      .orderBy("doc_id", "n_tok", "ent_mb", "mb_tok")
+  }
+
   /** Fixed query-term set for [[bm25]] — a CONSTANT: the operator
     * demonstrates scoring for one query; a retrieval service would
     * broadcast its (small) per-request term list the same way. */

@@ -984,5 +984,35 @@ object TextRegistry {
          | min(xv) AS mn, max(xv) AS mx,
          | CAST(sum(q) AS DOUBLE)/(count(*)*${Similarity.KmeansFixedPoint}) AS m6
          |FROM px GROUP BY 1 ORDER BY pos""".stripMargin),
+
+    "q_token_entropy" -> e(TextOps.tokenEntropy,
+      s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT doc_id, tok, count(*) AS lc FROM u GROUP BY 1, 2),
+         | dn AS (SELECT doc_id, sum(lc) AS n FROM dt GROUP BY 1),
+         | q AS (SELECT doc_id, n,
+         |   CAST(floor(lc * log2(CAST(n AS DOUBLE)/lc)
+         |     * ${TextOps.SurprisalScale}) AS BIGINT) AS mb
+         |  FROM dt JOIN dn USING (doc_id)),
+         | g AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tok,
+         |   CAST(sum(mb) AS BIGINT) AS ent_mb FROM q GROUP BY 1)
+         |SELECT doc_id, n_tok, ent_mb, ent_mb // n_tok AS mb_tok
+         |FROM g ORDER BY doc_id, n_tok, ent_mb, mb_tok""".stripMargin),
+
+    "q_embed_norm" -> e((s, d) => Similarity.embedNorm(s, d),
+      s"""WITH x AS (SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS v
+         |  FROM embeddings),
+         | sv AS (SELECT vec_id, label,
+         |   CAST(sum(CAST(floor(v * v * ${Similarity.NormFixedPoint}.0)
+         |     AS BIGINT)) AS BIGINT) AS sfp
+         |  FROM x GROUP BY 1, 2),
+         | nr AS (SELECT label,
+         |   CAST(floor(sqrt(CAST(sfp AS DOUBLE))) AS BIGINT) AS norm_fp
+         |  FROM sv)
+         |SELECT label, count(*) AS n_vec, min(norm_fp) AS min_n,
+         | max(norm_fp) AS max_n, CAST(sum(norm_fp) AS BIGINT) AS sum_n,
+         | CAST(sum(norm_fp) AS BIGINT) // count(*) AS avg_n
+         |FROM nr GROUP BY label
+         |ORDER BY label, n_vec, min_n, max_n, sum_n, avg_n""".stripMargin),
   )
 }
