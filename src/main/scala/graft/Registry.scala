@@ -203,6 +203,23 @@ object Registry {
         | (o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority, g_s, g_p""".stripMargin),
 
+    "q_salted_agg" -> e(Relational.saltedAgg,
+      """WITH p AS (SELECT l_returnflag, l_linestatus,
+        |   l_orderkey % 16 AS salt,
+        |   sum(CAST(l_quantity AS DECIMAL(10,2))) AS pq,
+        |   sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS pr,
+        |   count(*) AS pn
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, l_linestatus,
+        | CAST(sum(pq) AS DOUBLE) AS sum_qty,
+        | CAST(sum(pr) AS DOUBLE) AS sum_disc,
+        | CAST(sum(pn) AS BIGINT) AS n_rows,
+        | count(DISTINCT salt) AS n_salts
+        |FROM p GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus, sum_qty, sum_disc,
+        | n_rows, n_salts""".stripMargin),
+
     "q_unpivot" -> e(Relational.unpivotMeasures,
       """SELECT l_orderkey, l_linenumber, measure, value FROM (
         | UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -259,6 +259,37 @@ object Relational {
         col("total"), col("n"), col("g_s"), col("g_p"))
       .orderBy("status", "priority", "g_s", "g_p")
 
+  /** Two-level salted aggregation — the skew-mitigation pattern spelled
+    * out as a declared, oracle-checked query: stage 1 aggregates on
+    * (group keys, salt = l_orderkey mod 16) so one hot group spreads
+    * over 16 reducers; stage 2 merges the ≤ 16 partials per group.
+    * Results are EXACTLY the unsalted aggregate (exact decimal partial
+    * sums re-sum associatively; counts add) — which is what the oracle
+    * asserts, running the plain GROUP BY. `n_salts` surfaces the
+    * fan-out so a test can prove the salt actually spread the rows.
+    *
+    * At 100 TB this is what `Layout.saltedJoin` does for joins, applied
+    * to aggregation: the first shuffle's partition count per group goes
+    * from 1 to 16, trading a second (tiny) shuffle of 16×|groups| rows
+    * for the hot-key ceiling. AQE's skew handling covers sort-merge
+    * JOINS only — a skewed aggregation key still needs the explicit
+    * salt. */
+  def saltedAgg(s: SparkSession, d: String): DataFrame = {
+    val qty = money(col("l_quantity"))
+    val partial = li(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("salt"))
+      .agg(sum(qty).as("pq"), sum(revenue).as("pr"),
+        count(lit(1)).as("pn"))
+    partial.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(outD(sum(col("pq"))).as("sum_qty"),
+        outD(sum(col("pr"))).as("sum_disc"),
+        sum(col("pn")).as("n_rows"),
+        countDistinct(col("salt")).as("n_salts"))
+      .orderBy("l_returnflag", "l_linestatus", "sum_qty", "sum_disc",
+        "n_rows", "n_salts")
+  }
+
   /** UNPIVOT/melt: wide measures → long (measure, value) rows. */
   def unpivotMeasures(s: SparkSession, d: String): DataFrame =
     li(s, d).filter(col("l_orderkey") % 499 === 0)

@@ -1320,6 +1320,66 @@ object TextOps {
       .orderBy("source", "n_docs", "med", "mad", "n_out")
   }
 
+  /** Winsorized length stats per source: clamp n_chars into the
+    * [p05, p95] band (quantiles floor-quantized to integers so the
+    * clamped sum is exact long arithmetic — no order-dependent double
+    * sums) and report raw vs winsorized mean. The winsorized mean is
+    * the robust location estimate an intake pipeline tracks per source;
+    * a raw−winsorized gap flags a tail-heavy source before the MAD
+    * screen ([[outlierMad]]) even runs.
+    *
+    * Scale: one source-keyed percentile aggregate, broadcast back, one
+    * counting pass — the [[outlierMad]] shuffle shape minus a round. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    val qs = docs.groupBy("source")
+      .agg(floor(expr("percentile(n_chars, 0.05D)")).as("p05"),
+        floor(expr("percentile(n_chars, 0.95D)")).as("p95"))
+    docs.join(broadcast(qs), Seq("source"))
+      .withColumn("w", least(greatest(col("n_chars"), col("p05")), col("p95")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), min("p05").as("p05"),
+        min("p95").as("p95"),
+        expr("sum(n_chars) DIV count(*)").as("mean_raw"),
+        expr("sum(w) DIV count(*)").as("mean_win"))
+      .orderBy("source", "n_docs", "p05", "p95", "mean_raw", "mean_win")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the first
+    * two sources' length distributions, in integer ppm: the max gap
+    * between the two empirical CDFs over the pooled support,
+    * D = max_v |F̂₁(v) − F̂₂(v)| — the standard dataset-drift monitor
+    * between crawl snapshots or source mixtures. Every step is integer
+    * arithmetic (cumulative counts, floor-divided to ppm), so the
+    * statistic is bit-exact cross-engine.
+    *
+    * Scale: per-side (value → count) aggregates collapse N rows to the
+    * distinct-value support; the CDF window runs over that support —
+    * bounded by the value domain, not the corpus. One row out. */
+  def ksDrift(s: SparkSession, d: String): DataFrame = {
+    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    def side(src: String, cn: String) =
+      docs.filter(col("source") === src)
+        .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as(cn))
+    val a = side("src0", "c1")
+    val b = side("src1", "c2")
+    val pooled = a.join(b, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pooled
+      .select(col("v"), sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .crossJoin(broadcast(pooled.agg(sum("c1").cast(LongType).as("n1"),
+        sum("c2").cast(LongType).as("n2"))))
+      .select(col("v"), col("n1"), col("n2"),
+        abs(expr("f1 * 1000000 DIV n1") - expr("f2 * 1000000 DIV n2"))
+          .as("d_ppm"))
+      .orderBy(col("d_ppm").desc, col("v"))
+      .limit(1)
+      .select("n1", "n2", "d_ppm", "v")
+  }
+
   /** Posting-list head length for [[invertedIndex]] — a CONSTANT so the
     * per-token collected list is bounded whatever the corpus size. */
   val PostingsCap = 8

@@ -985,6 +985,41 @@ object TextRegistry {
          | CAST(sum(q) AS DOUBLE)/(count(*)*${Similarity.KmeansFixedPoint}) AS m6
          |FROM px GROUP BY 1 ORDER BY pos""".stripMargin),
 
+    "q_winsorize" -> e(TextOps.winsorize,
+      """WITH q AS (SELECT source,
+        |   CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS p05,
+        |   CAST(floor(quantile_cont(n_chars, 0.95)) AS BIGINT) AS p95
+        |  FROM documents GROUP BY 1)
+        |SELECT d.source, count(*) AS n_docs, min(p05) AS p05,
+        | min(p95) AS p95,
+        | CAST(sum(n_chars) AS BIGINT) // count(*) AS mean_raw,
+        | CAST(sum(least(greatest(n_chars, p05), p95)) AS BIGINT)
+        |   // count(*) AS mean_win
+        |FROM documents d JOIN q USING (source)
+        |GROUP BY d.source
+        |ORDER BY source, n_docs, p05, p95, mean_raw, mean_win""".stripMargin),
+
+    "q_ks_drift" -> e(TextOps.ksDrift,
+      """WITH a AS (SELECT n_chars AS v, count(*) AS c1 FROM documents
+        |  WHERE source = 'src0' GROUP BY 1),
+        | b AS (SELECT n_chars AS v, count(*) AS c2 FROM documents
+        |  WHERE source = 'src1' GROUP BY 1),
+        | p AS (SELECT COALESCE(a.v, b.v) AS v, COALESCE(c1, 0) AS c1,
+        |   COALESCE(c2, 0) AS c2 FROM a FULL OUTER JOIN b ON a.v = b.v),
+        | c AS (SELECT v,
+        |   sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS f1,
+        |   sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |     AND CURRENT ROW) AS f2
+        |  FROM p),
+        | t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+        |   CAST(sum(c2) AS BIGINT) AS n2 FROM p)
+        |SELECT n1, n2,
+        | CAST(abs(f1 * 1000000 // n1 - f2 * 1000000 // n2) AS BIGINT)
+        |   AS d_ppm, v
+        |FROM c CROSS JOIN t
+        |ORDER BY d_ppm DESC, v LIMIT 1""".stripMargin),
+
     "q_token_entropy" -> e(TextOps.tokenEntropy,
       s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
          |  FROM documents),
