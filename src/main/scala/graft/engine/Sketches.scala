@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.PortableHash.{h28, minhashJ}
-import graft.engine.TextOps.{tokens, shingles2, shingles3}
+import graft.engine.TextOps.{tokens, zipGrams2, zipGrams3, gram2, gram3}
 
 /** Fixed-size summary structures — the sketch family a 100 TB corpus
   * pipeline leans on when exact answers would shuffle the world.
@@ -62,7 +62,9 @@ object Sketches {
   def distinctSketch(s: SparkSession, d: String): DataFrame = {
     val m = LcBuckets
     Sources.documents(s, d)
-      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(zipGrams3(col("toks"))).as("p"))
+      .select(col("source"), gram3(col("p")).as("sh"))
       .withColumn("b", h28(col("sh")) % lit(m))
       .groupBy(col("source"))
       .agg(countDistinct(col("b")).as("filled"),
@@ -85,7 +87,9 @@ object Sketches {
     * exact top-K column is the oracle's verification side. */
   def cmsTopk(s: SparkSession, d: String): DataFrame = {
     val hx = Sources.documents(s, d)
-      .select(explode(shingles2(tokens(col("text")))).as("bg"))
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(zipGrams2(col("toks"))).as("p"))
+      .select(gram2(col("p")).as("bg"))
       .withColumn("h", h28(col("bg")))
     val counters = hx
       .select(posexplode(array((0 until CmsDepth).map(j =>
@@ -123,7 +127,9 @@ object Sketches {
   def bloomJoin(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d)
     val build = docs.filter(col("source") === lit(BloomBuildSource))
-      .select(explode(shingles3(tokens(col("text")))).as("sh")).distinct()
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(zipGrams3(col("toks"))).as("p"))
+      .select(gram3(col("p")).as("sh")).distinct()
       .withColumn("h", h28(col("sh")))
     val nWords = (BloomBits / 64).toInt
     val wordRows = build
@@ -144,7 +150,9 @@ object Sketches {
       s"(shiftright(element_at(bm, CAST(s$j / 64 AS INT) + 1), " +
         s"CAST(s$j % 64 AS INT)) & 1) = 1"
     val probe = docs.filter(col("source") =!= lit(BloomBuildSource))
-      .select(col("source"), explode(shingles3(tokens(col("text")))).as("sh"))
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .select(col("source"), explode(zipGrams3(col("toks"))).as("p"))
+      .select(col("source"), gram3(col("p")).as("sh"))
       .distinct()
       .withColumn("h", h28(col("sh")))
     val flagged = probe

