@@ -181,4 +181,56 @@ object Components {
       .join(pr, Seq("node"))
       .select(col("node"), col("deg"), col("pr"))
   }
+
+  /** Fixed-point scale for [[triangles]]' local clustering coefficient
+    * (2·T·10⁶ floor-divided by deg·(deg−1) — exact integer arithmetic,
+    * identical on both engines). */
+  val TriScale = 1000000L
+
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected edge list `(a, b)` with `a < b` — the dup-graph density
+    * signal: a near-dup cluster whose nodes have coefficient ≈ 1 is one
+    * tight template family (collapse to a single canonical doc), while
+    * low-coefficient hubs are chains of borderline matches worth a
+    * second look before deleting anything.
+    *
+    * The id-ordered two-join formulation: every triangle {x<y<z} is
+    * counted exactly once as wedge (x,y)+(y,z) closed by edge (x,z) —
+    * one equi-join on the wedge middle + one two-key left-semi join,
+    * then a 3-corner explode + node-keyed agg for per-node counts.
+    *
+    * Scale: wedge volume is Σ in(y)·out(y) over the id-ordering. On an
+    * LSH-verified dup graph, degrees are bounded by band-bucket
+    * occupancy (the [[graft.engine.Similarity.TargetBucket]] dial), so
+    * wedges stay O(edges·occupancy). For a general skewed graph the
+    * standard fix is degree-ordering (orient each edge toward the
+    * higher-(deg, id) endpoint, bounding out-degree by O(√m)); values
+    * are identical, only the join volume changes — kept id-ordered here
+    * so the oracle SQL stays a direct mirror.
+    *
+    * Returned node set = every endpoint (deg ≥ 1); triangle-free nodes
+    * carry n_tri 0, coefficient 0. */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val ed = pairs.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = ed.select(col("a").as("x"), col("b").as("y"))
+      .join(ed.select(col("a").as("y"), col("b").as("z")), Seq("y"))
+    val tri = wedges.join(
+      ed.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"),
+      "left_semi")
+    val corners = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val deg = ed.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // ed stays persisted (read by wedges ×2, the semi probe and deg) —
+    // callers unpersist / clearCache when done (the cache-courtesy
+    // contract shared with connectedComponents and pagerank).
+    deg.join(corners, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef6", when(col("deg") >= 2,
+        expr(s"(n_tri * ${2 * TriScale}) DIV (deg * (deg - 1))"))
+        .otherwise(lit(0L)))
+  }
 }

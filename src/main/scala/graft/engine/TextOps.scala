@@ -1412,6 +1412,57 @@ object TextOps {
       .select("n1", "n2", "d_ppm", "v")
   }
 
+  /** [[psiDrift]] bin layout: [[PsiBins]] fixed-width n_chars bins of
+    * [[PsiBinWidth]] chars (the corpus spans ~0–600 chars), terms
+    * floor-quantized to [[PsiScale]] micro-units BEFORE the per-source
+    * sum so the aggregate is exact integer arithmetic (the
+    * [[SurprisalScale]] discipline — an engine-side ln ulp difference
+    * crossing a floor boundary is the same accepted negligible risk). */
+  val PsiBins = 10
+  val PsiBinWidth = 64L
+  val PsiScale = 1000000L
+
+  /** Population-stability-index drift per source — the distribution-
+    * shift companion to [[ksDrift]]: for each source, PSI of its
+    * n_chars distribution against the REST of the corpus over
+    * [[PsiBins]] fixed bins, Laplace-smoothed (+1 per bin) so empty
+    * bins contribute finite terms. PSI < 0.1 is the conventional
+    * "stable" reading; a source drifting ≥ 0.25 is the one to inspect
+    * before a training run mixes it in.
+    *
+    * Scale: two bin-keyed aggregates collapse the corpus to
+    * (sources×bins) and bins rows; the term table is grid-sized
+    * (sources × [[PsiBins]]), every join side past the first agg is
+    * broadcast, and the only corpus-sized work is the two scans'
+    * map-side partial counts. */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val b = Sources.documents(s, d)
+      .select(col("source"),
+        least(lit(PsiBins - 1L), expr(s"n_chars DIV $PsiBinWidth"))
+          .as("bin"))
+    val per = b.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val tot = b.groupBy("bin").agg(count(lit(1)).as("ct"))
+    val ns = b.groupBy("source").agg(count(lit(1)).as("ns"))
+    val n = b.agg(count(lit(1)).as("n"))
+    val bins = s.range(PsiBins).select(col("id").as("bin"))
+    val g = ns.crossJoin(broadcast(bins))
+      .join(per, Seq("source", "bin"), "left")
+      .join(broadcast(tot), Seq("bin"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("ns"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("ct"), lit(0L)).as("ct"))
+    val p = (col("c") + lit(1.0)) / (col("ns") + lit(PsiBins))
+    val q = (col("ct") - col("c") + lit(1.0)) /
+      (col("n") - col("ns") + lit(PsiBins))
+    // identical associativity in the oracle SQL: ((p−q)·ln(p/q))·scale
+    g.withColumn("t6", floor(((p - q) * log(p / q)) * PsiScale.toDouble))
+      .groupBy("source", "ns")
+      .agg(sum(col("t6")).as("psi6"))
+      .select(col("source"), col("ns").as("n_docs"), col("psi6"))
+      .orderBy("source", "n_docs", "psi6")
+  }
+
   /** Posting-list head length for [[invertedIndex]] — a CONSTANT so the
     * per-token collected list is bounded whatever the corpus size. */
   val PostingsCap = 8
@@ -1504,6 +1555,20 @@ object TextOps {
         .select("a", "b"))
       .select(col("node").as("doc_id"), col("deg"), col("pr"))
       .orderBy(col("pr").desc, col("doc_id"))
+
+  /** Triangle count + local clustering coefficient per node of the
+    * near-dup graph ([[Components.triangles]] over [[sharedCandPairs]]
+    * at [[NearDupJaccard]]) — the cluster-density companion to
+    * [[pagerankDup]]: coefficient ≈ 1 marks a tight template family
+    * safe to collapse, low-coefficient hubs mark chains of borderline
+    * matches to review. */
+  def trianglesDup(s: SparkSession, d: String): DataFrame =
+    Components.triangles(
+      sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
+        .select("a", "b"))
+      .select(col("node").as("doc_id"), col("deg"), col("n_tri"),
+        col("coef6"))
+      .orderBy("doc_id", "deg", "n_tri", "coef6")
 
   /** Per-document n-gram familiarity — the corpus-statistics quality
     * signal (CCNet-style): a document whose bigrams are rare across the

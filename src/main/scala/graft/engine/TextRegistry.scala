@@ -852,6 +852,31 @@ object TextRegistry {
          |ORDER BY pr DESC, doc_id""".stripMargin
     }),
 
+    "q_triangles" -> e(TextOps.trianglesDup,
+      // id-ordered wedge + closing-edge semi join, 3-corner unnest for
+      // per-node counts; coef6 is exact integer fixed-point (2T·10⁶
+      // floor-divided by deg·(deg−1)) — Components.triangles' mirror
+      s"""WITH $ngramPairCtes,
+         | ed AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | wd AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |   FROM ed e1 JOIN ed e2 ON e1.b = e2.a),
+         | tri AS (SELECT x, y, z FROM wd WHERE EXISTS
+         |   (SELECT 1 FROM ed WHERE ed.a = wd.x AND ed.b = wd.z)),
+         | cn AS (SELECT unnest([x, y, z]) AS node FROM tri),
+         | ct AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+         |   FROM cn GROUP BY 1),
+         | sm AS (SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed),
+         | dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |   FROM sm GROUP BY 1)
+         |SELECT dg.node AS doc_id, dg.deg,
+         | CAST(COALESCE(ct.n_tri, 0) AS BIGINT) AS n_tri,
+         | CAST(CASE WHEN dg.deg >= 2
+         |   THEN (COALESCE(ct.n_tri, 0) * ${2 * Components.TriScale})
+         |     // (dg.deg * (dg.deg - 1))
+         |   ELSE 0 END AS BIGINT) AS coef6
+         |FROM dg LEFT JOIN ct USING (node)
+         |ORDER BY doc_id, deg, n_tri, coef6""".stripMargin),
+
     "q_ngram_novelty" -> e(TextOps.ngramNovelty,
       s"""WITH $toksCte,
          | b AS (SELECT doc_id, unnest($duckBigrams) AS bg FROM t),
@@ -1019,6 +1044,37 @@ object TextRegistry {
         |   AS d_ppm, v
         |FROM c CROSS JOIN t
         |ORDER BY d_ppm DESC, v LIMIT 1""".stripMargin),
+
+    "q_psi_drift" -> e(TextOps.psiDrift, {
+      // per-term floor quantization BEFORE the per-source sum (exact
+      // integer aggregate); associativity mirrors the Spark side:
+      // ((p−q)·ln(p/q))·scale
+      val w = TextOps.PsiBinWidth; val k = TextOps.PsiBins
+      val pSql = s"(c + 1.0) / (ns + $k)"
+      val qSql = s"(ct - c + 1.0) / (n - ns + $k)"
+      s"""WITH b AS (SELECT source, least(${k - 1}, n_chars // $w) AS bin
+         |  FROM documents),
+         | per AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+         |  FROM b GROUP BY 1, 2),
+         | tot AS (SELECT bin, CAST(count(*) AS BIGINT) AS ct
+         |  FROM b GROUP BY 1),
+         | ns AS (SELECT source, CAST(count(*) AS BIGINT) AS ns
+         |  FROM b GROUP BY 1),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+         | bins AS (SELECT range AS bin FROM range($k)),
+         | g AS (SELECT ns.source, ns.ns, bins.bin, nn.n,
+         |    COALESCE(per.c, 0) AS c, COALESCE(tot.ct, 0) AS ct
+         |   FROM ns CROSS JOIN bins
+         |   LEFT JOIN per ON per.source = ns.source AND per.bin = bins.bin
+         |   LEFT JOIN tot ON tot.bin = bins.bin
+         |   CROSS JOIN nn),
+         | t AS (SELECT source, ns,
+         |    CAST(floor((($pSql - $qSql) * ln(($pSql) / ($qSql)))
+         |      * ${TextOps.PsiScale}.0) AS BIGINT) AS t6
+         |   FROM g)
+         |SELECT source, ns AS n_docs, CAST(sum(t6) AS BIGINT) AS psi6
+         |FROM t GROUP BY 1, 2 ORDER BY source, n_docs, psi6""".stripMargin
+    }),
 
     "q_token_entropy" -> e(TextOps.tokenEntropy,
       s"""WITH u AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
