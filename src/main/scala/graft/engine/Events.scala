@@ -314,6 +314,41 @@ object Events {
       .orderBy("user_id", "n_islands", "max_streak", "active_days")
   }
 
+  /** Per-user daily activity grid with forward-fill (LOCF): one row per
+    * (user, day) for every day in the user's [first, last] active span —
+    * days with no events get `n_obs` 0, a `filled` flag, and `n_fill`
+    * carried forward from the most recent observed day (the classic
+    * time-series gap-fill a telemetry pipeline runs before any
+    * day-over-day computation; without it, missing days silently read
+    * as "no change" or break lag/lead arithmetic).
+    *
+    * All integer epoch-day arithmetic ([[DayUs]] discipline — no
+    * date/timezone parity risk). Scale: the grid is users × span-days
+    * rows (bounded by the calendar, not the event count); the daily
+    * aggregate, the span bounds, the grid join and the LOCF window all
+    * share the user_id partitioning — one shuffle. A per-user span of
+    * years with sparse activity inflates the grid linearly; cap the
+    * span upstream if the calendar outgrows the corpus. */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("user_id"), expr(s"us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_obs"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      // first grid day is always observed (span starts at min(day)), so
+      // the LOCF carry is never null
+      .withColumn("n_fill", last(col("n_obs"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("n_obs").isNull)
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n_fill"), col("filled"))
+      .orderBy("user_id", "day", "n_obs", "n_fill", "filled")
+  }
+
   /** Freshness-weighted engagement score: each event contributes
     * 1e6 / 2^age_days ppm (age capped at 20 so the weight underflows to
     * exactly 0, not a subnormal double — the whole computation stays in
@@ -496,5 +531,23 @@ object EventsRegistry {
          |   << least(ref_day - day, 20))) AS BIGINT) AS score
          |FROM e CROSS JOIN m GROUP BY user_id
          |ORDER BY user_id, n_events, score""".stripMargin),
+
+    "q_gap_fill" -> e(Events.gapFill,
+      s"""WITH dly AS (SELECT user_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day,
+         |   CAST(count(*) AS BIGINT) AS n_obs
+         |  FROM events GROUP BY 1, 2),
+         | sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+         |  FROM dly GROUP BY 1),
+         | grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+         |  FROM sp),
+         | j AS (SELECT g.user_id, g.day, dly.n_obs FROM grid g
+         |  LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day)
+         |SELECT user_id, day, COALESCE(n_obs, 0) AS n_obs,
+         | last_value(n_obs IGNORE NULLS) OVER (PARTITION BY user_id
+         |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |   AS n_fill,
+         | (n_obs IS NULL) AS filled
+         |FROM j ORDER BY user_id, day, n_obs, n_fill, filled""".stripMargin),
   )
 }

@@ -578,6 +578,61 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** Hard negatives per query for contrastive pair mining. */
+  val HardNegK = 3
+
+  /** Hard-negative mining: for each fixed query vector, the [[HardNegK]]
+    * most-cosine-similar vectors carrying a DIFFERENT label — the
+    * contrastive-training pair miner (the negatives that look most like
+    * the anchor are the ones a metric-learning loss learns from; random
+    * negatives are too easy to carry gradient). Same scale shape as
+    * [[simTopK]]/[[knnLabel]]: fixed-size broadcast query side, corpus
+    * streamed past it once, per-query top-k via window rank.
+    * Output: (q_id, q_label, vec_id, label, rk, cos4). */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val emb = Sources.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nm", l2norm(col("v")))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nm").as("qnm"), col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.join(broadcast(q), col("label") =!= col("q_label"))
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= HardNegK)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("rk"), round(col("cos"), 4).as("cos4"))
+      .orderBy("q_id", "rk", "vec_id")
+  }
+
+  /** Cosine-similarity decile histogram over the sign-LSH candidate
+    * pairs — the threshold-tuning curve for embedding near-dup: before
+    * committing to a [[dedupEmbed]] cutoff, a pipeline inspects how
+    * candidate mass distributes across similarity bands (a bimodal
+    * histogram → clean threshold in the valley; flat → the corpus has
+    * no natural near-dup boundary). Pairs come from the same bucketed
+    * self-join as [[dedupEmbed]] — adaptive [[lshBitsFor]] bits keep
+    * bucket occupancy (and so the pair count) linear in the corpus; the
+    * output is ≤ 20 fixed decile rows. Deciles floor(cos·10), clamped
+    * to [-10, 9] so cos = 1.0 lands in the top band. */
+  def simHist(s: SparkSession, d: String): DataFrame = {
+    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
+    val lhs = vs.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nm").as("na"), col("bkt"))
+    val rhs = vs.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nm").as("nb"), col("bkt"))
+    lhs.join(rhs, Seq("bkt")).filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("decile", greatest(lit(-10L),
+        least(lit(9L), floor(col("cos") * 10).cast("long"))))
+      .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("decile", "n_pairs")
+  }
+
   /** Product-quantization geometry: 64 dims = [[PqSubspaces]] subspaces
     * of [[PqSubDim]] dims, [[PqCodebook]] codewords per subspace (a
     * 4-bit code per subspace — 4 bytes per vector instead of 256). */

@@ -123,7 +123,10 @@ object Stages {
           if (!fs.exists(ptr)) {
             val attempt = new org.apache.hadoop.fs.Path(
               s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
+            val t0 = System.nanoTime()
             build.write.mode("overwrite").parquet(attempt.toString)
+            System.err.println(f"[stages] built $stage in " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
             if (!publish(fs, ptr, attempt.toString)) {
               // clean loss (our create-exclusive threw pointer-exists: we
               // never published our path anywhere) — ours is unreferenced

@@ -548,6 +548,36 @@ object TextRegistry {
          |SELECT q_id, q_label AS label, p.label AS pred_label, n_votes
          |FROM p WHERE vr = 1 ORDER BY q_id""".stripMargin),
 
+    "q_hard_negatives" -> e((s, d) => Similarity.hardNegatives(s, d),
+      s"""WITH el AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |   CAST(label AS BIGINT) AS label FROM embeddings),
+         | nl AS (SELECT vec_id, v, label,
+         |   sqrt(list_dot_product(v, v)) AS nm FROM el),
+         | q AS (SELECT vec_id AS q_id, v AS qv, nm AS qnm,
+         |   label AS q_label FROM nl WHERE vec_id < ${Similarity.NumQueries}),
+         | sc AS (SELECT q.q_id, q.q_label, nl.vec_id, nl.label,
+         |   list_dot_product(q.qv, nl.v)/(q.qnm*nl.nm) AS cos
+         |  FROM q JOIN nl ON nl.label != q.q_label),
+         | r AS (SELECT q_id, q_label, vec_id, label, cos,
+         |   CAST(row_number() OVER (PARTITION BY q_id
+         |     ORDER BY cos DESC, vec_id) AS BIGINT) AS rk FROM sc)
+         |SELECT q_id, q_label, vec_id, label, rk, round(cos, 4) AS cos4
+         |FROM r WHERE rk <= ${Similarity.HardNegK}
+         |ORDER BY q_id, rk, vec_id""".stripMargin),
+
+    "q_sim_hist" -> e((s, d) => Similarity.simHist(s, d),
+      s"""WITH $embCtes,
+         | $duckBitsCte,
+         | nb AS (SELECT vec_id, v, nm, ${duckLshBucketDyn("v")} AS bkt
+         |   FROM n CROSS JOIN bi),
+         | p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |   list_dot_product(x.v, y.v)/(x.nm*y.nm) AS cos
+         |  FROM nb x JOIN nb y ON x.bkt = y.bkt AND x.vec_id < y.vec_id)
+         |SELECT greatest(-10, least(9, CAST(floor(cos*10) AS BIGINT)))
+         |   AS decile,
+         | count(*) AS n_pairs
+         |FROM p GROUP BY 1 ORDER BY decile, n_pairs""".stripMargin),
+
     "q_pq_codes" -> e((s, d) => Similarity.pqCodes(s, d), {
       val sd = Similarity.PqSubDim
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
