@@ -349,6 +349,100 @@ object Events {
       .orderBy("user_id", "day", "n_obs", "n_fill", "filled")
   }
 
+  /** Event-sequence pattern matching (the batch MATCH_RECOGNIZE stand-
+    * in): each user's events collapse — in (ts, event_id) order — to a
+    * compact journey string of event-type initials, and regex predicates
+    * over that string answer ordering questions a funnel count can't
+    * ("a view EVENTUALLY followed by a purchase", "how many errors en
+    * route"). The per-user string is bounded by the user's own event
+    * count, so rows stay small; one user-keyed aggregation (collect_list
+    * is unordered by contract — the deterministic order comes from
+    * array_sort over (us, event_id, ch) structs, not from arrival).
+    * Scale: one shuffle on user_id; the regex runs per user row, not per
+    * event. A pathological single-user firehose would fatten one row —
+    * cap per-user events upstream if journeys outgrow memory. */
+  def seqPattern(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .select(col("user_id"),
+        struct(col("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(array_sort(collect_list(col("e"))),
+          x => x.getField("ch")), "").as("journey"))
+      .withColumn("converted", col("journey").rlike("v.*p"))
+      .withColumn("n_err",
+        (length(col("journey")) -
+          length(regexp_replace(col("journey"), "e", ""))).cast(LongType))
+      .select("user_id", "n_events", "journey", "converted", "n_err")
+      .orderBy("user_id", "n_events", "journey", "converted", "n_err")
+
+  /** Conversion bar for [[abTest]]: a user "converts" with at least
+    * this many purchase events (≈ the corpus's above-average buyer —
+    * "ever purchased" saturates at 100% on this data and degenerates
+    * the z). */
+  val AbConvMin = 15L
+
+  /** Two-proportion A/B read-out: users split into variants by
+    * `user_id % 2` (the deterministic hash-split discipline), conversion
+    * = "≥ [[AbConvMin]] purchases", and the one-row report carries both
+    * rates (exact ppm integer quotients) and the pooled two-proportion
+    * z-statistic (micro-units). The z arithmetic runs in double FROM
+    * EXACT INTEGER inputs with one fixed expression shape mirrored
+    * verbatim by the oracle — the [[graft.engine.TextOps.ksDrift]]
+    * discipline; an all-or-none conversion split (pooled variance 0,
+    * z undefined) is pinned to 0 by an identical guard in both engines.
+    * Scale: one user-keyed aggregation (map-side partial sum), then a
+    * 2-row → 1-row fold; nothing else moves. */
+  def abTest(s: SparkSession, d: String): DataFrame = {
+    val per = ev(s, d).groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= AbConvMin, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2L)))
+    per.groupBy(lit(1).as("g"))
+      .agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
+      .withColumn("p0_ppm", expr("c0 * 1000000 DIV n0"))
+      .withColumn("p1_ppm", expr("c1 * 1000000 DIV n1"))
+      // identical associativity in the oracle: pooled p, then
+      // (p1-p0)/sqrt(p(1-p)(1/n0+1/n1)), floored to micro-units;
+      // degenerate all-or-none conversion → 0 (variance undefined)
+      .withColumn("z6", expr(
+        "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0 ELSE " +
+          "CAST(floor(((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) / " +
+          "sqrt(((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * " +
+          "(1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) * " +
+          "(1.0/n0 + 1.0/n1))) * 1000000.0) AS BIGINT) END"))
+      .select("n0", "c0", "n1", "c1", "p0_ppm", "p1_ppm", "z6")
+      .orderBy("n0", "c0", "n1", "c1", "p0_ppm", "p1_ppm", "z6")
+  }
+
+  /** Day-grain rolling activity: daily event and value totals with a
+    * 7-day trailing sum and a running cumulative — the
+    * daily-active-with-rolling-window dashboard staple. The window runs
+    * over the DAY-GRAIN aggregate (rows bounded by the calendar span,
+    * not the event count), so the unpartitioned ORDER BY day window is
+    * safe at any corpus size: the shuffle-heavy work is the day-keyed
+    * aggregation with map-side partials; the windowed pass sees one row
+    * per day. All-integer arithmetic. */
+  def rolling7d(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(expr(s"us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val wc = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("ev_7d", sum(col("n_events")).over(w7))
+      .withColumn("ev_cum", sum(col("n_events")).over(wc))
+      .select("day", "n_events", "n_users", "ev_7d", "ev_cum")
+      .orderBy("day", "n_events", "n_users", "ev_7d", "ev_cum")
+  }
+
   /** Freshness-weighted engagement score: each event contributes
     * 1e6 / 2^age_days ppm (age capped at 20 so the weight underflows to
     * exactly 0, not a subnormal double — the whole computation stays in
@@ -549,5 +643,56 @@ object EventsRegistry {
          |   AS n_fill,
          | (n_obs IS NULL) AS filled
          |FROM j ORDER BY user_id, day, n_obs, n_fill, filled""".stripMargin),
+
+    "q_seq_pattern" -> e(Events.seqPattern,
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |   left(event_type, 1) AS ch FROM events),
+        | j AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |   string_agg(ch, '' ORDER BY us, event_id, ch) AS journey
+        |  FROM e GROUP BY 1)
+        |SELECT user_id, n_events, journey,
+        | regexp_matches(journey, 'v.*p') AS converted,
+        | CAST(len(journey) - len(replace(journey, 'e', '')) AS BIGINT)
+        |   AS n_err
+        |FROM j
+        |ORDER BY user_id, n_events, journey, converted, n_err""".stripMargin),
+
+    "q_ab_test" -> e(Events.abTest,
+      s"""WITH per AS (SELECT user_id,
+        |   CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     >= ${Events.AbConvMin} THEN 1 ELSE 0 END AS conv,
+        |   user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        | g AS (SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |   CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |   CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+        |  FROM per)
+        |SELECT n0, c0, n1, c1,
+        | c0 * 1000000 // n0 AS p0_ppm,
+        | c1 * 1000000 // n1 AS p1_ppm,
+        | CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0 ELSE
+        |  CAST(floor(((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
+        |   sqrt(((CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
+        |   (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) *
+        |   (1.0/n0 + 1.0/n1))) * 1000000.0) AS BIGINT) END AS z6
+        |FROM g ORDER BY n0, c0, n1, c1, p0_ppm, p1_ppm, z6""".stripMargin),
+
+    "q_rolling_7d" -> e(Events.rolling7d,
+      s"""WITH daily AS (SELECT
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day,
+         |   CAST(count(*) AS BIGINT) AS n_events,
+         |   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |  FROM events GROUP BY 1)
+         |SELECT day, n_events, n_users,
+         | CAST(sum(n_events) OVER (ORDER BY day
+         |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ev_7d,
+         | CAST(sum(n_events) OVER (ORDER BY day
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   AS ev_cum
+         |FROM daily
+         |ORDER BY day, n_events, n_users, ev_7d, ev_cum""".stripMargin),
   )
 }

@@ -1362,6 +1362,32 @@ object TextOps {
     *
     * Scale: one source-keyed percentile aggregate, broadcast back, one
     * counting pass — the [[outlierMad]] shuffle shape minus a round. */
+  /** Equal-frequency decile binning per source (quantile bucketing —
+    * the feature-engineering staple for turning a skewed numeric into a
+    * balanced categorical, and the length-stratification step before
+    * curriculum ordering or balanced sampling). `ntile(10)` over
+    * (n_chars, doc_id) — the unique tiebreak makes bin assignment a
+    * total order, so both engines cut identical bins (standard SQL
+    * pins ntile's remainder-to-early-buckets semantics).
+    *
+    * Scale: the window partitions BY SOURCE — each source sorts
+    * within its shuffle partition, nothing global. A single-source
+    * corpus would funnel into one partition; for that shape swap the
+    * exact ntile for threshold binning off a percentile aggregate (the
+    * [[winsorize]] pattern) and keep this operator for the
+    * per-stratum case it's built for. */
+  def quantileBins(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Sources.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("bin", ntile(10).over(w).cast(LongType))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("lo"),
+        max("n_chars").as("hi"), sum("n_chars").as("tot_chars"))
+      .orderBy("source", "bin", "n_docs", "lo", "hi", "tot_chars")
+  }
+
   def winsorize(s: SparkSession, d: String): DataFrame = {
     val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
     val qs = docs.groupBy("source")

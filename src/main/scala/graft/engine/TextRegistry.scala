@@ -1075,6 +1075,16 @@ object TextRegistry {
         |FROM c CROSS JOIN t
         |ORDER BY d_ppm DESC, v LIMIT 1""".stripMargin),
 
+    "q_quantile_bins" -> e(TextOps.quantileBins,
+      """SELECT source, CAST(bin AS BIGINT) AS bin,
+        | count(*) AS n_docs, min(n_chars) AS lo, max(n_chars) AS hi,
+        | CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |FROM (SELECT source, n_chars, ntile(10) OVER (
+        |   PARTITION BY source ORDER BY n_chars, doc_id) AS bin
+        |  FROM documents) b
+        |GROUP BY 1, 2
+        |ORDER BY source, bin, n_docs, lo, hi, tot_chars""".stripMargin),
+
     "q_psi_drift" -> e(TextOps.psiDrift, {
       // per-term floor quantization BEFORE the per-source sum (exact
       // integer aggregate); associativity mirrors the Spark side:

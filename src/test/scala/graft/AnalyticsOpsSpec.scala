@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+import graft.engine.{Events, TextOps}
+
+/** Unit tests for sequence-pattern matching, the A/B z read-out,
+  * day-grain rolling windows, and quantile binning. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventsDir(rows: Seq[(Long, Timestamp, Long, String, Double, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("anly").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ts(day: Int, h: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+
+  test("seqPattern: journey is ordered by time, regex flags conversion") {
+    val dir = eventsDir(Seq(
+      // user 1: view → error → purchase (converted, 1 error)
+      (3L, ts(1, 3), 1L, "purchase", 1.0, "{}"),
+      (1L, ts(1, 1), 1L, "view", 1.0, "{}"),
+      (2L, ts(1, 2), 1L, "error", 1.0, "{}"),
+      // user 2: purchase then view — NOT converted (order matters)
+      (4L, ts(1, 1), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(1, 2), 2L, "view", 1.0, "{}")))
+    val got = Events.seqPattern(spark, dir)
+      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, "vep", true, 1L),
+      (2L, 2L, "pv", false, 0L)))
+  }
+
+  test("seqPattern: same-timestamp ties break by event_id") {
+    val t = ts(1, 1)
+    val dir = eventsDir(Seq(
+      (2L, t, 1L, "purchase", 1.0, "{}"),
+      (1L, t, 1L, "view", 1.0, "{}")))
+    val got = Events.seqPattern(spark, dir)
+      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+    assert(got.head._3 == "vp")
+    assert(got.head._4)
+  }
+
+  test("abTest: hand-computed z on a constructed split") {
+    // 4 users: 0,2 (variant 0) and 1,3 (variant 1); conversion needs
+    // >= AbConvMin purchases, so give user 1 exactly that many and the
+    // rest none — c0=0, c1=1
+    val buys = (1 to Events.AbConvMin.toInt).map { i =>
+      (100L + i, ts(2, i % 24), 1L, "purchase", 1.0, "{}")
+    }
+    val views = Seq(0L, 1L, 2L, 3L).map { u =>
+      (u + 1, ts(1, 1), u, "view", 1.0, "{}")
+    }
+    val dir = eventsDir(views ++ buys)
+    val got = Events.abTest(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    val (n0, c0, n1, c1, p0, p1, z6) = got
+    assert((n0, c0, n1, c1) == (2L, 0L, 2L, 1L))
+    assert(p0 == 0L && p1 == 500000L)
+    // z = (0.5 - 0) / sqrt(0.25*0.75*(1/2+1/2)) = 0.5/sqrt(0.1875)
+    val z = 0.5 / math.sqrt(0.25 * 0.75 * 1.0)
+    assert(z6 == math.floor(z * 1e6).toLong, s"z6=$z6 expected≈${z * 1e6}")
+  }
+
+  test("abTest: all-or-none conversion pins z to 0") {
+    val dir = eventsDir(Seq(
+      (1L, ts(1, 1), 0L, "view", 1.0, "{}"),
+      (2L, ts(1, 1), 1L, "view", 1.0, "{}")))
+    val got = Events.abTest(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got._7 == 0L)
+  }
+
+  test("rolling7d: trailing window sums the last 7 days only") {
+    // one event per day for 10 consecutive days
+    val dir = eventsDir((1 to 10).map { d =>
+      (d.toLong, ts(d, 0), 1L, "view", 1.0, "{}")
+    })
+    val got = Events.rolling7d(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    // day k (1-based): ev_7d = min(k, 7), ev_cum = k
+    got.zipWithIndex.foreach { case ((_, n, u, ev7, cum), i) =>
+      assert(n == 1L && u == 1L)
+      assert(ev7 == math.min(i + 1, 7).toLong, s"day $i ev_7d=$ev7")
+      assert(cum == (i + 1).toLong)
+    }
+  }
+
+  test("quantileBins: bins are equal-frequency and ordered") {
+    val dir = java.nio.file.Files.createTempDirectory("qbins").toString
+    // 20 docs in one source, n_chars = 1..20 → 10 bins of exactly 2
+    (1L to 20L).map(i => (i, "x", "en", "s0", i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = TextOps.quantileBins(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    assert(got.forall(_._3 == 2L))
+    // bins partition the value range in order: bin k holds {2k-1, 2k}
+    got.zipWithIndex.foreach { case ((_, bin, _, lo, hi, tot), i) =>
+      assert(bin == (i + 1).toLong)
+      assert(lo == 2L * i + 1 && hi == 2L * i + 2 && tot == lo + hi)
+    }
+  }
+}
