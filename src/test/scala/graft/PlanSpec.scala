@@ -159,6 +159,29 @@ class PlanSpec extends SparkSpec {
       s"q_filter_funnel evaluates its folds ${folds("q_filter_funnel")}×")
   }
 
+  test("round-4 analytics ops keep their scale-safe plan shapes") {
+    // hard negatives: fixed 16-row query side broadcast, corpus
+    // streamed once (the q_sim_topk discipline)
+    val hn = plan("q_hard_negatives")
+    assert(hn.contains("BroadcastNestedLoopJoin") ||
+      hn.contains("BroadcastExchange"), "query side not broadcast")
+    // sim histogram: bucketed equi self-join — never all-pairs
+    val sh = plan("q_sim_hist")
+    assert(!sh.contains("CartesianProduct") &&
+      !sh.contains("BroadcastNestedLoopJoin"), "q_sim_hist lost the bucket join")
+    // gap fill: grid join stays an equi-join on (user_id, day)
+    val gf = plan("q_gap_fill")
+    assert(!gf.contains("CartesianProduct") &&
+      !gf.contains("BroadcastNestedLoopJoin"), "q_gap_fill lost the equi-join")
+    // journey + A/B: single user-keyed aggregation paths, no joins
+    assert(!plan("q_seq_pattern").contains("Join"), "q_seq_pattern joins")
+    assert(!plan("q_ab_test").contains("Join"), "q_ab_test joins")
+    // quantile bins: the ntile window partitions by source, never global
+    val qb = plan("q_quantile_bins")
+    assert(qb.contains("hashpartitioning(source"),
+      "q_quantile_bins window lost its source partitioning")
+  }
+
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
     // the threshold filter must reach the stage's parquet scan — the
     // shared-stage rework keeps the query a pushed-filter file read, not
