@@ -294,6 +294,22 @@ object Registry {
         |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey, o_custkey, o_orderdate, n_30d, sum30""".stripMargin),
 
+    "q_skyline" -> e(Relational.skyline,
+      """WITH b AS (SELECT o_orderpriority, o_orderkey,
+        |   CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |     AS p_cents,
+        |   date_diff('day', DATE '1990-01-01',
+        |     CAST(o_orderdate AS DATE)) AS dd
+        |  FROM orders),
+        | w AS (SELECT o_orderpriority, o_orderkey, p_cents, dd,
+        |   min(dd) OVER (PARTITION BY o_orderpriority ORDER BY p_cents
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mc,
+        |   min(dd) OVER (PARTITION BY o_orderpriority, p_cents) AS ms
+        |  FROM b)
+        |SELECT o_orderpriority, o_orderkey, p_cents, CAST(dd AS BIGINT) AS dd
+        |FROM w WHERE (mc IS NULL OR mc > dd) AND dd = ms
+        |ORDER BY o_orderpriority, p_cents, dd, o_orderkey""".stripMargin),
+
     "q_fuzzy_match" -> e(Relational.fuzzyMatch,
       """WITH n AS (SELECT p_name, count(*) AS n_rows,
         |    string_split(p_name, ' ')[2] AS noun

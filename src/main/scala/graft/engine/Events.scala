@@ -377,6 +377,34 @@ object Events {
       .select("user_id", "n_events", "journey", "converted", "n_err")
       .orderBy("user_id", "n_events", "journey", "converted", "n_err")
 
+  /** Time-to-convert latency histogram: per user, the gap between the
+    * FIRST view and the first purchase AT OR AFTER it, bucketed by
+    * hour — the funnel-latency distribution a growth team reads next
+    * to [[eventsFunnel]]'s stage counts (how long conversion takes,
+    * not just whether it happens). Users who never view, or never
+    * purchase after viewing, simply don't contribute a row.
+    *
+    * Scale: two user-keyed aggregations (first-view min, then
+    * first-qualifying-purchase min) sharing the user_id partitioning,
+    * then a bucket-keyed count with map-side partials — output is
+    * bounded by the calendar span in hours. All integer microsecond
+    * arithmetic. */
+  def ttcHist(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t_view"))
+    val firstBuy = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("us") >= col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("us")).as("t_buy"))
+    firstBuy
+      .withColumn("gap_h", expr(s"(t_buy - t_view) DIV ${3600L * 1000000L}"))
+      .groupBy("gap_h")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("gap_h", "n_users")
+  }
+
   /** Conversion bar for [[abTest]]: a user "converts" with at least
     * this many purchase events (≈ the corpus's above-average buyer —
     * "ever purchased" saturates at 100% on this data and degenerates
@@ -679,6 +707,19 @@ object EventsRegistry {
         |   (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) *
         |   (1.0/n0 + 1.0/n1))) * 1000000.0) AS BIGINT) END AS z6
         |FROM g ORDER BY n0, c0, n1, c1, p0_ppm, p1_ppm, z6""".stripMargin),
+
+    "q_ttc_hist" -> e(Events.ttcHist,
+      s"""WITH e AS (SELECT user_id, event_type,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+         | fv AS (SELECT user_id, min(us) AS t_view FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         | fb AS (SELECT e.user_id, fv.t_view, min(e.us) AS t_buy
+         |  FROM e JOIN fv ON e.user_id = fv.user_id
+         |  WHERE e.event_type = 'purchase' AND e.us >= fv.t_view
+         |  GROUP BY 1, 2)
+         |SELECT (t_buy - t_view) // ${3600L * 1000000L} AS gap_h,
+         | count(*) AS n_users
+         |FROM fb GROUP BY 1 ORDER BY gap_h, n_users""".stripMargin),
 
     "q_rolling_7d" -> e(Events.rolling7d,
       s"""WITH daily AS (SELECT

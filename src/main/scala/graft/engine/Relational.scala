@@ -404,6 +404,42 @@ object Relational {
       .orderBy("o_orderkey", "o_custkey", "o_orderdate", "n_30d", "sum30")
   }
 
+  /** Per-priority 2-D skyline (Pareto frontier) of orders minimizing
+    * (price, order date): an order is ON the frontier iff no other
+    * order of the same priority is ≤ on both axes and < on at least
+    * one — "the cheapest orders for every recency budget". The classic
+    * single-pass formulation: sort by price within the priority, then
+    * one value-RANGE running-min of the date over STRICTLY cheaper
+    * rows (`RANGE … 1 PRECEDING` excludes price ties, which by
+    * definition don't strictly dominate on price) plus a same-price
+    * date minimum; a row survives iff every strictly-cheaper row is
+    * strictly later AND no same-price row is earlier. Exact-tie rows
+    * (both axes equal) are mutually non-dominating and all kept.
+    *
+    * Scale: both windows share one (priority)-partitioned sort of an
+    * (orderkey, cents, days) projection — per-group sorted shuffle
+    * partitions, nothing global; output is frontier-sized. Price in
+    * exact cents, date in epoch days — all-integer comparisons. */
+  def skyline(s: SparkSession, d: String): DataFrame = {
+    val base = Sources.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (money(col("o_totalprice")) * 100).cast("long").as("p_cents"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+          .cast("long").as("dd"))
+    val cheaper = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("p_cents"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val samePrice = Window.partitionBy(col("o_orderpriority"), col("p_cents"))
+    base
+      .withColumn("min_dd_cheaper", min(col("dd")).over(cheaper))
+      .withColumn("min_dd_same", min(col("dd")).over(samePrice))
+      .filter((col("min_dd_cheaper").isNull ||
+        col("min_dd_cheaper") > col("dd")) &&
+        col("dd") === col("min_dd_same"))
+      .select("o_orderpriority", "o_orderkey", "p_cents", "dd")
+      .orderBy("o_orderpriority", "p_cents", "dd", "o_orderkey")
+  }
+
   /** Fuzzy record linkage over part names — the entity-resolution join
     * every ETL engine grows: pair names whose edit distance is ≤ 2,
     * without the O(N²) cross join. Two scale levers, both load-bearing

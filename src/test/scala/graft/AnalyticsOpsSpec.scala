@@ -91,6 +91,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("skyline: dominated orders drop, frontier and exact ties survive") {
+    val dir = java.nio.file.Files.createTempDirectory("sky").toString
+    Seq(
+      // (key, price, date): 1 dominates 2 (cheaper, earlier);
+      // 3 survives (earliest among expensive); 4 exact-ties 1 — kept;
+      // 5 same price as 1 but later — dominated
+      (1L, 10L, "2024-01-05"), (2L, 20L, "2024-01-06"),
+      (3L, 20L, "2024-01-01"), (4L, 10L, "2024-01-05"),
+      (5L, 10L, "2024-01-07"))
+      .map { case (k, p, dt) =>
+        (k, 1L, "O", p.toDouble, Timestamp.valueOf(dt + " 00:00:00"), "P1")
+      }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    val got = graft.engine.Relational.skyline(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(_._2).toSet
+    assert(got == Set(1L, 3L, 4L), s"frontier keys: $got")
+  }
+
+  test("ttcHist: gap measured first-view to first-purchase-after only") {
+    val dir = eventsDir(Seq(
+      // user 1: purchase BEFORE first view is ignored; the qualifying
+      // purchase is 2h after the first view
+      (1L, ts(1, 0), 1L, "purchase", 1.0, "{}"),
+      (2L, ts(1, 3), 1L, "view", 1.0, "{}"),
+      (3L, ts(1, 5), 1L, "purchase", 1.0, "{}"),
+      // user 2: views but never purchases — contributes nothing
+      (4L, ts(1, 1), 2L, "view", 1.0, "{}")))
+    val got = Events.ttcHist(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L)))
+  }
+
   test("quantileBins: bins are equal-frequency and ordered") {
     val dir = java.nio.file.Files.createTempDirectory("qbins").toString
     // 20 docs in one source, n_chars = 1..20 → 10 bins of exactly 2
