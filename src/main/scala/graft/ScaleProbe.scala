@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Sources, TextOps}
+import graft.engine.{Components, Sources, TextOps}
 
 /** Dev tool: measured scaling evidence for SCALE.md — runs the minhash
   * dedup pipeline on 1×/2×/4× copies of the documents table (doc_ids
@@ -223,6 +223,29 @@ object ScaleProbe {
       val rows = noveltyRows(copies(k))
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALEPROBE novelty k=$k rows=$rows ${secs}%.2f s")
+    }
+    // Graph leg: triangle counting over the near-dup pair graph. The
+    // Caesar shift keeps each copy's dup structure internal, so edges,
+    // wedges (Σ in·out, bounded by band-bucket occupancy) and triangles
+    // all grow ~linearly with the corpus — the evidence behind
+    // Components.triangles' "wedge volume stays O(edges·occupancy)"
+    // claim. A super-linear time curve here means a hub formed and the
+    // documented degree-ordering fallback is due.
+    def triRows(corpus: DataFrame): (Long, Long) = {
+      val edges = TextOps.jaccardPairs(corpus, 0.8)
+        .select(col("a"), col("b"))
+        .persist()
+      val nEdges = edges.count()
+      val nodes = Components.triangles(edges).count()
+      spark.catalog.clearCache() // triangles persists the edge list
+      (nEdges, nodes)
+    }
+    triRows(copies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (edges, nodes) = triRows(copies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE triangles k=$k edges=$edges nodes=$nodes ${secs}%.2f s")
     }
     spark.stop()
   }
