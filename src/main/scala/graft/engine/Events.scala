@@ -433,13 +433,19 @@ object Events {
         sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),
         sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c1"))
-      .withColumn("p0_ppm", expr("c0 * 1000000 DIV n0"))
-      .withColumn("p1_ppm", expr("c1 * 1000000 DIV n1"))
+      // empty-variant guards (a one-user corpus puts everyone in one
+      // arm): rate 0 and z 0 rather than a division error, identically
+      // in both engines
+      .withColumn("p0_ppm", expr(
+        "CASE WHEN n0 = 0 THEN 0 ELSE c0 * 1000000 DIV n0 END"))
+      .withColumn("p1_ppm", expr(
+        "CASE WHEN n1 = 0 THEN 0 ELSE c1 * 1000000 DIV n1 END"))
       // identical associativity in the oracle: pooled p, then
       // (p1-p0)/sqrt(p(1-p)(1/n0+1/n1)), floored to micro-units;
       // degenerate all-or-none conversion → 0 (variance undefined)
       .withColumn("z6", expr(
-        "CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0 ELSE " +
+        "CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0 " +
+          "OR c0 + c1 = n0 + n1 THEN 0 ELSE " +
           "CAST(floor(((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) / " +
           "sqrt(((CAST(c0+c1 AS DOUBLE)/(n0+n1)) * " +
           "(1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) * " +
@@ -699,9 +705,10 @@ object EventsRegistry {
         |   CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
         |  FROM per)
         |SELECT n0, c0, n1, c1,
-        | c0 * 1000000 // n0 AS p0_ppm,
-        | c1 * 1000000 // n1 AS p1_ppm,
-        | CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0 ELSE
+        | CASE WHEN n0 = 0 THEN 0 ELSE c0 * 1000000 // n0 END AS p0_ppm,
+        | CASE WHEN n1 = 0 THEN 0 ELSE c1 * 1000000 // n1 END AS p1_ppm,
+        | CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
+        |   OR c0 + c1 = n0 + n1 THEN 0 ELSE
         |  CAST(floor(((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
         |   sqrt(((CAST(c0+c1 AS DOUBLE)/(n0+n1)) *
         |   (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) *

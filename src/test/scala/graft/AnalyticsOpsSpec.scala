@@ -75,6 +75,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got._7 == 0L)
   }
 
+  test("abTest: an empty variant yields zeros, not a division error") {
+    val dir = eventsDir(Seq(
+      (1L, ts(1, 1), 2L, "view", 1.0, "{}"))) // one even-id user only
+    val got = Events.abTest(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((1L, 0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("rolling7d: trailing window sums the last 7 days only") {
     // one event per day for 10 consecutive days
     val dir = eventsDir((1 to 10).map { d =>
