@@ -377,6 +377,40 @@ object Events {
       .select("user_id", "n_events", "journey", "converted", "n_err")
       .orderBy("user_id", "n_events", "journey", "converted", "n_err")
 
+  /** Daily-volume spike detector: for each event type, the day whose
+    * count deviates most from that type's own daily mean, with the
+    * deviation as a |z|-score in micro-units — the telemetry anomaly
+    * screen that catches a logging regression or an ingest gap before
+    * it poisons downstream counts. Variance from exact integer sums
+    * (n·Σc² − (Σc)² — the zero check is exact, never a float ≈0);
+    * the z arithmetic is one fixed double expression mirrored by the
+    * oracle; degenerate series (one day, or constant volume) pin to 0.
+    *
+    * Scale: the day×type aggregate is calendar-bounded; the per-type
+    * moment table is broadcast back onto it; the argmax is a
+    * tiny-partition window rank. */
+  def volumeSpike(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("event_type"), expr(s"us DIV $DayUs").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val st = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("scc"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("z6").desc, col("day"))
+    daily.join(broadcast(st), Seq("event_type"))
+      .withColumn("z6", expr(
+        "CASE WHEN nd < 2 OR nd * scc - sc * sc = 0 THEN 0 ELSE " +
+          "CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) / " +
+          "sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)" +
+          " / (nd - 1))) * 1000000.0) AS BIGINT) END"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("spike_day"),
+        col("c").as("c_spike"), col("z6"))
+      .orderBy("event_type", "spike_day", "c_spike", "z6")
+  }
+
   /** Time-to-convert latency histogram: per user, the gap between the
     * FIRST view and the first purchase AT OR AFTER it, bucketed by
     * hour — the funnel-latency distribution a growth team reads next
@@ -714,6 +748,26 @@ object EventsRegistry {
         |   (1.0 - CAST(c0+c1 AS DOUBLE)/(n0+n1))) *
         |   (1.0/n0 + 1.0/n1))) * 1000000.0) AS BIGINT) END AS z6
         |FROM g ORDER BY n0, c0, n1, c1, p0_ppm, p1_ppm, z6""".stripMargin),
+
+    "q_volume_spike" -> e(Events.volumeSpike,
+      s"""WITH daily AS (SELECT event_type,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day,
+         |   CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         |   CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS scc
+         |  FROM daily GROUP BY 1),
+         | z AS (SELECT d.event_type, d.day, d.c,
+         |   CASE WHEN nd < 2 OR nd * scc - sc * sc = 0 THEN 0 ELSE
+         |    CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) /
+         |     sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)
+         |      / (nd - 1))) * 1000000.0) AS BIGINT) END AS z6
+         |  FROM daily d JOIN st USING (event_type)),
+         | r AS (SELECT event_type, day, c, z6, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY z6 DESC, day) AS rn FROM z)
+         |SELECT event_type, day AS spike_day, c AS c_spike, z6
+         |FROM r WHERE rn = 1
+         |ORDER BY event_type, spike_day, c_spike, z6""".stripMargin),
 
     "q_ttc_hist" -> e(Events.ttcHist,
       s"""WITH e AS (SELECT user_id, event_type,

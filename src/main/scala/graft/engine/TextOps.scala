@@ -750,6 +750,21 @@ object TextOps {
       .agg(count(lit(1)).as("n_members"))
       .orderBy("cluster")
 
+  /** Cluster-size histogram over the near-dup components — the dedup
+    * QA read-out: a healthy corpus shows a long tail of pairs/triples;
+    * a giant cluster means a boilerplate template (or a too-loose
+    * threshold) is gluing unrelated documents, and deleting "dups"
+    * would take real content with it. One extra component-keyed and
+    * size-keyed aggregation over the already-computed components —
+    * output bounded by the largest cluster size. */
+  def clusterSizes(s: SparkSession, d: String): DataFrame =
+    nearDupComponents(s, d)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("n_members"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .orderBy("n_members", "n_clusters")
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = simhash(Sources.documents(s, d))
     sh.withColumn("n_same",

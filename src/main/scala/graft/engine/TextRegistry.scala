@@ -260,6 +260,21 @@ object TextRegistry {
          |SELECT component AS cluster, count(*) AS n_members
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "q_cluster_sizes" -> e(TextOps.clusterSizes,
+      s"""WITH RECURSIVE $ngramPairCtes,
+         | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | sym AS (SELECT a AS x, b AS y FROM pr
+         |   UNION SELECT b AS x, a AS y FROM pr),
+         | reach(s, t) AS (
+         |   SELECT x, x FROM (SELECT DISTINCT x FROM sym) n
+         |   UNION
+         |   SELECT r.s, e.y FROM reach r JOIN sym e ON r.t = e.x),
+         | lab AS (SELECT s, min(t) AS component FROM reach GROUP BY s),
+         | cl AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+         |  FROM lab GROUP BY 1)
+         |SELECT sz AS n_members, count(*) AS n_clusters
+         |FROM cl GROUP BY 1 ORDER BY n_members, n_clusters""".stripMargin),
+
     "q_dedup_simhash" -> e(TextOps.dedupSimhash,
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash,

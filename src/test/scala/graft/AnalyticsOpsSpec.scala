@@ -133,6 +133,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Seq((2L, 1L)))
   }
 
+  test("volumeSpike: flags the planted anomaly day; constant series pin to 0") {
+    // 'view': 1/day for 9 days then 10 on day 10 (the spike);
+    // 'click': exactly 2 every day (zero variance → z6 = 0)
+    val views = (1 to 9).map(dd => (dd.toLong, ts(dd, 0), 1L, "view", 1.0, "{}")) ++
+      (0 until 10).map(i => (100L + i, ts(10, i), 1L, "view", 1.0, "{}"))
+    val clicks = (1 to 10).flatMap(dd => Seq(
+      (200L + dd, ts(dd, 1), 1L, "click", 1.0, "{}"),
+      (300L + dd, ts(dd, 2), 1L, "click", 1.0, "{}")))
+    val dir = eventsDir(views ++ clicks)
+    val got = Events.volumeSpike(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    val (vDay, vC, vZ) = got("view")
+    assert(vC == 10L, s"spike count $vC")
+    // mean 1.9, std sqrt((119-36.1)/9)=sqrt(9.2111); z=(10-1.9)/3.035≈2.669
+    assert(vZ > 2000000L && vZ < 3500000L, s"z6=$vZ")
+    assert(got("click")._3 == 0L)
+    // the spike day is the 10th distinct day of the view series
+    val viewDays = views.map(_._2.getTime / 86400000L).distinct.sorted
+    assert(vDay == viewDays.last)
+  }
+
   test("quantileBins: bins are equal-frequency and ordered") {
     val dir = java.nio.file.Files.createTempDirectory("qbins").toString
     // 20 docs in one source, n_chars = 1..20 → 10 bins of exactly 2
