@@ -90,6 +90,137 @@ object Multimodal {
     } else None
   }
 
+  /** Typed audio/video metadata schema ([[decodeAvMeta]]): container
+    * kind, duration, and the axis that exists for the medium (sample
+    * rate/channels for audio, pixel dims for video); absent fields are
+    * null. */
+  val AvMetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** REAL audio-header parse — WAV/RIFF: walks the chunk list to
+    * `fmt ` (channels LE16@2, sample rate LE32@4, byte rate LE32@8 of
+    * the chunk body) and `data` (payload size → duration = bytes /
+    * byte-rate). Pure header arithmetic, no codec; None for anything
+    * that isn't a well-formed RIFF/WAVE. */
+  def sniffWavMeta(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      le16(i).toLong | (le16(i + 2).toLong << 16)
+    if (bytes == null || bytes.length < 44) return None
+    if (!(u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+        u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E'))
+      return None
+    var i = 12
+    var rate = 0; var ch = 0; var byteRate = 0L; var dataLen = -1L
+    while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+      val id = new String(bytes.slice(i, i + 4), "ISO-8859-1")
+      val len = le32(i + 4)
+      if (id == "fmt " && i + 16 + 8 <= bytes.length) {
+        ch = le16(i + 10)
+        rate = le32(i + 12).toInt
+        byteRate = le32(i + 16)
+      } else if (id == "data") dataLen = len
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + len.toInt + (len.toInt & 1)
+    }
+    if (rate <= 0 || ch <= 0) None
+    else {
+      val durMs = if (byteRate > 0 && dataLen >= 0)
+        dataLen * 1000L / byteRate else -1L
+      Some((durMs, rate, ch))
+    }
+  }
+
+  /** REAL video-header parse — ISO BMFF (MP4/MOV): verifies `ftyp`,
+    * then walks top-level boxes to `moov`, reads `mvhd` (timescale +
+    * duration → milliseconds; version 0 = 32-bit fields, version 1 =
+    * 64-bit) and the first `trak`'s `tkhd` (width/height as 16.16
+    * fixed point in the last 8 bytes). Box walking only — no sample
+    * tables, no codec. None for anything not starting with ftyp. */
+  def sniffMp4Meta(bytes: Array[Byte]): Option[(Long, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def be32(i: Int): Long = ((u8(i).toLong << 24) | (u8(i + 1) << 16) |
+      (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def boxType(i: Int): String = new String(bytes.slice(i + 4, i + 8), "ISO-8859-1")
+    if (bytes == null || bytes.length < 16 || boxType(0) != "ftyp") return None
+    // walk [from, until) top-level boxes for `name`; returns body offset
+    def find(name: String, from: Int, until: Int): Int = {
+      var i = from
+      while (i + 8 <= until) {
+        val sz = be32(i)
+        if (boxType(i) == name) return i
+        if (sz < 8) return -1 // malformed: avoid an infinite loop
+        i += sz.toInt
+      }
+      -1
+    }
+    val end = bytes.length
+    val moov = find("moov", 0, end)
+    if (moov < 0) return None
+    val moovEnd = math.min(end, moov + be32(moov).toInt)
+    val mvhd = find("mvhd", moov + 8, moovEnd)
+    var durMs = -1L
+    if (mvhd >= 0) {
+      val v = u8(mvhd + 8)
+      if (v == 1 && mvhd + 40 <= end) {
+        val scale = be32(mvhd + 28); val dur = be64(mvhd + 32)
+        if (scale > 0) durMs = dur * 1000L / scale
+      } else if (v == 0 && mvhd + 28 <= end) {
+        val scale = be32(mvhd + 20); val dur = be32(mvhd + 24)
+        if (scale > 0) durMs = dur * 1000L / scale
+      }
+    }
+    val trak = find("trak", moov + 8, moovEnd)
+    var w = 0; var h = 0
+    if (trak >= 0) {
+      val trakEnd = math.min(moovEnd, trak + be32(trak).toInt)
+      val tkhd = find("tkhd", trak + 8, trakEnd)
+      if (tkhd >= 0) {
+        val sz = be32(tkhd).toInt
+        if (tkhd + sz <= end && sz >= 24) {
+          // width/height are the box's last two 16.16 fixed-point words
+          w = (be32(tkhd + sz - 8) >> 16).toInt
+          h = (be32(tkhd + sz - 4) >> 16).toInt
+        }
+      }
+    }
+    Some((durMs, w, h))
+  }
+
+  /** Decode audio/video payloads to [[AvMetaSchema]] via mapPartitions —
+    * the same per-partition-init batching as [[decodeMeta]]. WAV and
+    * MP4 headers are parsed for real; unrecognized payloads get a null
+    * meta (callers route those to the stubbed pixel/sample decoders). */
+  def decodeAvMeta(df: DataFrame, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("av_meta", AvMetaSchema))
+    val idx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        val meta =
+          if (bytes == null) null
+          else sniffWavMeta(bytes) match {
+            case Some((dur, rate, ch)) =>
+              Row("wav", dur, rate, ch, null, null)
+            case None => sniffMp4Meta(bytes) match {
+              case Some((dur, w, h)) =>
+                Row("mp4", dur, null, null, w, h)
+              case None => null
+            }
+          }
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
   /** ==STUB== deterministic fake resize: new metadata after scaling. */
   def resizeStub(meta: Row, maxSide: Int): (Int, Int) = {
     val (w, hgt) = (meta.getInt(0), meta.getInt(1))

@@ -119,4 +119,77 @@ class MultimodalSpec extends SparkSpec {
     val (w, h, f, n) = Multimodal.decodeImageStub("plain".getBytes)
     assert(out(3L) == (3L, w, h, f, n))
   }
+
+  // Minimal valid WAV: RIFF/WAVE + fmt (PCM, `rate` Hz, `ch` channels,
+  // 16-bit) + a data chunk of `dataLen` zero bytes.
+  private def wav(rate: Int, ch: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = rate * ch * 2
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(ch.toShort); bb.putInt(rate)
+    bb.putInt(byteRate); bb.putShort((ch * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    bb.array()
+  }
+
+  // Minimal ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd with 16.16 dims)).
+  private def mp4(timescale: Int, dur: Int, w: Int, h: Int): Array[Byte] = {
+    def box(name: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(name.getBytes); bb.put(body)
+      bb.array()
+    }
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 mvhd body
+      b.putInt(0) // version+flags
+      b.putInt(0); b.putInt(0) // ctime/mtime
+      b.putInt(timescale); b.putInt(dur)
+      box("mvhd", b.array())
+    }
+    val tkhd = {
+      val b = java.nio.ByteBuffer.allocate(84) // v0 tkhd body
+      b.position(76)
+      b.putInt(w << 16); b.putInt(h << 16)
+      box("tkhd", b.array())
+    }
+    val ftyp = box("ftyp", "isom0000".getBytes)
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+  }
+
+  test("sniffWavMeta parses RIFF fmt/data chunks for real") {
+    // 8000 Hz stereo 16-bit, 32000 data bytes = 1000 ms
+    assert(Multimodal.sniffWavMeta(wav(8000, 2, 32000))
+      .contains((1000L, 8000, 2)))
+    assert(Multimodal.sniffWavMeta(wav(44100, 1, 44100 * 2 / 2))
+      .contains((500L, 44100, 1)))
+    assert(Multimodal.sniffWavMeta("RIFFnope".getBytes).isEmpty)
+    assert(Multimodal.sniffWavMeta(png(3, 3)).isEmpty)
+  }
+
+  test("sniffMp4Meta walks ftyp/moov/mvhd/tkhd boxes for real") {
+    assert(Multimodal.sniffMp4Meta(mp4(600, 1200, 640, 480))
+      .contains((2000L, 640, 480)))
+    assert(Multimodal.sniffMp4Meta(wav(8000, 1, 8)).isEmpty)
+    assert(Multimodal.sniffMp4Meta(mp4(600, 1200, 640, 480).take(10)).isEmpty)
+  }
+
+  test("decodeAvMeta routes wav/mp4 to parsed metadata, rest to null") {
+    val rows = Seq(
+      (1L, wav(16000, 1, 64000)), (2L, mp4(90000, 90000, 1920, 1080)),
+      (3L, "not media".getBytes))
+    val out = Multimodal.decodeAvMeta(rows.toDF("id", "payload"))
+      .select(col("id"), col("av_meta.kind"), col("av_meta.duration_ms"),
+        col("av_meta.sample_rate"), col("av_meta.channels"),
+        col("av_meta.width"), col("av_meta.height"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "wav")
+    assert(out(1L).getLong(2) == 2000L) // 64000 / 32000 B/s
+    assert(out(1L).getInt(3) == 16000 && out(1L).getInt(4) == 1)
+    assert(out(2L).getString(1) == "mp4")
+    assert(out(2L).getLong(2) == 1000L)
+    assert(out(2L).getInt(5) == 1920 && out(2L).getInt(6) == 1080)
+    assert(out(3L).isNullAt(1))
+  }
 }
