@@ -262,9 +262,17 @@ object Events {
   }
 
   /** Event-type transition matrix (first-order Markov counts): adjacent
-    * event pairs per user in (us, event_id) order, with the transition
-    * probability in integer ppm (floor division — bit-exact both
-    * engines; doubles never appear).
+    * event pairs per user in (us, event_id, event_type) order, with the
+    * transition probability in integer ppm (floor division — bit-exact
+    * both engines; doubles never appear).
+    *
+    * Determinism: replayed events can duplicate (user_id, us, event_id)
+    * with DIFFERENT event_type — then adjacent-pair formation under a
+    * (us, event_id) order is engine-dependent and the pair counts
+    * diverge. Adding event_type as the final tiebreak (in BOTH engines)
+    * makes any remaining tie a group of identical-type rows, which is
+    * provably interchangeable for pair counts: reordering equal-typed
+    * neighbors produces the same (from, to) multiset.
     *
     * Scale: lead() rides one user-keyed window; the pair aggregation
     * output is bounded by |event_type|² = 25 rows, so the second
@@ -272,7 +280,7 @@ object Events {
     * how many events flow in. */
   def eventTrans(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
+      .orderBy(col("us"), col("event_id"), col("event_type"))
     val x = ev(s, d)
       .select(col("user_id"), col("event_type"), col("us"), col("event_id"))
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
@@ -663,7 +671,8 @@ object EventsRegistry {
       """WITH e AS (SELECT user_id, event_id, event_type,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         | x AS (SELECT event_type, lead(event_type) OVER (
-        |    PARTITION BY user_id ORDER BY us, event_id) AS nxt FROM e),
+        |    PARTITION BY user_id ORDER BY us, event_id, event_type) AS nxt
+        |   FROM e),
         | tc AS (SELECT event_type AS from_type, nxt AS to_type,
         |   count(*) AS n FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2),
         | ft AS (SELECT from_type, sum(n) AS tot FROM tc GROUP BY 1)
