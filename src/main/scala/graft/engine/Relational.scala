@@ -316,7 +316,10 @@ object Relational {
             |FROM v_customer2 c JOIN LATERAL (
             |  SELECT o_orderkey, o_totalprice FROM v_orders2 o
             |  WHERE o.o_custkey = c.c_custkey
-            |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+            |  -- explicit NULLS LAST: the subquery plan is out of reach
+            |  -- of Registry0.portableOrder's rewrite (nested in a
+            |  -- LateralSubquery expression), so align with DuckDB here
+            |  ORDER BY o_totalprice DESC, o_orderkey NULLS LAST LIMIT 2) t
             |WHERE c.c_custkey % 25 = 0
             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   }

@@ -87,4 +87,30 @@ class ContractSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  /** The q_pack_seqs/q_event_trans round-4 lesson: Spark's ASC default
+    * is NULLS FIRST, DuckDB's is NULLS LAST, so ANY ascending sort —
+    * final ORDER BY or window ORDER BY — whose key goes null on some
+    * future driver-generated dataset diverges the emitted row order (or
+    * the window's cumulative/lead values) between the engines.
+    * Registry0.portableOrder rewrites every registered plan to NULLS
+    * LAST; this contract pins the rewrite wired for every query,
+    * including SortOrders inside subquery expressions (which
+    * transformAllExpressions does not reach — any hit here means the
+    * query needs a local explicit ordering). */
+  test("no declared query carries an ASC NULLS FIRST ordering anywhere") {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Ascending, NullsFirst, SortOrder}
+    val bad = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.analyzed
+      val hits = plan.collectWithSubqueries {
+        case p => p.expressions.flatMap(_.collect {
+          case so @ SortOrder(_, Ascending, NullsFirst, _) => so.sql
+        })
+      }.flatten
+      if (hits.isEmpty) None
+      else Some(s"$name: ASC NULLS FIRST ordering(s): ${hits.mkString("; ")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
