@@ -1,0 +1,155 @@
+#!/usr/bin/env python3
+"""Adversarial differential fuzz: clone a testdata SF dir, inject the
+data classes the driver's regenerated corpora might carry (duplicate
+doc_ids, replayed events, tied sort keys, nulls, nasty whitespace and
+unicode), then run the full Verify + check.py differential against
+DuckDB on the mutated data. Any red is a cross-engine portability bug
+in a declared query — the class of failure that shows up driver-side as
+"hash red, locally unreproducible".
+
+Usage:
+  python3 scripts/fuzz.py gen  <src_sf_dir> <fuzz_data_dir> [seed] [classes]
+  python3 scripts/fuzz.py all  <src_sf_dir> <fuzz_dir> [seed] [classes]
+
+classes: comma-separated subset of
+  docdup   duplicate doc_ids (replays, reshuffles, cross-source)
+  nasty    fresh doc_ids with nasty text (null/empty/whitespace/unicode)
+  nullid   null doc_id rows
+  evdup    replayed / key-tied events
+  evnull   events with null fields
+(default: all). `all` shells out to sbt for graft.Verify, then runs
+check.py. Deterministic for a given (src, seed, classes).
+"""
+import os, random, shutil, subprocess, sys
+import duckdb
+
+ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull"}
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+NASTY_TEXT = [
+    None,                      # null text -> n_tok NULL everywhere
+    "",                        # empty -> [''] token
+    " ",                       # single space -> ['','']
+    "   ",                     # run of spaces
+    " leading and trailing ",  # boundary empties
+    "double  space   run",     # interior empties
+    "tab\tseparated\ttokens",  # tabs are NOT token breaks (split on ' ')
+    "newline\nin text",        # newline inside a token
+    "café naïve résumé",   # accents
+    "中文 文本 处理",  # CJK
+    "emoji \U0001f600 mixed \U0001f680 text",  # astral plane
+    "nbsp joined words",  # NBSP is not a space token break
+    "the " * 64 + "end",       # long repetitive
+    "UPPER lower MiXeD case",
+]
+
+
+def gen(src, dst, seed=5, classes=ALL_CLASSES):
+    rng = random.Random(seed)
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        if t not in ("documents", "events"):
+            shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # ---- documents: duplicate doc_ids + nasty text + nulls ------------
+    docs = con.sql(f"SELECT * FROM '{src}/documents.parquet'").fetchall()
+    cols = [c[0] for c in con.sql(
+        f"DESCRIBE SELECT * FROM '{src}/documents.parquet'").fetchall()]
+    i_doc, i_text, i_lang, i_src, i_nch = (cols.index(c) for c in
+        ("doc_id", "text", "lang", "source", "n_chars"))
+    extra = []
+
+    def doc(doc_id, text, lang, source):
+        r = [None] * len(cols)
+        r[i_doc], r[i_text], r[i_lang], r[i_src] = doc_id, text, lang, source
+        r[i_nch] = None if text is None else len(text)
+        return tuple(r)
+
+    base = [r for r in rng.sample(docs, min(30, len(docs)))]
+    if "docdup" in classes:
+        for r in base[:8]:      # exact replays (same everything)
+            extra.append(tuple(r))
+        for r in base[8:14]:    # same doc_id, same token count, new text
+            toks = (r[i_text] or "x x x").split(" ")
+            extra.append(doc(r[i_doc], " ".join(rng.sample(toks, len(toks))),
+                             r[i_lang], r[i_src]))
+        for r in base[14:20]:   # same doc_id, different token count
+            extra.append(doc(r[i_doc], "short dup text", r[i_lang], r[i_src]))
+        for r in base[20:26]:   # cross-source duplicate of same doc_id
+            extra.append(doc(r[i_doc], r[i_text], r[i_lang], "srcX"))
+    nid = max(r[i_doc] for r in docs) + 1
+    if "nasty" in classes:
+        for t in NASTY_TEXT:    # fresh ids with nasty text
+            extra.append(doc(nid, t, rng.choice(["en", "de", None]),
+                             rng.choice(["src0", "srcX", None])))
+            nid += 1
+    if "nullid" in classes:
+        # null doc_id rows (two, to create a doc_id tie on NULL as well)
+        extra.append(doc(None, "null id one", "en", "src0"))
+        extra.append(doc(None, "null id two", "en", "src1"))
+    con.execute(
+        f"CREATE OR REPLACE TABLE fdocs AS SELECT * FROM '{src}/documents.parquet'")
+    if extra:
+        con.executemany(
+            f"INSERT INTO fdocs VALUES ({','.join('?' * len(cols))})", extra)
+    con.execute(f"COPY fdocs TO '{dst}/documents.parquet' (FORMAT PARQUET)")
+
+    # ---- events: replays, tied keys, nulls ----------------------------
+    ecols = [c[0] for c in con.sql(
+        f"DESCRIBE SELECT * FROM '{src}/events.parquet'").fetchall()]
+    evs = con.sql(f"SELECT * FROM '{src}/events.parquet'").fetchall()
+    j_eid, j_ts, j_uid, j_et, j_val, j_props = (ecols.index(c) for c in
+        ("event_id", "ts", "user_id", "event_type", "value", "props"))
+    types = sorted({r[j_et] for r in evs if r[j_et] is not None})
+    eex = []
+    ebase = rng.sample(evs, min(40, len(evs)))
+    if "evdup" in classes:
+        for r in ebase[:10]:    # exact replayed events
+            eex.append(tuple(r))
+        for r in ebase[10:20]:  # same (user, ts, event_id), different type
+            q = list(r)
+            q[j_et] = rng.choice([t for t in types if t != r[j_et]])
+            eex.append(tuple(q))
+        for r in ebase[20:28]:  # same (user, ts), different event_id
+            q = list(r)
+            q[j_eid] = r[j_eid] + 1_000_000
+            q[j_et] = rng.choice(types)
+            eex.append(tuple(q))
+    if "evnull" in classes:
+        for r in ebase[28:40]:  # null fields
+            q = list(r)
+            q[j_eid] = r[j_eid] + 2_000_000
+            field = rng.choice(["ts", "event_type", "value", "props", "user_id"])
+            q[ecols.index(field)] = None
+            eex.append(tuple(q))
+    con.execute(
+        f"CREATE OR REPLACE TABLE fev AS SELECT * FROM '{src}/events.parquet'")
+    if eex:
+        con.executemany(
+            f"INSERT INTO fev VALUES ({','.join('?' * len(ecols))})", eex)
+    con.execute(f"COPY fev TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    print(f"fuzz gen: {dst}  (+{len(extra)} docs, +{len(eex)} events, seed={seed})")
+
+
+def main():
+    cmd, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    classes = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else ALL_CLASSES
+    assert classes <= ALL_CLASSES, classes - ALL_CLASSES
+    if cmd == "gen":
+        gen(src, out, seed, classes)
+        return 0
+    assert cmd == "all"
+    data, vout = f"{out}/data", f"{out}/verify"
+    gen(src, data, seed, classes)
+    subprocess.run(["sbt", "-batch", f"runMain graft.Verify {data} {vout}"],
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    r = subprocess.run([sys.executable, "scripts/check.py", vout, data])
+    return r.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main())

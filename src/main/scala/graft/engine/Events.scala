@@ -162,36 +162,42 @@ object Events {
     * which plain per-stage counts get wrong. Output: per stage, the
     * user count and the conversion rate vs the active-user base.
     *
-    * Scale: three rounds of (filter → user-keyed min-agg → equi-join on
-    * user_id), each linear with map-side partials — the stage tables
-    * shrink monotonically and every join is user-co-partitioned. No
-    * per-user event sort, no collect_list, no inequality join: the
-    * sequential "after" constraint rides the already-aggregated t1/t2
-    * scalars. */
+    * The funnel is over IDENTIFIED users: null user_id rows are
+    * excluded up front in both engines (an anonymous-user funnel stage
+    * is meaningless, and the two engines disagree on whether NULL is a
+    * "user" — count(DISTINCT) drops it, distinct().count() keeps it).
+    *
+    * Scale: ONE shuffle of (user_id, event_type, us). Three chained
+    * unbounded-frame windows over the same user partitioning compute
+    * t1 → t2 → t3 (each conditional min sees the previous stage's
+    * timestamp on every row, so the sequential "after" constraint needs
+    * no join), then the per-user collapse rides the SAME partitioning —
+    * Catalyst reuses the exchange, so the round-4 shape's three
+    * join+agg rounds (8 exchanges, 6.3 s driver-side) become
+    * exchange + 3 WindowExec + partial agg (~1 s). */
   def eventsFunnel(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d).select(col("user_id"), col("event_type"), col("us"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("us").as("t1"))
-    val c = e.filter(col("event_type") === "click")
-      .join(v, Seq("user_id"))
-      .filter(col("us") > col("t1"))
-      .groupBy("user_id").agg(min("us").as("t2"))
-    val p = e.filter(col("event_type") === "purchase")
-      .join(c, Seq("user_id"))
-      .filter(col("us") > col("t2"))
-      .groupBy("user_id").agg(min("us").as("t3"))
-    val stages = Seq(
-      ("0_users", e.select("user_id").distinct()),
-      ("1_view", v.select("user_id")),
-      ("2_click_after_view", c.select("user_id")),
-      ("3_purchase_after_click", p.select("user_id")))
-    val counts = stages.map { case (name, df) =>
-      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
-        col("n_users"))
-    }.reduce(_ unionByName _)
-    val base = counts.filter(col("stage") === "0_users")
-      .select(col("n_users").as("n0"))
-    counts.crossJoin(broadcast(base))
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = ev(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("us"))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2", min(when(
+        col("event_type") === "click" && col("us") > col("t1"),
+        col("us"))).over(w))
+      .withColumn("t3", min(when(
+        col("event_type") === "purchase" && col("us") > col("t2"),
+        col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"))
+    perUser
+      .agg(count(lit(1)).as("n0"), count(col("t1")).as("n1"),
+        count(col("t2")).as("n2"), count(col("t3")).as("n3"))
+      .selectExpr(
+        "stack(4, '0_users', n0, '1_view', n1, '2_click_after_view', n2, " +
+          "'3_purchase_after_click', n3) AS (stage, n_users)",
+        "n0")
       .withColumn("conv", col("n_users").cast("double") / col("n0"))
       .select("stage", "n_users", "conv")
       .orderBy("stage")
@@ -579,7 +585,8 @@ object EventsRegistry {
 
     "q_events_funnel" -> e(Events.eventsFunnel,
       """WITH e AS (SELECT user_id, event_type,
-        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id IS NOT NULL),
         | v AS (SELECT user_id, min(us) AS t1 FROM e
         |  WHERE event_type = 'view' GROUP BY 1),
         | c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)

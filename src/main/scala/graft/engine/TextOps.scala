@@ -623,35 +623,34 @@ object TextOps {
   /** Cross-source exact dedup with provenance priority: one surviving
     * document per normalized content key, preferring the most trusted
     * source (lowest numeric suffix — stand-in for the wiki > books >
-    * crawl ranking a real pipeline uses) and breaking ties on doc_id.
-    * Same scale shape as [[dedupExact]]: the window and count partition
-    * on a 16-byte md5 digest of the content, so the shuffle never
-    * carries document text; the survivor pick and the group stats share
-    * the digest partitioning. */
-  def crossSourceDedup(s: SparkSession, d: String): DataFrame = {
-    // try-parse + NULLS LAST on BOTH sides (here and the DuckDB oracle):
-    // a malformed 'srcN' suffix must lose the priority race, not win it
-    // (Spark ASC sorts NULLS FIRST) nor hard-error the oracle's CAST.
-    // ONE corpus scan: the group stats ride the same nk partition as the
-    // survivor window (count + collect_set over the unbounded frame), so
-    // the text is scanned and md5'd once — the previous groupBy+join-back
-    // formulation scanned and hashed the corpus twice. At 100 TB the md5
-    // pass over document text dominates; everything after the exchange
-    // carries only (doc_id, source, 16-byte nk, prio).
-    val base = Sources.documents(s, d)
+    * crawl ranking a real pipeline uses) and breaking ties on doc_id
+    * then source. Same scale shape as [[dedupExact]]: everything after
+    * the scan carries (doc_id, source, 16-byte md5 digest, prio) — the
+    * shuffle never moves document text.
+    *
+    * ONE aggregation, no window, no join: the survivor is a `min_by`
+    * riding the same groupBy(nk) as the group stats, so Spark plans a
+    * partial (map-side) aggregate — the round-4 formulation put
+    * count + collect_set in an unbounded-frame window over the digest
+    * partition, which re-buffered every group per row and benched 6×
+    * slower driver-side. try_cast + coalesce sentinels: a malformed
+    * 'srcN' suffix must lose the priority race (not null-poison the
+    * min_by key), matching the oracle's ASC NULLS LAST. */
+  def crossSourceDedup(s: SparkSession, d: String): DataFrame =
+    Sources.documents(s, d)
       .withColumn("nk", md5(lower(trim(col("text")))))
       .withColumn("prio", expr("try_cast(substring(source, 4) AS int)"))
-    val w = Window.partitionBy(col("nk"))
-      .orderBy(col("prio").asc_nulls_last, col("doc_id"))
-    val wAll = Window.partitionBy(col("nk"))
-    base.withColumn("rn", row_number().over(w))
-      .withColumn("n_dups", count(lit(1)).over(wAll))
-      .withColumn("n_sources",
-        size(collect_set(col("source")).over(wAll)).cast(LongType))
-      .filter(col("rn") === 1)
-      .select("doc_id", "source", "n_dups", "n_sources")
-      .orderBy("doc_id")
-  }
+      .groupBy(col("nk"))
+      .agg(
+        min_by(struct(col("doc_id"), col("source")),
+          struct(coalesce(col("prio"), lit(Int.MaxValue)),
+            coalesce(col("doc_id"), lit(Long.MaxValue)),
+            coalesce(col("source"), lit("")))).as("surv"),
+        count(lit(1)).as("n_dups"),
+        countDistinct(col("source")).as("n_sources"))
+      .select(col("surv.doc_id").as("doc_id"),
+        col("surv.source").as("source"), col("n_dups"), col("n_sources"))
+      .orderBy("doc_id", "source", "n_dups", "n_sources")
 
   def dedupMinhash(s: SparkSession, d: String): DataFrame =
     sharedSignature(s, d).orderBy("doc_id")

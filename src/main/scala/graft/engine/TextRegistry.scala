@@ -171,9 +171,13 @@ object TextRegistry {
         | g AS (SELECT k, count(*) AS n_dups,
         |   count(DISTINCT source) AS n_sources FROM x GROUP BY 1),
         | r AS (SELECT doc_id, source, k, row_number() OVER (
-        |    PARTITION BY k ORDER BY prio ASC NULLS LAST, doc_id) AS rn FROM x)
+        |    PARTITION BY k ORDER BY prio ASC NULLS LAST,
+        |      doc_id NULLS LAST, coalesce(source, '')) AS rn FROM x)
         |SELECT r.doc_id, r.source, g.n_dups, g.n_sources
-        |FROM r JOIN g USING (k) WHERE rn = 1 ORDER BY doc_id""".stripMargin),
+        |-- null-safe join: a null-text group (k IS NULL) is still a
+        |-- dedup group; USING (k) would silently drop it
+        |FROM r JOIN g ON r.k IS NOT DISTINCT FROM g.k WHERE rn = 1
+        |ORDER BY doc_id, source, n_dups, n_sources""".stripMargin),
 
     "q_contaminate" -> e(TextOps.contamination,
       s"""WITH $toksCte,
