@@ -106,7 +106,14 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     unioned
-      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      // a null-TIME left row matches nothing (SQL `rightTime <= NULL`
+      // is never true) — explicitly, not via null sort placement: the
+      // engine's portable-ordering policy (Registry0.portableOrder)
+      // rewrites ascending NULLS FIRST to NULLS LAST, which would
+      // otherwise sort null-time left rows after every right row and
+      // hand them the globally-latest match
+      .withColumn("__match", when(col("__t").isNotNull,
+        last(col("__rpay"), ignoreNulls = true).over(w)))
       .filter(col("__tag") === 1)
       .select(leftCols.map(c => col("__lpay").getField(c).as(c)) ++
         rightCols.map(c => col("__match").getField(c).as(c)): _*)

@@ -31,7 +31,10 @@ object Events {
     * windowed count; epoch-aligned so `window().start` ==
     * `date_trunc('hour')`). */
   def eventsWindow(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
+    // undated events are excluded EXPLICITLY in both engines: Spark's
+    // window() silently drops null timestamps while a SQL GROUP BY
+    // keeps a NULL bucket — the filter pins one semantics portably
+    ev(s, d).filter(col("us").isNotNull)
       .groupBy(window(timestamp_micros(col("us")), "1 hour").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -66,7 +69,7 @@ object Events {
     * so fan-out is the constant size/slide ratio, then partial+final
     * aggregation as usual. */
   def eventsSliding(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
+    ev(s, d).filter(col("us").isNotNull) // see eventsWindow
       .groupBy(window(timestamp_micros(col("us")), "1 hour", "30 minutes").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -103,6 +106,10 @@ object Events {
       .withColumn("eday",
         expr("(us - pmod(us, 86400000000)) DIV 86400000000"))
       .select("event_id", "user_id", "eday")
+      // replayed events collapse to one as-of probe (the oracle's
+      // one-row-per-group window does the same); a duplicated event_id
+      // on a different user/day stays a distinct probe
+      .distinct()
     val right = Sources.orders(s, d)
       .withColumn("oday",
         datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
@@ -113,7 +120,7 @@ object Events {
         rightCols = Seq("o_orderkey", "o_totalprice"),
         tieBreak = Seq("o_orderkey"))
       .select("event_id", "user_id", "o_orderkey", "o_totalprice")
-      .orderBy("event_id")
+      .orderBy("event_id", "user_id", "o_orderkey", "o_totalprice")
   }
 
   /** Bucketed interval join (range join, the scale path): for each
@@ -127,8 +134,13 @@ object Events {
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
     val W = 10L * 60 * 1000 * 1000 // 10-minute interval = bucket width, µs
     val e = ev(s, d)
+    // replayed error events collapse to one probe (distinct), and the
+    // click-count aggregation keys on the FULL probe identity — a
+    // duplicated event_id on another user/timestamp must not merge
+    // counts across probes
     val err = e.filter(col("event_type") === "error")
       .select(col("event_id"), col("user_id"), col("us").as("eus"))
+      .distinct()
     val clk = e.filter(col("event_type") === "click")
       .select(col("user_id"), col("us").as("cus"))
       .withColumn("bkt", expr(s"cus DIV $W"))
@@ -136,11 +148,12 @@ object Events {
       explode(array(expr(s"eus DIV $W"), expr(s"eus DIV $W + 1"))))
     val matched = probes.join(clk, Seq("user_id", "bkt"))
       .filter(col("cus") > col("eus") && col("cus") <= col("eus") + W)
-      .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
-    err.join(matched, Seq("event_id"), "left")
+      .groupBy(col("event_id"), col("user_id"), col("eus"))
+      .agg(count(lit(1)).as("n_clicks"))
+    err.join(matched, Seq("event_id", "user_id", "eus"), "left")
       .select(col("event_id"), col("user_id"),
         coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
-      .orderBy("event_id")
+      .orderBy("event_id", "user_id", "n_clicks")
   }
 
   /** Keyed dedup keep-latest: the classic CDC compaction shape — latest
@@ -376,10 +389,16 @@ object Events {
     * event. A pathological single-user firehose would fatten one row —
     * cap per-user events upstream if journeys outgrow memory. */
   def seqPattern(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
+    // undated events are excluded (a journey position without a
+    // timestamp is undefined, and array_sort's struct comparator is out
+    // of reach of the registry's null-ordering rewrite); the remaining
+    // sort-key fields are coalesced so tied rows compare identically in
+    // both engines (Spark struct compare vs DuckDB ORDER BY)
+    ev(s, d).filter(col("us").isNotNull)
       .select(col("user_id"),
-        struct(col("us"), col("event_id"),
-          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+        struct(col("us"), coalesce(col("event_id"), lit(Long.MaxValue)),
+          coalesce(substring(col("event_type"), 1, 1), lit("")).as("ch"))
+          .as("e"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         array_join(transform(array_sort(collect_list(col("e"))),
@@ -554,11 +573,12 @@ object EventsRegistry {
       """SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS hour_start_us,
         | event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "q_events_sliding" -> e(Events.eventsSliding,
       """WITH e AS (SELECT event_type, value,
-        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE ts IS NOT NULL),
         | w AS (SELECT event_type, value,
         |   unnest([(us // 1800000000) * 1800000000,
         |           (us // 1800000000) * 1800000000 - 1800000000]) AS ws
@@ -625,18 +645,19 @@ object EventsRegistry {
     "q_asof_join" -> e(Events.asofJoin,
       """SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
         | SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
-        |  row_number() OVER (PARTITION BY e.event_id
+        |  row_number() OVER (PARTITION BY e.event_id, e.user_id, e.eday
         |    ORDER BY o.o_orderdate DESC NULLS LAST,
         |             o.o_orderkey DESC NULLS LAST) AS rn
-        | FROM (SELECT event_id, user_id,
+        | FROM (SELECT DISTINCT event_id, user_id,
         |         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS eday
         |       FROM events WHERE event_id % 37 = 0) e
         | LEFT JOIN orders o
         |   ON o.o_custkey = e.user_id AND CAST(o.o_orderdate AS DATE) <= e.eday
-        |) x WHERE rn = 1 ORDER BY event_id""".stripMargin),
+        |) x WHERE rn = 1
+        |ORDER BY event_id, user_id, o_orderkey, o_totalprice""".stripMargin),
 
     "q_range_join" -> e(Events.rangeJoin,
-      """WITH e AS (SELECT event_id, user_id,
+      """WITH e AS (SELECT DISTINCT event_id, user_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS eus
         |  FROM events WHERE event_type = 'error'),
         | c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS cus
@@ -644,7 +665,8 @@ object EventsRegistry {
         |SELECT e.event_id, e.user_id, count(c.cus) AS n_clicks
         |FROM e LEFT JOIN c ON c.user_id = e.user_id
         |  AND c.cus > e.eus AND c.cus <= e.eus + 600000000
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+        |GROUP BY e.event_id, e.user_id, e.eus
+        |ORDER BY event_id, e.user_id, n_clicks""".stripMargin),
 
     "q_dedup_keyed" -> e(Events.dedupKeyed,
       """SELECT user_id, event_type, event_id, us FROM (
@@ -729,9 +751,11 @@ object EventsRegistry {
          |FROM j ORDER BY user_id, day, n_obs, n_fill, filled""".stripMargin),
 
     "q_seq_pattern" -> e(Events.seqPattern,
-      """WITH e AS (SELECT user_id, event_id,
+      """WITH e AS (SELECT user_id,
+        |   coalesce(event_id, 9223372036854775807) AS event_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-        |   left(event_type, 1) AS ch FROM events),
+        |   coalesce(left(event_type, 1), '') AS ch FROM events
+        |  WHERE ts IS NOT NULL),
         | j AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |   string_agg(ch, '' ORDER BY us, event_id, ch) AS journey
         |  FROM e GROUP BY 1)

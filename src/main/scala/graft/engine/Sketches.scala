@@ -61,7 +61,7 @@ object Sketches {
     * every distinct shingle string. */
   def distinctSketch(s: SparkSession, d: String): DataFrame = {
     val m = LcBuckets
-    Sources.documents(s, d)
+    TextOps.corpus(s, d)
       .select(col("source"), tokens(col("text")).as("toks"))
       .select(col("source"), explode(zipGrams3(col("toks"))).as("p"))
       .select(col("source"), gram3(col("p")).as("sh"))
@@ -86,7 +86,7 @@ object Sketches {
     * Estimates only ever overcount (`over` ≥ 0, spec-asserted); the
     * exact top-K column is the oracle's verification side. */
   def cmsTopk(s: SparkSession, d: String): DataFrame = {
-    val hx = Sources.documents(s, d)
+    val hx = TextOps.corpus(s, d)
       .select(tokens(col("text")).as("toks"))
       .select(explode(zipGrams2(col("toks"))).as("p"))
       .select(gram2(col("p")).as("bg"))
@@ -125,7 +125,7 @@ object Sketches {
     * negatives by construction (spec-asserted): every true member
     * passes the filter, so n_cand ≥ n_true always. */
   def bloomJoin(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
+    val docs = TextOps.corpus(s, d)
     val build = docs.filter(col("source") === lit(BloomBuildSource))
       .select(tokens(col("text")).as("toks"))
       .select(explode(zipGrams3(col("toks"))).as("p"))

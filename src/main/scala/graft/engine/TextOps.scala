@@ -26,6 +26,46 @@ object TextOps {
   val NumHashes = 12
   val Bands = 4 // 4 bands × 3 rows
 
+  /** Canonical corpus: ONE row per non-null doc_id — the ingest-dedup
+    * contract every doc-pipeline query reads through (DuckDB mirror:
+    * [[Registry0.DocsCte]], injected into every oracle that touches the
+    * documents table). Raw corpora can carry replayed rows and id
+    * collisions; queries keyed by doc_id (signatures, windows ordered
+    * by doc_id, pair graphs) are ill-defined on them, and the two
+    * engines resolve the ambiguity differently — the round-5 fuzz
+    * showed 18 of 131 queries diverging on duplicate-id data. The
+    * survivor is the row minimizing md5 over the sentinel-delimited
+    * field tuple: arbitrary but deterministic, bit-identical across
+    * engines, and tie-safe (equal keys ⇒ identical rows).
+    *
+    * Scale: one corpus shuffle keyed by doc_id with map-side partial
+    * min_by — the same pass a production ingest runs once and
+    * checkpoints; downstream parquet stages (doc_toks, signatures,
+    * pairs) build on it, so per-session cost stays one pass. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    // \u0001 delimiter / \u0002 null sentinel (coalesce BEFORE
+    // concat_ws: both engines' concat_ws SKIPS nulls, which would merge
+    // distinct field tuples); mirrored by chr(1)/chr(2) in DocsCte
+    val nul = lit("\u0002")
+    val key = md5(concat_ws("\u0001",
+      coalesce(col("text"), nul), coalesce(col("source"), nul),
+      coalesce(col("lang"), nul),
+      coalesce(col("n_chars").cast("string"), nul)))
+    Sources.documents(s, d)
+      .filter(col("doc_id").isNotNull)
+      .groupBy(col("doc_id"))
+      // text := coalesce(text, ''): downstream, Spark's array ops keep
+      // a null-text row (null arrays) while SQL unnest drops it — every
+      // consumer would need its own null-text rule. The canonical
+      // corpus instead normalizes absent text to empty (same "no
+      // content" meaning) so both engines walk identical rows.
+      .agg(min_by(struct(coalesce(col("text"), lit("")).as("text"),
+        col("lang"), col("source"), col("n_chars")), key).as("r"))
+      .select(col("doc_id"), col("r.text").as("text"),
+        col("r.lang").as("lang"), col("r.source").as("source"),
+        col("r.n_chars").as("n_chars"))
+  }
+
   def tokens(text: Column): Column = split(text, " ")
 
   /** 3-token shingles in document order (empty for docs under 3 tokens).
@@ -262,7 +302,7 @@ object TextOps {
     * over every shingle. */
   def sharedShingleSets(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "shingle_sets", d)(
-      shingleSets(Sources.documents(s, d))
+      shingleSets(corpus(s, d))
         .withColumn("hx", transform(col("s"), sh => h28(sh))))
 
   /** MinHash signature table from the materialized shingle sets —
@@ -395,14 +435,14 @@ object TextOps {
   // ---- declared queries ----------------------------------------------
 
   def textTokens(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
       .orderBy(col("c").desc, col("tok"))
 
   def tokenCount(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d).select(
+    corpus(s, d).select(
       col("doc_id"),
       size(tokens(col("text"))).cast(LongType).as("n_ws"),
       regexp_count(col("text"), lit("[a-z]+")).cast(LongType).as("n_alpha"),
@@ -411,7 +451,7 @@ object TextOps {
       .orderBy("doc_id")
 
   def docStats(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
@@ -426,7 +466,7 @@ object TextOps {
     * synthetic corpus are random, so this demonstrates the operator,
     * deterministically, rather than recovering the label). */
   def langId(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tok"),
@@ -458,7 +498,7 @@ object TextOps {
       "ELSE 'low' END"
 
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
@@ -471,7 +511,7 @@ object TextOps {
       .orderBy("doc_id")
 
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    fingerprint(Sources.documents(s, d)).orderBy("doc_id")
+    fingerprint(corpus(s, d)).orderBy("doc_id")
 
   /** Parts-per-million denominator for [[qualitySample]]. */
   val QsPpm = 1000000L
@@ -522,7 +562,7 @@ object TextOps {
   }
 
   def qualitySample(s: SparkSession, d: String): DataFrame =
-    qualityFlags(Sources.documents(s, d))
+    qualityFlags(corpus(s, d))
       .groupBy("grade")
       .agg(count(lit(1)).as("n_total"), first(col("rate_ppm")).as("rate_ppm"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -576,7 +616,7 @@ object TextOps {
       })
 
   def repetitionStats(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("us", runStats(col("toks")))
@@ -611,7 +651,7 @@ object TextOps {
     * collision is ~2^-64 and would only merge two docs' counts.) */
   def dedupExact(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
-    Sources.documents(s, d)
+    corpus(s, d)
       .withColumn("nk", md5(lower(trim(col("text")))))
       .withColumn("rn", row_number().over(w))
       .withColumn("dup_cnt", count(lit(1)).over(Window.partitionBy(col("nk"))))
@@ -637,7 +677,7 @@ object TextOps {
     * 'srcN' suffix must lose the priority race (not null-poison the
     * min_by key), matching the oracle's ASC NULLS LAST. */
   def crossSourceDedup(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .withColumn("nk", md5(lower(trim(col("text")))))
       .withColumn("prio", expr("try_cast(substring(source, 4) AS int)"))
       .groupBy(col("nk"))
@@ -674,7 +714,7 @@ object TextOps {
   def sourceOverlap(s: SparkSession, d: String): DataFrame = {
     val pr = sharedCandPairs(s, d)
       .filter(col("jacc") >= NearDupJaccard).select("a", "b")
-    val src = Sources.documents(s, d).select(col("doc_id"), col("source"))
+    val src = corpus(s, d).select(col("doc_id"), col("source"))
     pr.join(src.toDF("a", "sa"), Seq("a"))
       .join(src.toDF("b", "sb"), Seq("b"))
       .select(least(col("sa"), col("sb")).as("src_a"),
@@ -765,7 +805,7 @@ object TextOps {
       .orderBy("n_members", "n_clusters")
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(Sources.documents(s, d))
+    val sh = simhash(corpus(s, d))
     sh.withColumn("n_same",
         count(lit(1)).over(Window.partitionBy(col("simhash"))))
       .select("doc_id", "simhash", "n_same")
@@ -779,7 +819,7 @@ object TextOps {
     * property a training pipeline needs from its split step. One scan +
     * one small agg; the assignment itself is shuffle-free. */
   def splitStrata(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .withColumn("bucket", h28(concat(lit("split_"), col("doc_id"))) % 100)
       .withColumn("split",
         when(col("bucket") < 80, lit("train"))
@@ -798,7 +838,7 @@ object TextOps {
     * a scalar broadcast for N; top-3 rank benefits from the partial
     * WindowGroupLimit like every rank filter. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
+    val docs = corpus(s, d)
     val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
       .withColumn("n_tok", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
@@ -825,7 +865,7 @@ object TextOps {
     * verifies they compose. Long sums only (no double aggregation), so
     * the result is bit-deterministic at any partitioning. */
   def curateDocs(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
+    val docs = corpus(s, d)
     val toks = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id")
@@ -884,7 +924,7 @@ object TextOps {
         md5(concat_ws(" ", col("chunk"))).as("sig"))
 
   def chunkDocs(s: SparkSession, d: String): DataFrame =
-    chunkSigs(Sources.documents(s, d)).orderBy("doc_id", "chunk_id")
+    chunkSigs(corpus(s, d)).orderBy("doc_id", "chunk_id")
 
   /** Cross-document span dedup: token windows (the [[chunkSigs]] chunks)
     * whose exact text occurs in two or more distinct documents — the
@@ -896,7 +936,7 @@ object TextOps {
     * Output: one row per repeated span with its occurrence counts and
     * first (doc, chunk) location. */
   def spanDedup(s: SparkSession, d: String): DataFrame =
-    chunkSigs(Sources.documents(s, d))
+    chunkSigs(corpus(s, d))
       .groupBy(col("sig"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -914,7 +954,7 @@ object TextOps {
     * to produce. The anti join keys on doc_id only; document text never
     * joins or shuffles. */
   def dedupApply(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .join(
         nearDupComponents(s, d)
           .filter(col("id") =!= col("component"))
@@ -938,7 +978,7 @@ object TextOps {
     * shuffle-free, linear, stream-safe. Output: (doc_id, chunk_idx,
     * n_tok_chunk, sig). */
   def cdcChunks(s: SparkSession, d: String): DataFrame =
-    cdcChunkSigs(Sources.documents(s, d)).orderBy("doc_id", "chunk_idx")
+    cdcChunkSigs(corpus(s, d)).orderBy("doc_id", "chunk_idx")
 
   /** The frame-level CDC chunker behind [[cdcChunks]] (single
     * definition, [[chunkSigs]] discipline); valid on batch and
@@ -1003,7 +1043,7 @@ object TextOps {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("doc_id"), col("n_tok"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .withColumn("tok_end", sum(col("n_tok")).over(w))
@@ -1029,7 +1069,7 @@ object TextOps {
     val lo = LenBucketBounds.foldLeft(lit(0L)) { (acc, b) =>
       when(col("n_tok") >= b, lit(b)).otherwise(acc)
     }
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .select(lo.as("bucket_lo"), col("n_tok"))
       .groupBy("bucket_lo")
@@ -1052,7 +1092,7 @@ object TextOps {
   def domainCap(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("hk"), col("doc_id"))
-    Sources.documents(s, d)
+    corpus(s, d)
       .withColumn("hk", h28(concat(lit("cap_"), col("doc_id"))))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= DomainCap)
@@ -1077,7 +1117,7 @@ object TextOps {
     * corpus scan with a pushed hash filter, one per-source agg — no
     * corpus shuffle. Output: (source, n_total, rate_ppm, n_kept). */
   def mixSample(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
+    val docs = corpus(s, d)
     val counts = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
     val m = counts.agg(min(col("n_total")).as("m"))
     val rates = counts.crossJoin(broadcast(m))
@@ -1108,7 +1148,7 @@ object TextOps {
     * explodes, no joins, no shuffle); the report is a 5-way indicator
     * aggregation of that single flag table — no per-stage rescans. */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    val flags = Sources.documents(s, d)
+    val flags = corpus(s, d)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
@@ -1175,7 +1215,7 @@ object TextOps {
     * tokenization-for-counting behind [[vocabBuild]], [[bpeStep]] and
     * [[bpeTrain]]. */
   def tokenFreq(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
 
@@ -1202,7 +1242,7 @@ object TextOps {
     * top-K via TakeOrderedAndProject, rank windowed over ≤K rows. */
   def topNgrams(s: SparkSession, d: String): DataFrame = {
     val ord = Window.orderBy(col("c").desc, col("bg"))
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(zipGrams2(col("toks"))).as("p"))
       .groupBy(gram2(col("p")).as("bg"))
@@ -1223,7 +1263,7 @@ object TextOps {
     * consumers. */
   def sharedDocToks(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "doc_toks", d)(
-      Sources.documents(s, d)
+      corpus(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("lc")))
 
@@ -1350,7 +1390,7 @@ object TextOps {
     * source key; the med/mad tables broadcast back. The corpus is
     * scanned column-pruned (source, n_chars only). */
   def outlierMad(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    val docs = corpus(s, d).select(col("source"), col("n_chars"))
     val med = docs.groupBy("source")
       .agg(expr("percentile(n_chars, 0.5D)").as("med"))
     val dev = docs.join(broadcast(med), Seq("source"))
@@ -1393,7 +1433,7 @@ object TextOps {
   def quantileBins(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("source"))
       .orderBy(col("n_chars"), col("doc_id"))
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("source"), col("doc_id"), col("n_chars"))
       .withColumn("bin", ntile(10).over(w).cast(LongType))
       .groupBy("source", "bin")
@@ -1403,7 +1443,7 @@ object TextOps {
   }
 
   def winsorize(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    val docs = corpus(s, d).select(col("source"), col("n_chars"))
     val qs = docs.groupBy("source")
       .agg(floor(expr("percentile(n_chars, 0.05D)")).as("p05"),
         floor(expr("percentile(n_chars, 0.95D)")).as("p95"))
@@ -1429,7 +1469,7 @@ object TextOps {
     * distinct-value support; the CDF window runs over that support —
     * bounded by the value domain, not the corpus. One row out. */
   def ksDrift(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d).select(col("source"), col("n_chars"))
+    val docs = corpus(s, d).select(col("source"), col("n_chars"))
     def side(src: String, cn: String) =
       docs.filter(col("source") === src)
         .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as(cn))
@@ -1476,7 +1516,7 @@ object TextOps {
     * broadcast, and the only corpus-sized work is the two scans'
     * map-side partial counts. */
   def psiDrift(s: SparkSession, d: String): DataFrame = {
-    val b = Sources.documents(s, d)
+    val b = corpus(s, d)
       .select(col("source"),
         least(lit(PsiBins - 1L), expr(s"n_chars DIV $PsiBinWidth"))
           .as("bin"))
@@ -1566,7 +1606,7 @@ object TextOps {
     val dt = sharedDocToks(s, d).select(col("doc_id"), col("tok"))
     val top = dt.groupBy("tok").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("tok")).limit(CooccurTop)
-    val nd = Sources.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val nd = corpus(s, d).agg(count(lit(1)).as("n_docs"))
     val dtop = dt.join(broadcast(top), Seq("tok"))
     dtop.select(col("doc_id"), col("tok").as("x"), col("df").as("df_x"))
       .join(dtop.select(col("doc_id"), col("tok").as("y"),
@@ -1638,7 +1678,7 @@ object TextOps {
   def ngramNovelty(s: SparkSession, d: String): DataFrame =
     ngramNoveltyFromGrams(
       Stages.materialize(s, "doc_grams", d)(
-        docGramCounts(Sources.documents(s, d))))
+        docGramCounts(corpus(s, d))))
 
   /** Per-document bigram occurrence counts keyed by gram digest — the
     * staged front half of [[ngramNovelty]]. */
@@ -1683,7 +1723,7 @@ object TextOps {
     * constant small multiple of the single scan, no self-joins. Ratios
     * are integer quotients cast to double. */
   def datasetCard(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(col("source"), col("lang"), col("n_chars"),
         size(tokens(col("text"))).cast(LongType).as("n_tok"),
         md5(lower(trim(col("text")))).as("k"))
@@ -1722,7 +1762,7 @@ object TextOps {
     * changed, plus shifted-id rows = since-removed), so both engines
     * diff the same two frames without a second input table. */
   def datasetDiffQ(s: SparkSession, d: String): DataFrame = {
-    val docs = Sources.documents(s, d)
+    val docs = corpus(s, d)
     val prevBase = docs.filter(col("doc_id") % 17 =!= 3)
       .select(col("doc_id"),
         when(col("doc_id") % 13 === 5, concat(col("text"), lit(" v2")))
@@ -1747,7 +1787,7 @@ object TextOps {
     * as distinct). Pure per-row map over the scan: no shuffle, no
     * state; the output carries digests, never scrubbed text. */
   def piiScrub(s: SparkSession, d: String): DataFrame =
-    scrubOf(Sources.documents(s, d)).orderBy("doc_id")
+    scrubOf(corpus(s, d)).orderBy("doc_id")
 
   /** Frame-level [[piiScrub]] over any (doc_id, text) frame — stateless
     * per-row, so the same definition serves the batch query and the
@@ -1930,7 +1970,7 @@ object TextOps {
     * expectation; this is the evidence). One per-row map + a
     * [[NumShards]]-key agg with map-side partials. */
   def exportShardStats(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
         size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .groupBy("shard")
@@ -1964,7 +2004,7 @@ object TextOps {
     * payload here derives from `text` (the container ships no media
     * libs); the schema/partitioning/metadata path is the real thing. */
   def binaryMeta(s: SparkSession, d: String): DataFrame =
-    Sources.documents(s, d)
+    corpus(s, d)
       .withColumn("payload", col("text").cast("binary"))
       .select(col("doc_id"),
         octet_length(col("payload")).cast(LongType).as("blen"),

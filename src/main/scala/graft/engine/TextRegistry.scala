@@ -530,7 +530,11 @@ object TextRegistry {
          |   (ug.n_tok >= 30 AND CAST(ug.n_uniq AS DOUBLE)/ug.n_tok >= 0.4
          |     AND coalesce(CAST(bs.max_big AS DOUBLE)/bs.n_big, 0.0)
          |       < ${TextOps.RepetitiveBigramFrac}) AS q3
-         |  FROM documents d JOIN ug USING (doc_id) LEFT JOIN bs USING (doc_id)),
+         |  -- LEFT joins: a null-text doc has no unnested tokens, but it
+         |  -- is still a corpus row (stage 'all' must count it, as the
+         |  -- Spark side does; its null flags fail every later stage)
+         |  FROM documents d LEFT JOIN ug USING (doc_id)
+         |    LEFT JOIN bs USING (doc_id)),
          | dd AS (SELECT doc_id, (row_number() OVER (
          |    PARTITION BY lower(trim(text)) ORDER BY doc_id) = 1) AS q4
          |  FROM f WHERE q3),
