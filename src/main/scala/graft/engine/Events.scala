@@ -50,6 +50,14 @@ object Events {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
     events
+      // project to exactly the session-relevant columns BEFORE the
+      // window: (a) replayed events that tie on (us, event_id) but
+      // differ in an unused column (event_type, props) would make the
+      // window order engine-dependent — after the projection any such
+      // tie is a fully identical row, hence interchangeable (the
+      // ContractSpec window guard checks this); (b) the user-keyed
+      // shuffle stops carrying the unused wide columns
+      .select(col("user_id"), col("event_id"), col("us"), col("value"))
       .withColumn("prev_us", lag(col("us"), 1).over(byUser))
       .withColumn("flag",
         when(col("prev_us").isNull, 1)
@@ -263,10 +271,13 @@ object Events {
       col("event_type"), col("us"))
     val p = e.filter(col("event_type") === "purchase")
       .groupBy("user_id").agg(min("us").as("tp"))
+    // event_type tiebreak (both engines): replayed events can tie on
+    // (us, event_id) with DIFFERENT types, and row_number would hand
+    // attribution credit to an engine-dependent type
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
+      .orderBy(col("us"), col("event_id"), col("event_type"))
     val wd = Window.partitionBy(col("user_id"))
-      .orderBy(col("us").desc, col("event_id").desc)
+      .orderBy(col("us").desc, col("event_id").desc, col("event_type").desc)
     val pre = e.join(p, Seq("user_id")).filter(col("us") < col("tp"))
       .select(col("user_id"), col("event_type"),
         row_number().over(w).as("rf"), row_number().over(wd).as("rl"))
@@ -686,9 +697,9 @@ object EventsRegistry {
         |  FROM e JOIN p USING (user_id) WHERE us < tp),
         | r AS (SELECT user_id, event_type,
         |   row_number() OVER (PARTITION BY user_id
-        |     ORDER BY us, event_id) AS rf,
+        |     ORDER BY us, event_id, event_type) AS rf,
         |   row_number() OVER (PARTITION BY user_id
-        |     ORDER BY us DESC, event_id DESC) AS rl
+        |     ORDER BY us DESC, event_id DESC, event_type DESC) AS rl
         |  FROM pre),
         | f AS (SELECT user_id, event_type AS first_touch FROM r WHERE rf = 1),
         | l AS (SELECT user_id, event_type AS last_touch FROM r WHERE rl = 1)

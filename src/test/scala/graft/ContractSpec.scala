@@ -113,4 +113,105 @@ class ContractSpec extends SparkSpec {
     }
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  /** The deepest round-4/5 lesson: the final-sort contract above is not
+    * enough — an INTERIOR window whose ORDER BY ties across
+    * non-interchangeable rows computes engine-dependent values
+    * (row_number, lead, running sums) long before the output sort, and
+    * the driver's regenerated corpora carry exactly the tie classes
+    * (duplicate doc_ids, replayed events) that local testdata lacks.
+    *
+    * Tie-interchangeability is an END-TO-END property (a session id is
+    * provably invariant to intra-tie order even though its lag column
+    * is not), so a per-window static check either misses cases or
+    * false-positives on derived columns. The empirical contract that
+    * captures it exactly: on an adversarially mutated corpus (duplicate
+    * doc_ids, replayed/key-tied events, null fields — the Scala twin of
+    * scripts/fuzz.py's generator), every query's OUTPUT must be
+    * bit-identical when its input tables are rewritten with a different
+    * physical row order and file count. Any window (or any operator)
+    * whose result depends on tie order surfaces as a diff between the
+    * two layouts; scripts/fuzz.py's DuckDB differential then extends
+    * the same guarantee cross-engine — layout-independence here means
+    * ANY scan order the other engine picks yields the same rows. */
+  test("every query is invariant to input layout on adversarial data") {
+    import org.apache.spark.sql.functions.{col, rand}
+    val dirA = adversarialDir()
+    // same logical content, different physical layout: shuffled row
+    // order, different file count per table
+    val dirB = java.nio.file.Files.createTempDirectory("graft-advB").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$dirA/$t.parquet")
+        .orderBy(rand(42)).repartition(3)
+        .write.mode("overwrite").parquet(s"$dirB/$t.parquet")
+    }
+    val bad = Registry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val a = fn(spark, dirA).collect().map(_.toString).toSeq
+      val b = fn(spark, dirB).collect().map(_.toString).toSeq
+      if (a == b) None
+      else {
+        val firstDiff = a.zipAll(b, "<missing>", "<missing>")
+          .indexWhere { case (x, y) => x != y }
+        Some(s"$name: output depends on input layout (first diff at row " +
+          s"$firstDiff: ${a.lift(firstDiff)} vs ${b.lift(firstDiff)})")
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  /** Deterministic Scala twin of scripts/fuzz.py `gen`: clone sf0.001
+    * and inject duplicate doc_ids (replays, reshuffles, cross-source,
+    * different lengths), nasty text (null/empty/whitespace runs), null
+    * doc_ids, replayed / key-tied / null-field events. */
+  private def adversarialDir(): String = {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val src = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val base = docs.orderBy("doc_id").limit(20)
+      .as[(Long, String, String, String, Long)].collect()
+    def doc(id: java.lang.Long, text: String, lang: String, srcName: String) =
+      (id, text, lang, srcName,
+        if (text == null) null else java.lang.Long.valueOf(text.length.toLong))
+    val extra = base.take(5).map(r => (java.lang.Long.valueOf(r._1), r._2, r._3, r._4,
+        java.lang.Long.valueOf(r._5))) ++ // exact replays
+      base.slice(5, 9).map { r => // same id, same token count, new text
+        doc(r._1, r._2.split(" ").reverse.mkString(" "), r._3, r._4)
+      } ++
+      base.slice(9, 13).map(r => doc(r._1, "short dup text", r._3, r._4)) ++
+      base.slice(13, 17).map(r => doc(r._1, r._2, r._3, "srcX")) ++ // cross-source
+      Seq(doc(900001L, null, "en", "s1"), doc(900002L, "", "en", "s1"),
+        doc(900003L, "   ", "en", "s2"), doc(900004L, " pad  ded ", "en", "s2"),
+        doc(null, "null id row", "en", "s1"))
+    docs.union(extra.toSeq.toDF(docs.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val evs = spark.read.parquet(s"$src/events.parquet")
+    val ebase = evs.orderBy("event_id").limit(24).collect()
+    val eextra: Seq[Row] = ebase.take(8).toSeq ++ // exact replays
+      ebase.slice(8, 14).map { r => // same (user, ts, id), different type
+        Row(r.get(0), r.get(1), r.get(2), "error", r.get(4), r.get(5))
+      } ++
+      ebase.slice(14, 19).map { r => // same (user, ts), different id
+        Row(Long.box(r.getLong(0) + 1000000L), r.get(1), r.get(2),
+          "click", r.get(4), r.get(5))
+      } ++
+      Seq( // null fields
+        Row(Long.box(2000001L), null, Long.box(7L), "click", null, null),
+        Row(Long.box(2000002L), ebase(20).get(1), null, null,
+          Double.box(1.5), null))
+    evs.union(spark.createDataFrame(
+        spark.sparkContext.parallelize(eextra), evs.schema))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
 }
