@@ -85,6 +85,17 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             extra.append(doc(nid, t, rng.choice(["en", "de", None]),
                              rng.choice(["src0", "srcX", None])))
             nid += 1
+        # n_chars pathologies: NULL with real text (doc() only nulls it
+        # for null text), and a value wildly inconsistent with len(text)
+        # — n_chars is source DATA, not a derived field, so queries
+        # keyed on it (outlier/winsorize/ntile/drift) must stay
+        # cross-engine deterministic whatever it holds
+        for nch in (None, 999_999, -5):
+            r = [None] * len(cols)
+            r[i_doc], r[i_text] = nid, f"n_chars pathology {nch} text"
+            r[i_lang], r[i_src], r[i_nch] = "en", "src0", nch
+            extra.append(tuple(r))
+            nid += 1
     if "nullid" in classes:
         # null doc_id rows (two, to create a doc_id tie on NULL as well)
         extra.append(doc(None, "null id one", "en", "src0"))

@@ -68,8 +68,9 @@ class StagesSpec extends SparkSpec {
     stage()
     // truncate the pointer: drop the terminator line
     Stages.reset()
-    val root = sys.props.get("graft.stages.dir")
-    assert(root.isEmpty) // test environment uses the temp root
+    // test environment pins a JVM-private temp root (SparkSpec) so test
+    // stages never land in the per-checkout persistent cache
+    assert(sys.props.get("graft.stages.dir").exists(_.contains("graft-test-stages")))
     // find the pointer file under the temp root via the second call path:
     // corrupt it by rewriting without the terminator
     val tmpRootField = Stages.getClass.getDeclaredField("root")
