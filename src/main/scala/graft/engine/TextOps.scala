@@ -1263,6 +1263,137 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** Per-source distinctive terms: top-[[TopicTermsK]] tokens ranked by
+    * over-representation — the token's in-source frequency minus its
+    * corpus-wide frequency, both in ppm (exact BIGINT floor division;
+    * the integer ppm products stay in range up to ~9e12 tokens per
+    * group). The corpus-card signal mixture design reads to see WHAT a
+    * source actually contains before weighting it.
+    *
+    * Scale: both frequency tables aggregate the [[sharedDocToks]] stage
+    * (corpus tokenized once, ever); the source join carries the thin
+    * (doc_id, source) projection; the scalar corpus total broadcasts;
+    * the final rank is a per-source window over the source×vocab
+    * aggregate with a WindowGroupLimit partial. Window order
+    * (lift desc, tok) is tie-free by construction — tok is unique
+    * within a source after the (source, tok) aggregate. */
+  def topicTerms(s: SparkSession, d: String): DataFrame = {
+    val dt = sharedDocToks(s, d)
+    val src = corpus(s, d).select(col("doc_id"), col("source"))
+    val st = dt.join(src, Seq("doc_id"))
+      .groupBy(col("source"), col("tok")).agg(sum(col("lc")).as("n"))
+    val stot = st.groupBy("source").agg(sum(col("n")).as("tot"))
+    val ct = dt.groupBy(col("tok")).agg(sum(col("lc")).as("cn"))
+    val ctot = dt.agg(sum(col("lc")).as("ctot"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("lift_ppm").desc, col("tok"))
+    st.join(stot, Seq("source")).join(ct, Seq("tok"))
+      .crossJoin(broadcast(ctot))
+      .withColumn("src_ppm", expr("n * 1000000 DIV tot"))
+      .withColumn("corpus_ppm", expr("cn * 1000000 DIV ctot"))
+      .withColumn("lift_ppm", col("src_ppm") - col("corpus_ppm"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= TopicTermsK)
+      .select("source", "rk", "tok", "src_ppm", "corpus_ppm", "lift_ppm")
+      .orderBy("source", "rk")
+  }
+
+  /** Ranks kept per source by [[topicTerms]]. */
+  val TopicTermsK = 3L
+
+  /** LSH band-collision diagnostics — the b/r tuning curve read before
+    * committing a banding to a 100 TB dedup run: per band, the bucket
+    * count, the largest bucket, how many buckets collide at all, and
+    * the exact candidate-pair workload Σ k·(k−1)/2 the band would feed
+    * the verifier. A band whose max bucket explodes signals boilerplate
+    * (or too few rows per band) BEFORE the pair join runs — this query
+    * costs one aggregation over the already-staged signature table,
+    * while a mis-tuned pair join costs hours.
+    *
+    * Scale: reads the O(docs) [[sharedSignature]] stage; one
+    * (band, sig)-keyed count with map-side partials, then a
+    * [[Bands]]-row rollup. Nothing touches the corpus. */
+  def bandCollisions(s: SparkSession, d: String): DataFrame =
+    minhashBands(sharedSignature(s, d))
+      .groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bsz")).as("max_bucket"),
+        sum(when(col("bsz") > 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_colliding"),
+        sum(expr("bsz * (bsz - 1) DIV 2")).as("n_cand_pairs"))
+      .select(col("band").cast(LongType).as("band"), col("n_buckets"),
+        col("max_bucket"), col("n_colliding"), col("n_cand_pairs"))
+      .orderBy("band")
+
+  /** Per-source character-class composition — alpha / digit / space /
+    * other counts and ppm shares: the cheap script/encoding screen that
+    * flags a source gone wrong (binary spill, markup floods, digit
+    * tables) before any tokenizer runs. Classes are explicit ASCII
+    * sets, counted per CODEPOINT by regexp in both engines (Java regex
+    * and RE2 both iterate code points, so astral-plane text counts
+    * identically — never `length()`, which counts UTF-16 units in the
+    * JVM but codepoints in DuckDB).
+    *
+    * Scale: pure per-row map over the corpus scan + a source-keyed agg
+    * with map-side partials; no shuffle beyond |sources| rows. */
+  def charClasses(s: SparkSession, d: String): DataFrame =
+    corpus(s, d)
+      .select(col("source"),
+        regexp_count(col("text"), lit("[a-zA-Z]")).cast(LongType).as("a"),
+        regexp_count(col("text"), lit("[0-9]")).cast(LongType).as("dg"),
+        regexp_count(col("text"), lit(" ")).cast(LongType).as("sp"),
+        regexp_count(col("text"), lit("[^a-zA-Z0-9 ]")).cast(LongType).as("ot"))
+      .groupBy("source")
+      .agg(sum(col("a")).as("n_alpha"), sum(col("dg")).as("n_digit"),
+        sum(col("sp")).as("n_space"), sum(col("ot")).as("n_other"))
+      .withColumn("tot",
+        col("n_alpha") + col("n_digit") + col("n_space") + col("n_other"))
+      .withColumn("alpha_ppm",
+        when(col("tot") > 0, expr("n_alpha * 1000000 DIV tot")))
+      .withColumn("other_ppm",
+        when(col("tot") > 0, expr("n_other * 1000000 DIV tot")))
+      .select("source", "n_alpha", "n_digit", "n_space", "n_other",
+        "alpha_ppm", "other_ppm")
+      .orderBy("source")
+
+  /** Bigram conditional-probability table (first-order LM): for the
+    * [[BigramLmHeads]] most frequent head tokens, the top-
+    * [[BigramLmK]] next tokens with conditional probability in exact
+    * integer ppm — the Markov companion to [[unigramSurprisal]]: a
+    * glance at what the corpus actually continues "the"/"of" with
+    * exposes template floods that unigram stats smooth over.
+    *
+    * Scale: bigram counts aggregate one corpus explode (map-side
+    * partials, vocab²-bounded but Zipf-thin in practice); head totals
+    * are a head-keyed rollup of that table; head selection is a global
+    * top-K via TakeOrderedAndProject (never an unpartitioned window
+    * over the vocab); the 20-row head set broadcasts back. Window
+    * order (n desc, nxt) is tie-free — nxt is unique per head after
+    * the (head, nxt) aggregate. */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val bc = corpus(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(zipGrams2(col("toks"))).as("p"))
+      .select(col("p").getField("0").as("head"),
+        col("p").getField("1").as("nxt"))
+      .groupBy("head", "nxt").agg(count(lit(1)).as("n"))
+    val top = bc.groupBy("head").agg(sum(col("n")).as("htot"))
+      .orderBy(col("htot").desc, col("head")).limit(BigramLmHeads)
+    val w = Window.partitionBy(col("head"))
+      .orderBy(col("n").desc, col("nxt"))
+    bc.join(broadcast(top), Seq("head"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= BigramLmK)
+      .withColumn("cond_ppm", expr("n * 1000000 DIV htot"))
+      .select("head", "rk", "nxt", "n", "htot", "cond_ppm")
+      .orderBy("head", "rk")
+  }
+
+  /** Head-token and per-head continuation counts for [[bigramLm]]. */
+  val BigramLmHeads = 20
+  val BigramLmK = 3L
+
   /** Per-document token occurrence counts `(doc_id, tok, lc)`,
     * parquet-staged — the unigram sibling of the [[ngramNovelty]]
     * doc-gram stage: every consumer (inverted index, co-occurrence)

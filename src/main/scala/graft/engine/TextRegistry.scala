@@ -843,6 +843,92 @@ object TextRegistry {
          | CAST(n_docs AS BIGINT) AS n_docs
          |FROM r WHERE rk <= ${TextOps.TopNgrams} ORDER BY rk""".stripMargin),
 
+    "q_topic_terms" -> e(TextOps.topicTerms,
+      s"""WITH tt AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | dt AS (SELECT doc_id, tok, count(*) AS lc FROM tt GROUP BY 1, 2),
+         | src AS (SELECT doc_id, source FROM documents),
+         | st AS (SELECT source, tok, CAST(sum(lc) AS BIGINT) AS n
+         |  FROM dt JOIN src USING (doc_id) GROUP BY 1, 2),
+         | stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM st GROUP BY 1),
+         | ct AS (SELECT tok, CAST(sum(lc) AS BIGINT) AS cn
+         |  FROM dt GROUP BY 1),
+         | ctot AS (SELECT CAST(sum(lc) AS BIGINT) AS ctot FROM dt),
+         | j AS (SELECT st.source, st.tok,
+         |   n * 1000000 // tot AS src_ppm, cn * 1000000 // ctot AS corpus_ppm
+         |  FROM st JOIN stot USING (source) JOIN ct USING (tok)
+         |  CROSS JOIN ctot),
+         | r AS (SELECT source, tok, src_ppm, corpus_ppm,
+         |   src_ppm - corpus_ppm AS lift_ppm,
+         |   row_number() OVER (PARTITION BY source
+         |     ORDER BY src_ppm - corpus_ppm DESC, tok) AS rk FROM j)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, tok,
+         | CAST(src_ppm AS BIGINT) AS src_ppm,
+         | CAST(corpus_ppm AS BIGINT) AS corpus_ppm,
+         | CAST(lift_ppm AS BIGINT) AS lift_ppm
+         |FROM r WHERE rk <= ${TextOps.TopicTermsK}
+         |ORDER BY source, rk""".stripMargin),
+
+    "q_band_collisions" -> e(TextOps.bandCollisions, {
+      val bandSel = (0 until TextOps.Bands).map { b =>
+        s"SELECT doc_id, $b AS band, " +
+          s"concat_ws('_', h${3 * b}, h${3 * b + 1}, h${3 * b + 2}) AS bsig " +
+          "FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $sigCtes,
+         | bands AS ($bandSel),
+         | bk AS (SELECT band, bsig, CAST(count(*) AS BIGINT) AS bsz
+         |  FROM bands GROUP BY 1, 2)
+         |SELECT CAST(band AS BIGINT) AS band,
+         | CAST(count(*) AS BIGINT) AS n_buckets, max(bsz) AS max_bucket,
+         | CAST(sum(CASE WHEN bsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_colliding,
+         | CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS n_cand_pairs
+         |FROM bk GROUP BY band ORDER BY band""".stripMargin
+    }),
+
+    "q_char_classes" -> e(TextOps.charClasses,
+      """WITH c AS (SELECT source,
+        |   len(regexp_extract_all(text, '[a-zA-Z]')) AS a,
+        |   len(regexp_extract_all(text, '[0-9]')) AS dg,
+        |   len(regexp_extract_all(text, ' ')) AS sp,
+        |   len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS ot
+        |  FROM documents),
+        | g AS (SELECT source, CAST(sum(a) AS BIGINT) AS n_alpha,
+        |   CAST(sum(dg) AS BIGINT) AS n_digit,
+        |   CAST(sum(sp) AS BIGINT) AS n_space,
+        |   CAST(sum(ot) AS BIGINT) AS n_other
+        |  FROM c GROUP BY 1),
+        | t AS (SELECT *, n_alpha + n_digit + n_space + n_other AS tot
+        |  FROM g)
+        |SELECT source, n_alpha, n_digit, n_space, n_other,
+        | CASE WHEN tot > 0 THEN n_alpha * 1000000 // tot END AS alpha_ppm,
+        | CASE WHEN tot > 0 THEN n_other * 1000000 // tot END AS other_ppm
+        |FROM t ORDER BY source""".stripMargin),
+
+    "q_bigram_lm" -> e(TextOps.bigramLm,
+      s"""WITH $toksCte,
+         | b AS (SELECT unnest($duckBigrams) AS bg FROM t),
+         | hx AS (SELECT string_split(bg, ' ')[1] AS head,
+         |   string_split(bg, ' ')[2] AS nxt FROM b),
+         | bc AS (SELECT head, nxt, CAST(count(*) AS BIGINT) AS n
+         |  FROM hx GROUP BY 1, 2),
+         | ht AS (SELECT head, CAST(sum(n) AS BIGINT) AS htot
+         |  FROM bc GROUP BY 1),
+         | hr AS (SELECT head, htot,
+         |   row_number() OVER (ORDER BY htot DESC, head) AS hrk FROM ht),
+         | top AS (SELECT head, htot FROM hr
+         |  WHERE hrk <= ${TextOps.BigramLmHeads}),
+         | r AS (SELECT bc.head, nxt, n, htot,
+         |   row_number() OVER (PARTITION BY bc.head
+         |     ORDER BY n DESC, nxt) AS rk
+         |  FROM bc JOIN top ON bc.head = top.head)
+         |SELECT head, CAST(rk AS BIGINT) AS rk, nxt, n, htot,
+         | n * 1000000 // htot AS cond_ppm
+         |FROM r WHERE rk <= ${TextOps.BigramLmK}
+         |ORDER BY head, rk""".stripMargin),
+
     "q_inverted_index" -> e(TextOps.invertedIndex,
       s"""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
          |  FROM documents),

@@ -187,7 +187,7 @@ class PlanSpec extends SparkSpec {
     // shared-stage rework keeps the query a pushed-filter file read, not
     // a recomputation of the shingle pipeline
     val p = plan("q_dedup_ngram")
-    assert(p.contains("graft-stages"), "stage checkpoint not read")
+    assert(p.contains("cand_pairs-"), "pair-stage checkpoint not read")
     assert(p.contains("GreaterThanOrEqual(jacc,0.8)"), "jacc filter not pushed")
   }
 }
