@@ -43,6 +43,40 @@ class TextOpsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("corpus keeps the min-md5 survivor per doc_id, independently computed") {
+    // independent md5 (java.security, not Spark's) over the documented
+    // key layout: textsourcelangn_chars with 
+    // null sentinels — locks the survivor rule both engines implement
+    // (TextOps.corpus / Registry0.DocsCte) against silent drift
+    def key(text: String, source: String, lang: String, nch: java.lang.Long) = {
+      val f = (v: String) => if (v == null) "" else v
+      val tup = Seq(f(text), f(source), f(lang),
+        f(if (nch == null) null else nch.toString)).mkString("")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tup.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val rows = Seq[(java.lang.Long, String, String, String, java.lang.Long)](
+      (1L, "b text", "en", "s1", 6L),
+      (1L, "a text", "en", "s1", 6L),
+      (1L, null, "de", "s2", null),
+      (2L, "lone", "en", "s1", 4L),
+      (null, "null id", "en", "s1", 7L))
+    val expected1 = rows.filter(_._1 == 1L)
+      .minBy(r => key(r._2, r._4, r._3, r._5))
+    val dir = java.nio.file.Files.createTempDirectory("corpus").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.corpus(spark, dir)
+      .as[(Long, String, String, String, java.lang.Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // null ids dropped, one row per id
+    val s1 = got.head
+    assert((s1._2, s1._3, s1._4, s1._5) ===
+      (Option(expected1._2).getOrElse(""), expected1._3, expected1._4,
+        expected1._5), s"survivor mismatch: $s1 vs $expected1")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("unigramSurprisal matches hand-computed millibit sums") {
     // corpus: doc1 = "a a b", doc2 = "a c" → tot = 5, cf(a)=3 cf(b)=cf(c)=1
     // doc1: floor(2·log2(5/3)·1000) + floor(1·log2(5)·1000) = 1473 + 2321
