@@ -17,13 +17,14 @@ classes: comma-separated subset of
   nullid   null doc_id rows
   evdup    replayed / key-tied events
   evnull   events with null fields
+  vecdup   embeddings: replayed / id-colliding / degenerate vectors
 (default: all). `all` shells out to sbt for graft.Verify, then runs
 check.py. Deterministic for a given (src, seed, classes).
 """
 import os, random, shutil, subprocess, sys
 import duckdb
 
-ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull"}
+ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "vecdup"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -50,7 +51,7 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
-        if t not in ("documents", "events"):
+        if t not in ("documents", "events", "embeddings"):
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     # ---- documents: duplicate doc_ids + nasty text + nulls ------------
@@ -141,6 +142,35 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
         con.executemany(
             f"INSERT INTO fev VALUES ({','.join('?' * len(ecols))})", eex)
     con.execute(f"COPY fev TO '{dst}/events.parquet' (FORMAT PARQUET)")
+
+    # ---- embeddings: replays, id collisions, degenerate vectors -------
+    vex = []
+    if "vecdup" in classes:
+        vrows = con.sql(
+            f"SELECT * FROM '{src}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        vb = vrows[:12]
+        for r in vb[:4]:        # exact replays
+            vex.append(tuple(r))
+        for r in vb[4:7]:       # same id + label, different embedding
+            emb = list(r[1])
+            emb[0] = emb[0] + 0.25
+            vex.append((r[0], emb, r[2]))
+        for r in vb[7:10]:      # same id, different label
+            vex.append((r[0], r[1], (r[2] or 0) + 7))
+        nvid = max(r[0] for r in vrows) + 1
+        dim = len(vrows[0][1])
+        vex.append((None, vrows[0][1], 1))          # null vec_id
+        vex.append((nvid, None, 1))                 # null embedding
+        vex.append((nvid + 1, [0.0] * dim, 1))      # zero vector
+        vex.append((nvid + 2, [float("nan")] * dim, 1))  # NaN poison
+        vex.append((nvid + 3, vrows[1][1], None))   # null label
+    con.execute(f"CREATE OR REPLACE TABLE fvec AS "
+                f"SELECT * FROM '{src}/embeddings.parquet'")
+    if vex:
+        con.executemany("INSERT INTO fvec VALUES (?, ?, ?)", vex)
+    con.execute(f"COPY fvec TO '{dst}/embeddings.parquet' (FORMAT PARQUET)")
+    print(f"fuzz gen: +{len(vex)} vectors")
     print(f"fuzz gen: {dst}  (+{len(extra)} docs, +{len(eex)} events, seed={seed})")
 
 

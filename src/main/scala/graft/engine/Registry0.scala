@@ -47,27 +47,52 @@ object Registry0 {
       "coalesce(CAST(n_chars AS VARCHAR), chr(2)))))) " +
       "FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)"
 
-  /** Redirect an oracle's `documents` references to the canonical-docs
-    * CTE. No-op for oracles that never touch the documents table. */
-  def canonDocs(sql: String): String =
-    if (!sql.contains("documents")) sql
+  /** DuckDB mirror of [[Similarity.canonEmb]] — the canonical-vectors
+    * CTE: degenerate rows (null id, null/empty/zero-norm/NaN-poisoned
+    * embedding) dropped at intake, then one survivor per vec_id by the
+    * (coalesced label, embedding) min key. Injected by [[canonVecs]]
+    * into every oracle that reads the embeddings table. */
+  val VecsCte: String =
+    // row_number, not arg_min: DuckDB's arg_min cannot order a struct
+    // key holding a LIST field, but a window ORDER BY on (coalesced
+    // label, embedding) sorts lists lexicographically — the same rule
+    // Spark's min_by struct ordering applies
+    "vecs AS (SELECT vec_id, embedding, label FROM (" +
+      "SELECT vec_id, embedding, label, row_number() OVER (" +
+      "PARTITION BY vec_id " +
+      "ORDER BY coalesce(label, 2147483647), embedding) AS rn " +
+      "FROM (SELECT *, sqrt(list_sum(list_transform(embedding, " +
+      "x -> CAST(x AS DOUBLE)*x))) AS nm FROM embeddings " +
+      "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) " +
+      "WHERE nm > 0 AND NOT isnan(nm)) WHERE rn = 1)"
+
+  /** Redirect an oracle's references to `table` to the canonical CTE
+    * `cteName`, prepending `cte` to the WITH list (after RECURSIVE,
+    * whose keyword must stay first). No-op when the table is unused. */
+  private def injectCte(sql: String, table: String, cteName: String,
+      cte: String): String =
+    if (!sql.contains(table)) sql
     else {
-      val r = sql.replaceAll("\\bdocuments\\b", "docs")
-      // WITH RECURSIVE lists may mix in non-recursive CTEs, but the
-      // RECURSIVE keyword must stay first: inject docs after it
+      val r = sql.replaceAll(s"\\b$table\\b", cteName)
       if (r.matches("(?s)\\s*WITH\\s+RECURSIVE\\s.*"))
-        r.replaceFirst("WITH\\s+RECURSIVE\\s", s"WITH RECURSIVE $DocsCte,\n ")
+        r.replaceFirst("WITH\\s+RECURSIVE\\s", s"WITH RECURSIVE $cte,\n ")
       else if (r.matches("(?s)\\s*WITH\\s.*"))
-        r.replaceFirst("WITH\\s", s"WITH $DocsCte,\n ")
-      else s"WITH $DocsCte\n$r"
+        r.replaceFirst("WITH\\s", s"WITH $cte,\n ")
+      else s"WITH $cte\n$r"
     }
+
+  def canonDocs(sql: String): String =
+    injectCte(sql, "documents", "docs", DocsCte)
+
+  def canonVecs(sql: String): String =
+    injectCte(sql, "embeddings", "vecs", VecsCte)
 
   final case class Entry(
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
   def e(fn: (SparkSession, String) => DataFrame, sql: String): Entry =
-    Entry((s, d) => portableOrder(fn(s, d)), Some(canonDocs(sql)))
+    Entry((s, d) => portableOrder(fn(s, d)), Some(canonVecs(canonDocs(sql))))
 
   /** Entry with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(fn: (SparkSession, String) => DataFrame): Entry =

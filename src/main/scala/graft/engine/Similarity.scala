@@ -49,10 +49,49 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Canonical embeddings: ONE deterministic survivor per non-null
+    * vec_id — the embeddings twin of [[TextOps.corpus]] (DuckDB mirror:
+    * [[Registry0.VecsCte]], injected into every oracle that touches the
+    * embeddings table). A regenerated index can replay rows or collide
+    * ids, and every query keyed by vec_id (top-k ranks, code tables,
+    * final sorts) is ill-defined on the raw table. Survivor = min over
+    * the (label, embedding) key — label coalesced to Int.MaxValue so a
+    * null label loses to any real one identically in both engines
+    * (Spark orders null struct fields FIRST, DuckDB LAST — never let a
+    * null reach the comparator), then the embedding array
+    * (lexicographic array compare, prefix-first, is the same rule in
+    * both engines; NaN sorts greater than every float in both).
+    *
+    * The intake filter also enforces the documented data contract —
+    * norms appear as divisors throughout, so degenerate vectors (null,
+    * empty, zero-norm, NaN-poisoned) are dropped BEFORE survivor
+    * selection: a broken replay must never shadow a valid row for the
+    * same id. One vec_id-keyed shuffle with map-side partial min_by,
+    * O(index) — the same pass that canonicalizes the corpus, and like
+    * it checkpointed once per index (Stages.materialize): the ~16
+    * embedding queries scan canonical parquet, and the lshBitsFor
+    * count() is a parquet metadata read. */
+  def canonEmb(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "canon_emb", d)(canonEmbOf(s, d))
+
+  private def canonEmbOf(s: SparkSession, d: String): DataFrame = {
+    val key = struct(
+      coalesce(col("label"), lit(Int.MaxValue)).as("l"),
+      col("embedding").as("e"))
+    Sources.embeddings(s, d)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+      .withColumn("__nm", l2norm(col("embedding").cast("array<double>")))
+      .filter(col("__nm") > 0 && !isnan(col("__nm")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("embedding"), col("label")), key).as("r"))
+      .select(col("vec_id"), col("r.embedding").as("embedding"),
+        col("r.label").as("label"))
+  }
+
   /** embeddings as (vec_id, v: array<double>, nm) — floats widened to
     * double *before* any multiply so products are double-exact. */
   def vectors(s: SparkSession, d: String): DataFrame =
-    Sources.embeddings(s, d)
+    canonEmb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nm", l2norm(col("v")))
 
@@ -152,7 +191,7 @@ object Similarity {
     * bucket. Adaptive bit count keeps per-query candidates ≤ ~
     * [[TargetBucket]] as the corpus grows. */
   def simLsh(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val bits = lshBitsFor(canonEmb(s, d).count())
     val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
     val q = vs.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -419,7 +458,7 @@ object Similarity {
     * its partition) then a label-keyed aggregation whose output is
     * bounded by the label cardinality. */
   def embedNorm(s: SparkSession, d: String): DataFrame =
-    Sources.embeddings(s, d)
+    canonEmb(s, d)
       .select(col("label"),
         aggregate(col("embedding").cast("array<double>"), lit(0L),
           (acc, x) => acc + floor(x * x * lit(NormFixedPoint.toDouble)))
@@ -554,7 +593,7 @@ object Similarity {
     * streams past it once, and the vote is a tiny (Q·K-row) aggregation.
     * Output: (q_id, label — the query's own, pred_label, n_votes). */
   def knnLabel(s: SparkSession, d: String): DataFrame = {
-    val emb = Sources.embeddings(s, d)
+    val emb = canonEmb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label").cast("long").as("label"))
       .withColumn("nm", l2norm(col("v")))
@@ -590,7 +629,7 @@ object Similarity {
     * streamed past it once, per-query top-k via window rank.
     * Output: (q_id, q_label, vec_id, label, rk, cos4). */
   def hardNegatives(s: SparkSession, d: String): DataFrame = {
-    val emb = Sources.embeddings(s, d)
+    val emb = canonEmb(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
         col("label").cast("long").as("label"))
       .withColumn("nm", l2norm(col("v")))
@@ -619,7 +658,7 @@ object Similarity {
     * output is ≤ 20 fixed decile rows. Deciles floor(cos·10), clamped
     * to [-10, 9] so cos = 1.0 lands in the top band. */
   def simHist(s: SparkSession, d: String): DataFrame = {
-    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val bits = lshBitsFor(canonEmb(s, d).count())
     val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
     val lhs = vs.select(col("vec_id").as("a"), col("v").as("va"),
       col("nm").as("na"), col("bkt"))
@@ -774,7 +813,7 @@ object Similarity {
     * recall for that bound; [[dedupEmbedBanded]] is the recall-preserving
     * OR-construction over independent projection bands. */
   def dedupEmbed(s: SparkSession, d: String, threshold: Double = 0.4): DataFrame = {
-    val bits = lshBitsFor(Sources.embeddings(s, d).count())
+    val bits = lshBitsFor(canonEmb(s, d).count())
     val vs = vectors(s, d).withColumn("bkt", lshBucket(col("v"), bits))
     val x = vs.select(col("bkt"), col("vec_id").as("a"),
       col("v").as("va"), col("nm").as("na"))

@@ -61,10 +61,10 @@ class SimilaritySpec extends SparkSpec {
   test("kmeansStep: exact fixed-point cell means, identical vectors share a cell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
     Seq(
-      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
-      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), // identical to 10 -> same cell
-      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
-      .toDF("vec_id", "embedding")
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1), // identical to 10 -> same cell
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Similarity.kmeansStep(spark, dir)
       .select("cell", "pos", "n", "sq", "m6")
@@ -88,11 +88,11 @@ class SimilaritySpec extends SparkSpec {
     // structure of real corpora is covered by the oracle check at
     // sf0.001-0.1; this spec pins the drop/keep/count semantics
     Seq(
-      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
-      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // copy of 10 -> cell 10
-      (12L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),    // copy -> cell 10
-      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))    // orthogonal, own cell
-      .toDF("vec_id", "embedding")
+      (10L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (11L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),    // copy of 10 -> cell 10
+      (12L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 1),    // copy -> cell 10
+      (20L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 2))    // orthogonal, own cell
+      .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = Similarity.semDedup(spark, dir, threshold = 0.9)
       .select("vec_id", "keep_id", "n_near")
@@ -111,9 +111,9 @@ class SimilaritySpec extends SparkSpec {
       val e = Array.fill(64)(0.0f)
       e(0) = if (i % 2 == 0) 10.0f else -10.0f
       e(1) = (i % 5) * 0.01f
-      (i.toLong, e.toSeq)
+      (i.toLong, e.toSeq, i % 3)
     }
-    rows.toDF("vec_id", "embedding")
+    rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val (lambda, v) = Similarity.pcaTop(spark, dir)
     assert(math.abs(lambda - 100.0) < 1.0, s"eigenvalue $lambda")
