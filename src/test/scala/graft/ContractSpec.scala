@@ -171,11 +171,27 @@ class ContractSpec extends SparkSpec {
     val src = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
     val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "embeddings")
+      "orders", "lineitem")
     tables.foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dir/$t.parquet")
     }
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val ebase2 = emb.orderBy("vec_id").limit(6)
+      .as[(java.lang.Long, Seq[Float], java.lang.Integer)].collect()
+    val dim = ebase2.head._2.size
+    val vextra: Seq[(java.lang.Long, Seq[Float], java.lang.Integer)] =
+      ebase2.take(2).toSeq ++ // exact replays
+      ebase2.slice(2, 4).map { r => // id collision, different embedding
+        (r._1, r._2.updated(0, r._2.head + 0.25f), r._3)
+      } ++ Seq(
+        (null, ebase2.head._2, Int.box(1)),          // null vec_id
+        (Long.box(900001L), null, Int.box(1)),       // null embedding
+        (Long.box(900002L), Seq.fill(dim)(0.0f), Int.box(1)), // zero vector
+        (Long.box(900003L), Seq.fill(dim)(Float.NaN), Int.box(1))) // NaN
+    emb.union(vextra.toDF(emb.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val base = docs.orderBy("doc_id").limit(20)
       .as[(Long, String, String, String, Long)].collect()
