@@ -839,6 +839,34 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("source", "split")
 
+  /** Split-leakage audit: near-duplicate pairs whose members land in
+    * DIFFERENT train/valid/test splits — the eval contamination a
+    * doc-level random split silently produces (a test doc with a train
+    * near-dup measures memorization, not generalization; the
+    * Lee et al. dedup literature's core warning). Composes the two
+    * existing stages: the verified near-dup pair table and
+    * [[splitStrata]]'s pure-function split assignment — the split is
+    * recomputed from doc_id (no join), so the audit costs one scan of
+    * the O(true dups) pair stage and a ≤6-row aggregate. A non-zero
+    * cross-split row is the signal to switch to cluster-level splitting
+    * (assign whole [[nearDupComponents]] components to one split). */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    def splitOf(c: Column): Column = {
+      val bucket = h28(concat(lit("split_"), c)) % 100
+      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
+        .otherwise(lit("test"))
+    }
+    sharedCandPairs(s, d)
+      .filter(col("jacc") >= NearDupJaccard)
+      .select(splitOf(col("a")).as("xa"), splitOf(col("b")).as("xb"))
+      .select(least(col("xa"), col("xb")).as("split_a"),
+        greatest(col("xa"), col("xb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_a") =!= col("split_b"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** TF-IDF top-3 terms per document. The rarity weight is the rational
     * (N+1)/(df+1) rather than its logarithm: monotone-equivalent for
     * ranking, and — unlike `ln`, which IEEE 754 does not require to be

@@ -312,6 +312,22 @@ object TextRegistry {
          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     }),
 
+    "q_split_leakage" -> e(TextOps.splitLeakage, {
+      def sp(x: String) = {
+        val h = duckH28(s"'split_'||$x")
+        s"CASE WHEN $h % 100 < 80 THEN 'train' " +
+          s"WHEN $h % 100 < 90 THEN 'valid' ELSE 'test' END"
+      }
+      s"""WITH $ngramPairCtes,
+         | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | sx AS (SELECT ${sp("a")} AS xa, ${sp("b")} AS xb FROM pr),
+         | sg AS (SELECT least(xa, xb) AS split_a, greatest(xa, xb) AS split_b
+         |  FROM sx)
+         |SELECT split_a, split_b, count(*) AS n_pairs,
+         | split_a <> split_b AS leaky
+         |FROM sg GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
+    }),
+
     "q_tfidf" -> e(TextOps.tfidf,
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
         |  FROM documents),
