@@ -165,6 +165,9 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
         vex.append((nvid + 1, [0.0] * dim, 1))      # zero vector
         vex.append((nvid + 2, [float("nan")] * dim, 1))  # NaN poison
         vex.append((nvid + 3, vrows[1][1], None))   # null label
+        ne = list(vrows[2][1])
+        ne[3] = None
+        vex.append((nvid + 4, ne, 1))               # null ELEMENT in vector
     con.execute(f"CREATE OR REPLACE TABLE fvec AS "
                 f"SELECT * FROM '{src}/embeddings.parquet'")
     if vex:

@@ -61,9 +61,13 @@ object Registry0 {
       "SELECT vec_id, embedding, label, row_number() OVER (" +
       "PARTITION BY vec_id " +
       "ORDER BY coalesce(label, 2147483647), embedding) AS rn " +
+      // list_sum SKIPS null elements while Spark's dot product
+      // null-poisons the norm — exclude null-element vectors explicitly
+      // so both engines drop the same degenerate rows
       "FROM (SELECT *, sqrt(list_sum(list_transform(embedding, " +
       "x -> CAST(x AS DOUBLE)*x))) AS nm FROM embeddings " +
-      "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL) " +
+      "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL " +
+      "AND len(list_filter(embedding, x -> x IS NULL)) = 0) " +
       "WHERE nm > 0 AND NOT isnan(nm)) WHERE rn = 1)"
 
   /** Redirect an oracle's references to `table` to the canonical CTE

@@ -21,11 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * identical to the unshared pipeline — the stage IS the same
   * deterministic frame, round-tripped through its own schema.
   *
-  * Stage paths are content-keyed: the digest covers the stage name, the
-  * input dir AND a fingerprint of the input's file listing (name, size,
-  * mtime of every file), so regenerating the corpus under the same path
-  * yields a different stage path rather than silently serving stale
-  * data. Writers build into a private attempt directory and PUBLISH via
+  * Stage paths are content- AND definition-keyed: the digest covers the
+  * stage name, the input dir, a fingerprint of the input's file listing
+  * (name, size, mtime of every file) and the canonicalized logical plan
+  * that defines the stage — so regenerating the corpus under the same
+  * path, or changing the code that computes a stage, yields a different
+  * stage path rather than silently serving stale data. Writers build into a private attempt directory and PUBLISH via
   * a pointer file written with create-exclusive semantics — never by
   * renaming a directory onto the target path. A directory rename has a
   * cross-process TOCTOU: if another JVM commits between our existence
@@ -110,17 +111,31 @@ object Stages {
     * the age-gated reaper rather than risking a dangling reader. */
   def materialize(s: SparkSession, stage: String, dir: String)(
       build: => DataFrame): DataFrame = {
-    // the fingerprint is part of the MEMO key, not just the path: keyed
-    // by (stage, dir) alone, a long-lived driver would keep serving the
-    // old stage after the corpus under `dir` is regenerated. Costs one
-    // metadata-only listing per call.
+    // In-JVM memo key: the input-dir file listing (name/size/mtime) is
+    // part of it — keyed by (stage, dir) alone, a long-lived driver
+    // would keep serving the old stage after the corpus under `dir` is
+    // regenerated. Costs one metadata-only listing per call. The stage
+    // DEFINITION is deliberately NOT in this key: code cannot change
+    // within a JVM, and leaving it out keeps `build` unevaluated on
+    // memo hits.
     val key = s"$stage|$dir|${fingerprint(s, dir)}"
     val cached = done.get(key)
     val path = if (cached != null) cached else buildLock.synchronized {
       val again = done.get(key)
       if (again != null) again
       else {
-        val p = s"$root/$stage-${md5hex(key)}"
+        // Force plan CONSTRUCTION (not execution) once per miss: the
+        // FS path additionally carries the canonicalized defining
+        // plan, so on a PERSISTENT root a code change to how a stage
+        // is computed yields a new stage path instead of every
+        // checkout silently serving whichever definition built first.
+        // Transitive by construction — a stage reading another stage
+        // embeds that stage's (already fingerprinted) path in its own
+        // plan. Canonicalized, so expression-id churn does not move
+        // the key.
+        val df = build
+        val defFp = md5hex(df.queryExecution.logical.canonicalized.toString)
+        val p = s"$root/$stage-${md5hex(s"$key|$defFp")}"
         val fs = new org.apache.hadoop.fs.Path(p)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
         val ptr = new org.apache.hadoop.fs.Path(s"$p.ptr")
@@ -132,7 +147,7 @@ object Stages {
             val attempt = new org.apache.hadoop.fs.Path(
               s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
             val t0 = System.nanoTime()
-            build.write.mode("overwrite").parquet(attempt.toString)
+            df.write.mode("overwrite").parquet(attempt.toString)
             System.err.println(f"[stages] built $stage in " +
               f"${(System.nanoTime() - t0) / 1e9}%.2f s")
             if (!publish(fs, ptr, attempt.toString)) {
@@ -154,6 +169,20 @@ object Stages {
             // exists-check must RE-ELECT, not crash — bounded so a
             // persistently vanishing pointer still surfaces as an error
             case _: java.io.FileNotFoundException if rounds < 3 => ()
+          }
+          // A pointer can outlive its attempt directory on a persistent
+          // root (tmp reapers age out the big data dir but keep — or
+          // recreate interest in — the tiny pointer file). A pointer
+          // naming a missing directory is permanently dead by protocol
+          // (pointers are never replaced), so delete it and RE-ELECT
+          // rather than memoizing a path every read would fail on.
+          if (resolved != null &&
+              !fs.exists(new org.apache.hadoop.fs.Path(resolved))) {
+            if (rounds >= 3)
+              throw new IllegalStateException(
+                s"stage $stage: pointer $ptr names missing dir $resolved")
+            fs.delete(ptr, false)
+            resolved = null
           }
         }
         // reap on EVERY memo miss, not only the build branch: double-win

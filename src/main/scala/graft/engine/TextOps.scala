@@ -828,13 +828,18 @@ object TextOps {
     * rows never migrate between splits when the corpus grows — the
     * property a training pipeline needs from its split step. One scan +
     * one small agg; the assignment itself is shuffle-free. */
+  /** Pure-function train/valid/test assignment (salted portable hash
+    * mod 100, 80/10/10) — the ONE definition behind [[splitStrata]] and
+    * [[splitLeakage]] (DuckDB twin: TextRegistry.duckSplit). */
+  def splitOf(id: Column): Column = {
+    val bucket = h28(concat(lit("split_"), id)) % 100
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
   def splitStrata(s: SparkSession, d: String): DataFrame =
     corpus(s, d)
-      .withColumn("bucket", h28(concat(lit("split_"), col("doc_id"))) % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, lit("train"))
-          .when(col("bucket") < 90, lit("valid"))
-          .otherwise(lit("test")))
+      .withColumn("split", splitOf(col("doc_id")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("source", "split")
@@ -851,11 +856,6 @@ object TextOps {
     * cross-split row is the signal to switch to cluster-level splitting
     * (assign whole [[nearDupComponents]] components to one split). */
   def splitLeakage(s: SparkSession, d: String): DataFrame = {
-    def splitOf(c: Column): Column = {
-      val bucket = h28(concat(lit("split_"), c)) % 100
-      when(bucket < 80, lit("train")).when(bucket < 90, lit("valid"))
-        .otherwise(lit("test"))
-    }
     sharedCandPairs(s, d)
       .filter(col("jacc") >= NearDupJaccard)
       .select(splitOf(col("a")).as("xa"), splitOf(col("b")).as("xb"))

@@ -76,6 +76,14 @@ object TextRegistry {
        |  FROM cand JOIN ss sa ON sa.doc_id = a JOIN ss sb ON sb.doc_id = b)""".stripMargin
   }
 
+  /** DuckDB mirror of [[TextOps.splitOf]] — the ONE SQL rendering of
+    * the train/valid/test assignment. */
+  private def duckSplit(x: String): String = {
+    val h = duckH28(s"'split_'||$x")
+    s"CASE WHEN $h % 100 < 80 THEN 'train' " +
+      s"WHEN $h % 100 < 90 THEN 'valid' ELSE 'test' END"
+  }
+
   /** DuckDB mirror of [[Similarity.lshBitsFor]]: MinLshBits + the count
     * of occupancy thresholds passed — exact integer comparisons, so both
     * engines derive the identical bit count from their own corpus count. */
@@ -170,9 +178,14 @@ object TextRegistry {
         |   TRY_CAST(substr(source, 4) AS INT) AS prio FROM documents),
         | g AS (SELECT k, count(*) AS n_dups,
         |   count(DISTINCT source) AS n_sources FROM x GROUP BY 1),
+        | -- coalesce (not NULLS LAST) mirrors the Spark min_by key
+        | -- EXACTLY: under NULLS LAST a real prio of 2147483647 would
+        | -- strictly beat a null prio, while Spark's coalesce makes
+        | -- them tie and fall through to the doc_id tiebreak
         | r AS (SELECT doc_id, source, k, row_number() OVER (
-        |    PARTITION BY k ORDER BY prio ASC NULLS LAST,
-        |      doc_id NULLS LAST, coalesce(source, '')) AS rn FROM x)
+        |    PARTITION BY k ORDER BY coalesce(prio, 2147483647),
+        |      coalesce(doc_id, 9223372036854775807),
+        |      coalesce(source, '')) AS rn FROM x)
         |SELECT r.doc_id, r.source, g.n_dups, g.n_sources
         |-- null-safe join: a null-text group (k IS NULL) is still a
         |-- dedup group; USING (k) would silently drop it
@@ -301,32 +314,23 @@ object TextRegistry {
          |WHERE ham <= ${TextOps.NearMaxHamming} ORDER BY a, b""".stripMargin
     }),
 
-    "q_split_strata" -> e(TextOps.splitStrata, {
-      val h = duckH28("'split_'||doc_id")
-      s"""WITH a AS (SELECT source, n_chars, $h % 100 AS bucket FROM documents),
-         | b AS (SELECT source, n_chars,
-         |   CASE WHEN bucket < 80 THEN 'train'
-         |        WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split FROM a)
+    "q_split_strata" -> e(TextOps.splitStrata,
+      s"""WITH b AS (SELECT source, n_chars, ${duckSplit("doc_id")} AS split
+         |  FROM documents)
          |SELECT source, split, count(*) AS n_docs,
          | CAST(sum(n_chars) AS BIGINT) AS total_chars
-         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    }),
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
-    "q_split_leakage" -> e(TextOps.splitLeakage, {
-      def sp(x: String) = {
-        val h = duckH28(s"'split_'||$x")
-        s"CASE WHEN $h % 100 < 80 THEN 'train' " +
-          s"WHEN $h % 100 < 90 THEN 'valid' ELSE 'test' END"
-      }
+    "q_split_leakage" -> e(TextOps.splitLeakage,
       s"""WITH $ngramPairCtes,
          | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
-         | sx AS (SELECT ${sp("a")} AS xa, ${sp("b")} AS xb FROM pr),
+         | sx AS (SELECT ${duckSplit("a")} AS xa, ${duckSplit("b")} AS xb
+         |  FROM pr),
          | sg AS (SELECT least(xa, xb) AS split_a, greatest(xa, xb) AS split_b
          |  FROM sx)
          |SELECT split_a, split_b, count(*) AS n_pairs,
          | split_a <> split_b AS leaky
-         |FROM sg GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin
-    }),
+         |FROM sg GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin),
 
     "q_tfidf" -> e(TextOps.tfidf,
       """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term

@@ -46,17 +46,59 @@ class StagesSpec extends SparkSpec {
     // publish once, wipe the in-JVM memo (Stages.reset), call again: the
     // second call must resolve via the on-disk pointer — the same path a
     // fresh JVM sharing a persistent root takes — and must NOT rebuild.
+    // "Build" = a parquet write (an attempt directory): the build THUNK
+    // is evaluated once per memo miss for the definition fingerprint
+    // (plan construction only), so it is not the thing to count.
     val dir = java.nio.file.Files.createTempDirectory("spec-ptr").toString
-    val builds = new AtomicInteger(0)
     def stage() = Stages.materialize(spark, "spec_adopt", dir) {
-      builds.incrementAndGet()
       spark.range(5).toDF("id")
     }
+    def attempts(): Int = {
+      val rootField = Stages.getClass.getDeclaredField("root")
+      rootField.setAccessible(true)
+      new java.io.File(rootField.get(Stages).asInstanceOf[String])
+        .listFiles()
+        .count(f => f.getName.startsWith("spec_adopt-") && f.isDirectory)
+    }
     assert(stage().count() == 5)
-    assert(builds.get() == 1)
+    assert(attempts() == 1)
     Stages.reset() // wipe the in-JVM memo: next call must go to the FS
     assert(stage().count() == 5)
-    assert(builds.get() == 1)
+    assert(attempts() == 1) // adopted, not rebuilt
+  }
+
+  test("a changed stage definition gets a new path, never the stale stage") {
+    // the persistent-root staleness hole: same stage name + same input,
+    // but the code computing the stage changed between "sessions"
+    // (simulated by a memo reset). The old pointer must NOT be adopted.
+    val dir = java.nio.file.Files.createTempDirectory("spec-def").toString
+    assert(Stages.materialize(spark, "spec_def", dir) {
+      spark.range(5).toDF("id")
+    }.count() == 5)
+    Stages.reset()
+    assert(Stages.materialize(spark, "spec_def", dir) {
+      spark.range(7).toDF("id") // "new code" for the same stage
+    }.count() == 7, "stale stage served after definition change")
+  }
+
+  test("a pointer naming a missing attempt dir is re-elected, not served") {
+    // tmp reapers can age out the data directory while the tiny pointer
+    // file survives; the resolved path would fail every read forever
+    // since pointers are never replaced — materialize must detect the
+    // dangling pointer, delete it, and rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("spec-dangle").toString
+    def stage() = Stages.materialize(spark, "spec_dangle", dir) {
+      spark.range(4).toDF("id")
+    }
+    assert(stage().count() == 4)
+    Stages.reset()
+    val rootField = Stages.getClass.getDeclaredField("root")
+    rootField.setAccessible(true)
+    val root = new java.io.File(rootField.get(Stages).asInstanceOf[String])
+    root.listFiles()
+      .filter(f => f.getName.startsWith("spec_dangle-") && f.isDirectory)
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    assert(stage().count() == 4, "dangling pointer not re-elected")
   }
 
   test("an incomplete pointer (writer died mid-publish) fails loudly") {
