@@ -502,6 +502,62 @@ object Registry {
         |FROM merged
         |ORDER BY c_custkey, c_name, bal6, c_mktsegment,
         | valid_from, valid_to, is_current""".stripMargin),
+
+    "q_rfm_segments" -> e(Relational.rfmSegments,
+      s"""WITH o AS (SELECT o_custkey,
+         |   date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+         |     AS dd,
+         |   CAST(o_totalprice AS DECIMAL(10,2)) AS price
+         |  FROM orders WHERE o_orderdate IS NOT NULL),
+         | mx AS (SELECT max(dd) AS max_dd FROM o),
+         | per AS (SELECT o_custkey, max_dd - max(dd) AS r_days,
+         |    count(*) AS f, sum(price) AS m
+         |  FROM o CROSS JOIN mx GROUP BY o_custkey, max_dd),
+         | seg AS (SELECT *,
+         |   CASE WHEN r_days <= ${Relational.RfmRecentDays}
+         |          AND f >= ${Relational.RfmFrequentOrders} THEN 'champion'
+         |        WHEN r_days <= ${Relational.RfmRecentDays}
+         |          THEN 'recent_casual'
+         |        WHEN f >= ${Relational.RfmFrequentOrders}
+         |          THEN 'loyal_lapsed'
+         |        ELSE 'dormant' END AS segment
+         |  FROM per)
+         |SELECT segment, count(*) AS n_cust,
+         | CAST(sum(f) AS BIGINT) AS n_orders,
+         | CAST(sum(m) AS DOUBLE) AS revenue,
+         | CAST(min(r_days) AS BIGINT) AS min_r_days,
+         | CAST(max(r_days) AS BIGINT) AS max_r_days
+         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_basket_pairs" -> e(Relational.basketPairs,
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+        |FROM lp a JOIN lp b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 40""".stripMargin),
+
+    "q_reorder_gaps" -> e(Relational.reorderGaps,
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |   date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |     AS dd
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        | l AS (SELECT o_custkey, dd, lag(dd) OVER (PARTITION BY o_custkey
+        |    ORDER BY dd, o_orderkey) AS pdd FROM o),
+        | g AS (SELECT o_custkey, (dd - pdd) // 7 AS gap_w FROM l
+        |  WHERE pdd IS NOT NULL)
+        |SELECT gap_w, count(*) AS n_gaps,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_ship_priority" -> e(Relational.shipPriority,
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey
+        |LIMIT 20""".stripMargin),
   )
 
   /** All declared queries, in a stable order. */

@@ -574,6 +574,84 @@ object Events {
           "CAST(least(ref_day - day, 20) AS INT))")).as("score"))
       .orderBy("user_id", "n_events", "score")
   }
+
+  /** Path prefix length for [[sessionPaths]]. */
+  val SessionPathLen = 3
+
+  /** Session journey paths: the first [[SessionPathLen]] event types of
+    * each 30-minute-gap session joined into a '>' path, counted across
+    * all sessions — the "how do users start a session" rollup.
+    *
+    * Determinism: the projection keeps ONLY (user_id, event_id, us,
+    * etype) before any window, so replayed events that tie on the full
+    * window order (us, event_id, etype) are fully identical rows —
+    * interchangeable under both the session flag and the row_number
+    * prefix cut (same etype multiset → same path). Null event types are
+    * pinned to the \u0002 sentinel (chr(2) oracle-side) in both engines, and the path is
+    * assembled from an rn-sorted array, never collection order.
+    *
+    * Scale: two passes over one user-keyed sorted partition (lag +
+    * running sum, then row_number), a (user, sid)-keyed prefix rollup,
+    * and a path-keyed count whose key space is |event_type|^len — the
+    * final aggregate is broadcast-sized no matter the event volume. */
+  /** Shared session-id frame for the journey queries: events projected
+    * to exactly (user_id, event_id, us, etype) — null types pinned to
+    * the \u0002 sentinel (chr(2) oracle-side) — with a 30-minute-gap
+    * session id. The projection-before-window rule (see
+    * [[sessionizeUs]]) makes any window-order tie a fully identical
+    * row, hence interchangeable downstream. */
+  private def typedSessions(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val base = ev(s, d).select(col("user_id"), col("event_id"), col("us"),
+      coalesce(col("event_type"), lit("\u0002")).as("etype"))
+    val byU = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"), col("etype"))
+    base
+      .withColumn("prev_us", lag(col("us"), 1).over(byU))
+      .withColumn("flag", when(col("prev_us").isNull, 1)
+        .when(col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sid", sum(col("flag")).over(
+        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  def sessionPaths(s: SparkSession, d: String): DataFrame = {
+    val sess = typedSessions(s, d)
+    val bySess = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("us"), col("event_id"), col("etype"))
+    sess.withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= SessionPathLen)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("etype")))),
+        x => x.getField("etype")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("path")
+  }
+
+  /** Session abandonment per user: of the user's 30-minute-gap sessions,
+    * how many contained a 'view' and how many of those converted to a
+    * 'purchase' in the SAME session — abandon rate in integer ppm (null
+    * when the user has no view sessions, never a divide-by-zero).
+    *
+    * All arithmetic is integer; the session frame is [[typedSessions]]
+    * (full-identity window ties). Scale: two keyed aggregates over the
+    * session frame — (user, sid) flag rollup then the per-user count —
+    * both map-side-combinable, output bounded by the user count. */
+  def sessionAbandon(s: SparkSession, d: String): DataFrame =
+    typedSessions(s, d)
+      .groupBy(col("user_id"), col("sid"))
+      .agg(max(when(col("etype") === "view", 1).otherwise(0)).as("has_view"),
+        max(when(col("etype") === "purchase", 1).otherwise(0)).as("has_buy"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("has_view")).as("n_view"),
+        sum(when(col("has_view") === 1 && col("has_buy") === 0, 1)
+          .otherwise(0)).as("n_abandoned"))
+      .withColumn("abandon_ppm",
+        expr("CASE WHEN n_view > 0 THEN n_abandoned * 1000000 DIV n_view " +
+          "ELSE NULL END"))
+      .orderBy("user_id")
 }
 
 object EventsRegistry {
@@ -847,5 +925,53 @@ object EventsRegistry {
          |   AS ev_cum
          |FROM daily
          |ORDER BY day, n_events, n_users, ev_7d, ev_cum""".stripMargin),
+
+    "q_session_paths" -> e(Events.sessionPaths,
+      s"""WITH e AS (SELECT user_id, event_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |   coalesce(event_type, chr(2)) AS etype FROM events),
+         | x AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+         |      WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+         |      AS flag
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY us, event_id, etype)),
+         | s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id, etype
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+         |    ORDER BY us, event_id, etype) AS rn FROM s),
+         | p AS (SELECT user_id, sid,
+         |   string_agg(etype, '>' ORDER BY rn) AS path
+         |  FROM r WHERE rn <= ${Events.SessionPathLen} GROUP BY 1, 2)
+         |SELECT path, count(*) AS n_sessions
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_session_abandon" -> e(Events.sessionAbandon,
+      s"""WITH e AS (SELECT user_id, event_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |   coalesce(event_type, chr(2)) AS etype FROM events),
+         | x AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+         |      WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END
+         |      AS flag
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY us, event_id, etype)),
+         | s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id, etype
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM x),
+         | p AS (SELECT user_id, sid,
+         |   max(CASE WHEN etype = 'view' THEN 1 ELSE 0 END) AS has_view,
+         |   max(CASE WHEN etype = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+         |  FROM s GROUP BY 1, 2),
+         | u AS (SELECT user_id, count(*) AS n_sessions,
+         |   CAST(sum(has_view) AS BIGINT) AS n_view,
+         |   CAST(sum(CASE WHEN has_view = 1 AND has_buy = 0
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+         |  FROM p GROUP BY 1)
+         |SELECT user_id, n_sessions, n_view, n_abandoned,
+         | CASE WHEN n_view > 0 THEN n_abandoned * 1000000 // n_view
+         |   ELSE NULL END AS abandon_ppm
+         |FROM u ORDER BY 1""".stripMargin),
   )
 }

@@ -746,4 +746,118 @@ object Relational {
       .orderBy("c_custkey", "c_name", "bal6", "c_mktsegment",
         "valid_from", "valid_to", "is_current")
   }
+
+  /** RFM quadrant thresholds (days since last order / lifetime order
+    * count) — chosen at the observed sf0.01 medians (169 days, 10
+    * orders) so every quadrant is populated. */
+  val RfmRecentDays = 120L
+  val RfmFrequentOrders = 12L
+
+  /** RFM customer segmentation: recency (days since the fact table's
+    * latest order date), frequency, monetary per customer, rolled up to
+    * quadrant segments against fixed thresholds ([[RfmRecentDays]],
+    * [[RfmFrequentOrders]]).
+    *
+    * Determinism: recency is integer epoch-day arithmetic against a
+    * broadcast global max; monetary is an exact decimal sum (order-free)
+    * cast to double only at the output boundary. Fixed thresholds, not
+    * ntile — quantile cuts would hand tied customers engine-dependent
+    * segments.
+    *
+    * Scale: one customer-keyed aggregate (map-side partial) over the
+    * fact table, a broadcast single-row max join, and a 4-row rollup —
+    * nothing grows with orders except the first agg's key space. */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+          .cast("long").as("dd"),
+        money(col("o_totalprice")).as("price"))
+    val mx = o.agg(max(col("dd")).as("max_dd"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("dd")).as("last_dd"), count(lit(1)).as("f"),
+        sum(col("price")).as("m"))
+      .crossJoin(broadcast(mx))
+      .withColumn("r_days", col("max_dd") - col("last_dd"))
+    per
+      .withColumn("segment",
+        when(col("r_days") <= RfmRecentDays &&
+          col("f") >= RfmFrequentOrders, "champion")
+          .when(col("r_days") <= RfmRecentDays, "recent_casual")
+          .when(col("f") >= RfmFrequentOrders, "loyal_lapsed")
+          .otherwise("dormant"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("f")).as("n_orders"),
+        outD(sum(col("m"))).as("revenue"),
+        min(col("r_days")).as("min_r_days"),
+        max(col("r_days")).as("max_r_days"))
+      .orderBy("segment")
+  }
+
+  /** Market-basket co-occurrence: part pairs ordered together, top 40
+    * by support. The self-join is co-partitioned on the order key, and
+    * the per-order pair fan-out is C(k,2) of the order's DISTINCT part
+    * count — bounded by the lines-per-order cap, so the join output is
+    * linear in orders, not quadratic in lineitems. Top-k rides a total
+    * (n_orders DESC, p1, p2) order on the unique pair key, so the limit
+    * is deterministic. */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val lp = li(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("a").join(lp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(40)
+  }
+
+  /** Inter-order gap histogram: days between a customer's consecutive
+    * orders, bucketed by week — the re-purchase-cadence distribution.
+    * All integer (epoch days, floor-divided buckets). The lag window
+    * orders by (dd, o_orderkey) over a projection that carries nothing
+    * else, so any tied rows are identical and the gap multiset is
+    * order-independent. One customer-keyed window pass, then a
+    * bucket-keyed aggregate whose key space is the gap range in weeks. */
+  def reorderGaps(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+          .cast("long").as("dd"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("dd"), col("o_orderkey"))
+    o.withColumn("prev_dd", lag(col("dd"), 1).over(w))
+      .filter(col("prev_dd").isNotNull)
+      .withColumn("gap_w", expr("(dd - prev_dd) DIV 7"))
+      .groupBy(col("gap_w"))
+      .agg(count(lit(1)).as("n_gaps"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("gap_w")
+  }
+
+  /** Shipping-priority revenue (the TPC-H Q3 shape): revenue still in
+    * flight at the cutoff — orders placed before it with line items
+    * shipped on/after it — top 20 orders by open revenue.
+    *
+    * Revenue is an exact decimal sum (order-free) cast to double at the
+    * boundary, so the DESC sort compares identical doubles in both
+    * engines and the unique order key breaks any revenue tie — the
+    * limit is deterministic. The join is orderkey-equi (co-partitioned
+    * shuffle or broadcast under AQE); both date filters push to the
+    * parquet scans; top-k rides TakeOrderedAndProject, never a global
+    * sort. */
+  def shipPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    val o = ord(s, d).filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = li(s, d).filter(col("l_shipdate") >= cutoff)
+      .select(col("l_orderkey"), revenue.as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(outD(sum(col("rev"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(20)
+  }
 }

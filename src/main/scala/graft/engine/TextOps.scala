@@ -2179,4 +2179,149 @@ object TextOps {
         octet_length(col("payload")).cast(LongType).as("blen"),
         md5(col("payload")).as("sig"))
       .orderBy("doc_id")
+
+  /** HyperLogLog geometry: 64 registers (6 index bits out of the 28-bit
+    * portable hash), 22 rank bits, rank in [1, 23]. */
+  val HllRegisters = 64L
+  val HllRankMax = 23 // 22 rem bits → max leading-zero rank 23 (rem = 0)
+
+  /** Distinct-token HyperLogLog per source, next to the exact answer —
+    * the mergeable cardinality sketch a 100 TB profile pass ships
+    * instead of a count(DISTINCT) (register maxima union by max; the
+    * exact column exists here only to exhibit the estimate's quality).
+    *
+    * Determinism (the reason this is NOT `approx_count_distinct`):
+    * registers derive from the portable md5 h28 — reg = h % 64, rank =
+    * 23 − bitlen(h DIV 64) — all integer; the harmonic-mean denominator
+    * is accumulated in fixed point (each register contributes the exact
+    * integer 2^(23−maxrank), empty registers 2^23), so the only double
+    * in the query is one constant-over-integer division at the output
+    * boundary — bit-identical cross-engine. A float 2^−M sum would be
+    * partition-order-dependent.
+    *
+    * Scale: the (source, tok) distinct is the same vocab-sized pass
+    * [[srcJaccard]] runs; everything after is 64 rows per source. */
+  def hllDistinct(s: SparkSession, d: String): DataFrame = {
+    val toks = corpus(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val exact = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val regs = toks
+      .withColumn("hv", PortableHash.h28(col("tok")))
+      .withColumn("reg", col("hv") % HllRegisters)
+      .withColumn("rem", expr(s"hv DIV $HllRegisters"))
+      .withColumn("rank", when(col("rem") === 0, lit(HllRankMax))
+        .otherwise(lit(HllRankMax) - length(conv(col("rem"), 10, 2))))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rank")).as("maxr"))
+    regs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST($HllRankMax - maxr AS INT))")).as("hit_sum"))
+      .withColumn("reg_sum", col("hit_sum") +
+        (lit(HllRegisters) - col("n_regs")) * lit(1L << HllRankMax))
+      .join(exact, Seq("source"))
+      // 0.709 = the standard HLL alpha for m = 64; the product folds
+      // left-to-right from the same three literals in both engines
+      .withColumn("est_distinct",
+        lit(0.709) * lit(4096.0) * lit(8388608.0) /
+          col("reg_sum").cast("double"))
+      .select(col("source"), col("n_regs"), col("reg_sum"),
+        col("est_distinct"), col("exact_distinct"))
+      .orderBy("source")
+  }
+
+  /** Source-pair vocabulary overlap: Jaccard of the distinct-token sets
+    * of every source pair, in integer ppm. The full pair grid appears
+    * (zero-overlap pairs included) via a broadcast pair frame left-
+    * joined with the intersection counts. Null-source docs are excluded
+    * by the strict `<` pair ordering in both engines.
+    *
+    * Scale: intersection counts come from a token-keyed self-equi-join
+    * of the distinct (source, tok) table — fan-out per token is
+    * C(sources-with-token, 2), bounded by the source count, never a
+    * cross of document volumes; the grid and size frames are
+    * sources-sized broadcasts. */
+  def srcJaccard(s: SparkSession, d: String): DataFrame = {
+    val st = corpus(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val grid = sizes.as("x").join(sizes.as("y"),
+        col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    broadcast(grid).join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("jacc_ppm",
+        expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jacc_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Per-source token-length outliers: documents whose length sits ≥
+    * 1.5 population standard deviations from their source's mean — the
+    * anomaly cut a length-distribution audit applies before training.
+    *
+    * Determinism: the filter is the PURE-INTEGER inequality
+    * 4·(n·x − s1)² ≥ 9·(n·s2 − s1²) — algebraically |z| ≥ 1.5 with z
+    * = (x − μ)/σ — over exact integer moment sums, so no double ever
+    * decides membership; the reported z is a fixed three-step
+    * cast/sqrt/divide over those same exact integers (each step
+    * correctly rounded, hence bit-identical cross-engine).
+    *
+    * Scale: one source-keyed moment aggregate (map-side partial) and a
+    * broadcast join back — single corpus pass, no sort until the
+    * outlier-sized output. */
+  def lenZscore(s: SparkSession, d: String): DataFrame = {
+    val t = corpus(s, d).select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    val g = t.groupBy(col("source")).agg(count(lit(1)).as("n"),
+      sum(col("n_tok")).as("s1"),
+      sum(col("n_tok") * col("n_tok")).as("s2"))
+    t.join(broadcast(g), Seq("source"))
+      .withColumn("dd", col("n_tok") * col("n") - col("s1"))
+      .withColumn("varn", col("n") * col("s2") - col("s1") * col("s1"))
+      .filter(col("varn") > 0 &&
+        lit(4) * col("dd") * col("dd") >= lit(9) * col("varn"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        (col("dd").cast("double") / sqrt(col("varn").cast("double")))
+          .as("z"))
+      .orderBy("doc_id", "source")
+  }
+
+  /** Sample size for [[weightedSample]]. */
+  val WeightedSampleK = 50
+
+  /** Deterministic weighted sampling (A-ES / exponential-clocks): each
+    * document draws u ∈ (0, 1] from the portable hash of its id and
+    * ranks by −ln(u)/w with weight w = its token count — the standard
+    * reduction of weighted sampling without replacement to a top-k.
+    * Long documents are proportionally likelier to make the sample; the
+    * whole draw replays bit-identically from the corpus alone (the
+    * seed IS the hash family), which is what a reproducible
+    * training-mix needs.
+    *
+    * Determinism: the key is floor-quantized to micro-units BEFORE the
+    * ranking (the [[SurprisalScale]] discipline — the only double is
+    * one fixed mul/ln/div chain on exact inputs) and doc_id breaks
+    * quantized ties. Scale: stateless per-row scoring then a top-k that
+    * rides TakeOrderedAndProject — no shuffle beyond the k-row merge. */
+  def weightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = (PortableHash.h28(concat(lit("ws_"), col("doc_id"))) + 1)
+      .cast("double") / lit(268435456.0)
+    corpus(s, d)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("key_fp",
+        floor(lit(-1000000.0) * log(u) / col("n_tok")).cast(LongType))
+      .orderBy(col("key_fp"), col("doc_id"))
+      .limit(WeightedSampleK)
+  }
 }

@@ -1274,5 +1274,73 @@ object TextRegistry {
          | CAST(sum(norm_fp) AS BIGINT) // count(*) AS avg_n
          |FROM nr GROUP BY label
          |ORDER BY label, n_vec, min_n, max_n, sum_n, avg_n""".stripMargin),
+
+    "q_hll_distinct" -> e(TextOps.hllDistinct,
+      s"""WITH u AS (SELECT DISTINCT source, tok FROM (
+         |   SELECT source, unnest(string_split(text,' ')) AS tok
+         |   FROM documents)),
+         | h AS (SELECT source, ${duckH28("tok")} AS hv FROM u),
+         | r AS (SELECT source, hv % 64 AS reg, hv // 64 AS rem FROM h),
+         | rk AS (SELECT source, reg, CASE WHEN rem = 0 THEN 23
+         |    ELSE 23 - length(bin(rem)) END AS lz FROM r),
+         | m AS (SELECT source, reg, max(lz) AS maxr FROM rk GROUP BY 1, 2),
+         | a AS (SELECT source, count(*) AS n_regs,
+         |   CAST(sum(1 << (23 - maxr)) AS BIGINT) AS hit_sum
+         |  FROM m GROUP BY 1),
+         | ex AS (SELECT source, count(*) AS exact_distinct
+         |  FROM u GROUP BY 1)
+         |SELECT a.source, n_regs,
+         | CAST(hit_sum + (64 - n_regs) * 8388608 AS BIGINT) AS reg_sum,
+         | 0.709e0 * 4096e0 * 8388608e0 /
+         |   CAST(hit_sum + (64 - n_regs) * 8388608 AS DOUBLE)
+         |   AS est_distinct,
+         | exact_distinct
+         |FROM a JOIN ex USING (source) ORDER BY source""".stripMargin),
+
+    "q_src_jaccard" -> e(TextOps.srcJaccard,
+      """WITH u AS (SELECT DISTINCT source, tok FROM (
+        |   SELECT source, unnest(string_split(text,' ')) AS tok
+        |   FROM documents)),
+        | sz AS (SELECT source, count(*) AS n FROM u GROUP BY 1),
+        | grid AS (SELECT x.source AS src_a, y.source AS src_b,
+        |    x.n AS n_a, y.n AS n_b
+        |   FROM sz x JOIN sz y ON x.source < y.source),
+        | i AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_inter
+        |   FROM u a JOIN u b
+        |     ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
+        |SELECT g.src_a, g.src_b, g.n_a, g.n_b,
+        | CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+        | coalesce(i.n_inter, 0) * 1000000
+        |   // (g.n_a + g.n_b - coalesce(i.n_inter, 0)) AS jacc_ppm
+        |FROM grid g LEFT JOIN i USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin),
+
+    "q_len_zscore" -> e(TextOps.lenZscore,
+      """WITH t AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        | g AS (SELECT source, count(*) AS n,
+        |   CAST(sum(n_tok) AS BIGINT) AS s1,
+        |   CAST(sum(n_tok*n_tok) AS BIGINT) AS s2 FROM t GROUP BY 1),
+        | j AS (SELECT t.doc_id, t.source, t.n_tok,
+        |   t.n_tok*g.n - g.s1 AS dd, g.n*g.s2 - g.s1*g.s1 AS varn
+        |  FROM t JOIN g USING (source))
+        |SELECT doc_id, source, n_tok,
+        | CAST(dd AS DOUBLE)/sqrt(CAST(varn AS DOUBLE)) AS z
+        |FROM j WHERE varn > 0 AND 4*dd*dd >= 9*varn
+        |ORDER BY doc_id, source""".stripMargin),
+
+    "q_weighted_sample" -> e(TextOps.weightedSample, {
+      val h = duckH28("'ws_'||doc_id")
+      s"""WITH t AS (SELECT doc_id, source,
+         |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, source, n_tok,
+         | CAST(floor(-1000000e0 * ln(($h + 1) / 268435456e0) / n_tok)
+         |   AS BIGINT) AS key_fp
+         |FROM t ORDER BY key_fp, doc_id
+         |LIMIT ${TextOps.WeightedSampleK}""".stripMargin
+    }),
   )
 }
