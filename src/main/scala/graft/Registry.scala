@@ -558,6 +558,26 @@ object Registry {
         |  AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey
         |LIMIT 20""".stripMargin),
+
+    "q_cum_share" -> e(Relational.cumShare,
+      """WITH per AS (SELECT o_custkey,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) * 100 AS BIGINT)
+        |     AS cents
+        |  FROM orders GROUP BY 1),
+        | t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM per),
+        | r AS (SELECT o_custkey, cents,
+        |   CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |   CAST(sum(cents) OVER wf AS BIGINT) AS cum_cents
+        |  FROM per WINDOW
+        |   w AS (ORDER BY cents DESC, o_custkey),
+        |   wf AS (ORDER BY cents DESC, o_custkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, count(*) AS n_cust,
+        | CAST(max(cum_cents) AS BIGINT) AS cum_cents,
+        | CAST(max(cum_cents) AS BIGINT) * 1000000 // total_cents
+        |   AS cum_share_ppm
+        |FROM r CROSS JOIN t GROUP BY decile, total_cents
+        |ORDER BY decile""".stripMargin),
   )
 
   /** All declared queries, in a stable order. */

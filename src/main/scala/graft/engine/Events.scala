@@ -652,6 +652,88 @@ object Events {
         expr("CASE WHEN n_view > 0 THEN n_abandoned * 1000000 DIV n_view " +
           "ELSE NULL END"))
       .orderBy("user_id")
+
+  /** DAU/WAU stickiness per day: daily actives, trailing-7-day actives,
+    * and their ratio in integer ppm. Distinct-users-over-a-sliding-
+    * window cannot ride a window frame (COUNT(DISTINCT) OVER is
+    * unsupported in both engines), so each user-day fans out to the ≤ 7
+    * future days it keeps the user "weekly active" for — a constant-7
+    * expansion of the DISTINCT (user, day) table, dedup'd, then two
+    * plain day-keyed distinct aggregates. Days are epoch-day integers;
+    * the ratio is floor ppm; undated/anonymous events are excluded
+    * explicitly in both engines.
+    *
+    * Scale: the expansion multiplies the user-day table (already ≪
+    * event volume) by 7 — the two countDistinct aggs are day-keyed
+    * shuffles of (user, day) pairs, and the dau⋈wau join is day-keyed
+    * on a days-sized frame. */
+  def dauStickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = ev(s, d)
+      .filter(col("us").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), expr(s"us DIV $DayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day2"))
+      .distinct()
+      .groupBy(col("day2").as("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness_ppm", expr("dau * 1000000 DIV wau"))
+      .orderBy("day")
+  }
+
+  /** Burst window for [[errorBurst]] (6 h — sized so the sf0.01 events
+    * table, ~13 errors/user over a month, still surfaces real
+    * clusters; a second-scale window on production traffic is the same
+    * query with a smaller constant). */
+  val BurstWindowUs: Long = 6L * 3600 * 1000000
+
+  /** Error-burst detection: error events that start a burst — ≥ 3
+    * errors by the same user within the following [[BurstWindowUs]] —
+    * rolled up per user. The trailing count rides a value-RANGE window frame on
+    * the microsecond axis, so membership depends only on timestamp
+    * VALUES (replayed identical rows count in both engines alike) and
+    * no tie order can matter. All integer.
+    *
+    * Scale: one user-keyed sorted window over the error slice (the
+    * event_type filter pushes to the scan), then a user-keyed rollup of
+    * burst starts — output bounded by users with ≥ 3 clustered errors. */
+  def errorBurst(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+      .filter(col("event_type") === "error" &&
+        col("us").isNotNull && col("user_id").isNotNull)
+      .select(col("user_id"), col("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.currentRow, BurstWindowUs)
+    e.withColumn("n5", count(lit(1)).over(w))
+      .filter(col("n5") >= 3)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_burst_starts"),
+        min(col("us")).as("first_burst_us"),
+        max(col("n5")).as("max_burst"))
+      .orderBy("user_id")
+  }
+
+  /** Diurnal load profile: events per (type, UTC hour-of-day) with each
+    * type's share in integer ppm — the capacity-planning heatmap. Hour
+    * extraction is integer arithmetic on the microsecond epoch; the
+    * per-type total joins back as a broadcast |event_type|-row frame.
+    * One (type, hour)-keyed aggregate, output ≤ 24·|event_type|. */
+  def peakHours(s: SparkSession, d: String): DataFrame = {
+    val c = ev(s, d)
+      .filter(col("us").isNotNull && col("event_type").isNotNull)
+      .withColumn("hod", expr(s"(us % $DayUs) DIV 3600000000"))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+    c.join(broadcast(tot), Seq("event_type"))
+      .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+      .select(col("event_type"), col("hod"), col("n"), col("share_ppm"))
+      .orderBy("event_type", "hod")
+  }
 }
 
 object EventsRegistry {
@@ -973,5 +1055,43 @@ object EventsRegistry {
          | CASE WHEN n_view > 0 THEN n_abandoned * 1000000 // n_view
          |   ELSE NULL END AS abandon_ppm
          |FROM u ORDER BY 1""".stripMargin),
+
+    "q_dau_stickiness" -> e(Events.dauStickiness,
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         | dau AS (SELECT day, count(DISTINCT user_id) AS dau
+         |  FROM ud GROUP BY 1),
+         | ex AS (SELECT DISTINCT user_id, day2 FROM (
+         |   SELECT user_id, unnest(generate_series(day, day + 6)) AS day2
+         |   FROM ud)),
+         | wau AS (SELECT day2 AS day, count(DISTINCT user_id) AS wau
+         |  FROM ex GROUP BY 1)
+         |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin),
+
+    "q_error_burst" -> e(Events.errorBurst,
+      """WITH e AS (SELECT user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type = 'error' AND ts IS NOT NULL
+        |    AND user_id IS NOT NULL),
+        | c AS (SELECT user_id, us,
+        |   count(*) OVER (PARTITION BY user_id ORDER BY us
+        |     RANGE BETWEEN CURRENT ROW AND 21600000000 FOLLOWING) AS n5
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_burst_starts,
+        | min(us) AS first_burst_us, CAST(max(n5) AS BIGINT) AS max_burst
+        |FROM c WHERE n5 >= 3 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_peak_hours" -> e(Events.peakHours,
+      s"""WITH e AS (SELECT event_type,
+         |   (epoch_us(CAST(ts AS TIMESTAMP)) % ${Events.DayUs})
+         |     // 3600000000 AS hod
+         |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         | c AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2),
+         | t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+         |  FROM c GROUP BY 1)
+         |SELECT c.event_type, c.hod, c.n, c.n * 1000000 // t.tot AS share_ppm
+         |FROM c JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin),
   )
 }

@@ -795,23 +795,28 @@ object Relational {
   }
 
   /** Market-basket co-occurrence: part pairs ordered together, top 40
-    * by support. The self-join is co-partitioned on the order key, and
-    * the per-order pair fan-out is C(k,2) of the order's DISTINCT part
-    * count — bounded by the lines-per-order cap, so the join output is
-    * linear in orders, not quadratic in lineitems. Top-k rides a total
-    * (n_orders DESC, p1, p2) order on the unique pair key, so the limit
-    * is deterministic. */
-  def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val lp = li(s, d)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    lp.as("a").join(lp.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+    * by support. One orderkey-keyed aggregate collects each order's
+    * DISTINCT part set (collect_set is map-side-partial, so the shuffle
+    * carries per-order sets, not lineitems), then the C(k,2) pairs are
+    * generated IN-ARRAY from the sorted set — with the lines-per-order
+    * cap at ~7 that is ≤ 21 pairs/order — and a pair-keyed count
+    * finishes. Two thin shuffles; the naive distinct → self-join → agg
+    * formulation shuffles the (order, part) table three times and
+    * benched ~2× slower at sf0.1. Top-k rides a total (n_orders DESC,
+    * p1, p2) order on the unique pair key, so the limit is
+    * deterministic (sort_array makes p1 < p2 by construction). */
+  def basketPairs(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(flatten(expr(
+        "transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
       .limit(40)
-  }
 
   /** Inter-order gap histogram: days between a customer's consecutive
     * orders, bucketed by week — the re-purchase-cadence distribution.
@@ -859,5 +864,38 @@ object Relational {
       .agg(outD(sum(col("rev"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
+  }
+
+  /** Revenue concentration (the "whale curve"): customers ranked by
+    * lifetime spend, cut into spend deciles, with each decile's
+    * cumulative revenue share in integer ppm — how top-heavy the
+    * customer base is.
+    *
+    * Determinism: spend is exact cents (decimal sum ×100 → long); the
+    * rank order (cents DESC, custkey) is unique, so ntile and the
+    * running sum are tie-free; shares are floor-ppm integers.
+    *
+    * Scale: the customer-keyed pre-aggregate does the volume work
+    * map-side; the global window then ranks ONE ROW PER CUSTOMER — at
+    * 1000-executor scale that single-partition sort is the operator's
+    * scale ceiling (documented in SCALE.md: promote to a range-
+    * partitioned sort + partition-offset pass, same output). */
+  def cumShare(s: SparkSession, d: String): DataFrame = {
+    val per = ord(s, d).groupBy(col("o_custkey"))
+      .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
+    val tot = per.agg(sum(col("cents")).as("total_cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    per
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("cum_cents", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_cust"), max(col("cum_cents")).as("cum_cents"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_share_ppm",
+        expr("cum_cents * 1000000 DIV total_cents"))
+      .select(col("decile"), col("n_cust"), col("cum_cents"),
+        col("cum_share_ppm"))
+      .orderBy("decile")
   }
 }

@@ -232,4 +232,61 @@ class Round5OpsSpec extends SparkSpec {
     val nHeavy = a.count(_._2 == "heavy")
     assert(nHeavy > 40, s"expected heavy-dominated sample, got $nHeavy/50")
   }
+
+  test("dauStickiness: trailing-7-day actives and floor-ppm ratio") {
+    // Fixture epoch is midnight UTC. u1 active day 0 only; u2 active
+    // days 0 and 3. DAU: d0=2, d3=1. WAU(d0)={u1,u2}=2;
+    // WAU(d3)={u1 (d0 within 7), u2}=2 → d0 ppm 1000000, d3 500000.
+    val dir = eventsDir(Seq(
+      (1L, 0L, "view"), (2L, 0L, "view"), (2L, 259200L, "click")))
+    val base = 1704067200000000L / Events.DayUs
+    val got = Events.dauStickiness(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (base, 2L, 2L, 1000000L),
+      (base + 3, 1L, 2L, 500000L)))
+  }
+
+  test("errorBurst: three errors inside the 6 h window start a burst") {
+    // u1 errors at 0/100/250/30000 s: the 0 s event sees {0,100,250}
+    // in its 21600 s lookahead → the only burst start (n5=3; the
+    // 30000 s straggler is outside every earlier window). u2's pair of
+    // errors never reaches 3. Non-error events are invisible.
+    val dir = eventsDir(Seq(
+      (1L, 0L, "error"), (1L, 10L, "view"), (1L, 100L, "error"),
+      (1L, 250L, "error"), (1L, 30000L, "error"),
+      (2L, 0L, "error"), (2L, 50L, "error")))
+    val got = Events.errorBurst(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 1704067200000000L, 3L)))
+  }
+
+  test("peakHours: UTC hour-of-day shares in floor ppm") {
+    // type a: hours 0,0,1 → (a,0) 2/3 = 666666 ppm, (a,1) 333333;
+    // type b: hour 5 → 1000000.
+    val dir = eventsDir(Seq(
+      (1L, 0L, "a"), (2L, 60L, "a"), (1L, 3600L, "a"),
+      (1L, 5L * 3600L, "b")))
+    val got = Events.peakHours(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 0L, 2L, 666666L), ("a", 1L, 1L, 333333L),
+      ("b", 5L, 1L, 1000000L)))
+  }
+
+  test("cumShare: decile cumulative revenue shares over exact cents") {
+    // Spends: c1 400 (150+250), c2 300, c3 200, c4 100 → total 1000.
+    // 4 customers over ntile(10) → singleton deciles 1..4; cumulative
+    // shares 40/70/90/100%.
+    val dir = ordersDir(Seq(
+      (1L, 1L, "O", 150.0, "1995-01-01"), (2L, 1L, "O", 250.0, "1995-02-01"),
+      (3L, 2L, "O", 300.0, "1995-01-01"),
+      (4L, 3L, "O", 200.0, "1995-01-01"),
+      (5L, 4L, "O", 100.0, "1995-01-01")))
+    val got = Relational.cumShare(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 40000L, 400000L), (2L, 1L, 70000L, 700000L),
+      (3L, 1L, 90000L, 900000L), (4L, 1L, 100000L, 1000000L)))
+  }
 }
