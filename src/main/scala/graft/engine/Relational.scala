@@ -807,6 +807,10 @@ object Relational {
     * deterministic (sort_array makes p1 < p2 by construction). */
   def basketPairs(s: SparkSession, d: String): DataFrame =
     li(s, d)
+      // explicit: a null order key is not a basket (a SQL self-join
+      // would silently drop it while groupBy would keep a null GROUP —
+      // pin one portable semantics)
+      .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       .select(explode(flatten(expr(

@@ -899,4 +899,97 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos"), 4).as("cos4"))
       .orderBy("a", "b")
   }
+
+  /** Per-(label, pos) centroid frame for the label-separation family:
+    * exact fixed-point component sums (the [[KmeansFixedPoint]]
+    * discipline) with the mean `m` materialized by ONE double division
+    * — the only non-integer step, correctly rounded on identical exact
+    * operands in both engines. 10 labels × 64 positions = a 640-row
+    * broadcastable frame regardless of vector volume. */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame =
+    posQuantize(labeled(s, d).select(col("label"),
+        col("embedding").cast("array<double>").as("v")), "label")
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+      .withColumn("m", m6Col)
+
+  /** Canonical vectors restricted to LABELED rows — the label-eval
+    * family's input. Explicit in both engines: an unlabeled vector can
+    * neither anchor a centroid nor be scored against one (and a null
+    * label inside an argmin tiebreak would order engine-specifically). */
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    canonEmb(s, d).filter(col("label").isNotNull)
+
+  /** Label-separation report (Davies-Bouldin-style): squared centroid
+    * distance for every label pair next to both labels' mean
+    * within-class squared radius, and their ratio in integer ppm —
+    * whether the embedding space actually separates the classes.
+    *
+    * Determinism: every squared term is floor-quantized to micro-units
+    * BEFORE its aggregate (order-free integer sums); the means inside
+    * come from the exact fixed-point centroid frame. Scale: centroid
+    * pairs are |labels|²·dims rows off a broadcast frame; the radius
+    * pass is one scan of the exploded vectors joined to the broadcast
+    * centroids — per-vector work is dims·1, aggregated map-side. */
+  def centroidMargin(s: SparkSession, d: String): DataFrame = {
+    val c = labelCentroids(s, d).select(col("label"), col("pos"), col("m"))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        floor((col("a.m") - col("b.m")) * (col("a.m") - col("b.m"))
+          * lit(1000000.0)).as("t"))
+      .groupBy("label_a", "label_b").agg(sum(col("t")).as("d2_u"))
+    val radius = posQuantize(labeled(s, d).select(col("vec_id"),
+        col("label"), col("embedding").cast("array<double>").as("v")),
+        "vec_id", "label")
+      .join(broadcast(c), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        floor((col("xv") - col("m")) * (col("xv") - col("m"))
+          * lit(1000000.0)).as("t"))
+      .groupBy("vec_id", "label").agg(sum(col("t")).as("r2_u"))
+      .groupBy("label").agg(count(lit(1)).as("n_vec"),
+        sum(col("r2_u")).as("rsum"))
+      .withColumn("r2_u", expr("rsum DIV n_vec"))
+      .select(col("label"), col("r2_u"))
+    pairs
+      .join(broadcast(radius.select(col("label").as("label_a"),
+        col("r2_u").as("r2a_u"))), Seq("label_a"))
+      .join(broadcast(radius.select(col("label").as("label_b"),
+        col("r2_u").as("r2b_u"))), Seq("label_b"))
+      .withColumn("sep_ppm", expr("d2_u * 1000000 DIV (r2a_u + r2b_u + 1)"))
+      .select(col("label_a"), col("label_b"), col("d2_u"),
+        col("r2a_u"), col("r2b_u"), col("sep_ppm"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Nearest-centroid confusion matrix: classify every vector by its
+    * closest label centroid (micro-quantized squared distance, label
+    * tiebreak) and count (true label, predicted label) pairs — the
+    * embedding-quality eval a labeling pipeline runs before trusting
+    * cosine neighbors.
+    *
+    * Determinism: distances are integer micro-unit sums; the argmin is
+    * min_by over the (d2_u, label) pair, so ties pick the smallest
+    * label in both engines. Scale: the centroid frame broadcasts
+    * (|labels|·dims rows); the vector side is one exploded scan with a
+    * dims×|labels| per-vector fan-out aggregated map-side; output is
+    * the |labels|² confusion grid. */
+  def labelConfusion(s: SparkSession, d: String): DataFrame = {
+    val c = labelCentroids(s, d)
+      .select(col("label").as("cl"), col("pos"), col("m"))
+    val vx = posQuantize(labeled(s, d).select(col("vec_id"),
+      col("label"), col("embedding").cast("array<double>").as("v")),
+      "vec_id", "label")
+    vx.join(broadcast(c), Seq("pos"))
+      .select(col("vec_id"), col("label"), col("cl"),
+        floor((col("xv") - col("m")) * (col("xv") - col("m"))
+          * lit(1000000.0)).as("t"))
+      .groupBy(col("vec_id"), col("label"), col("cl"))
+      .agg(sum(col("t")).as("d2_u"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min_by(col("cl"), struct(col("d2_u"), col("cl"))).as("pred"))
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vec"))
+      .orderBy("label", "pred")
+  }
 }

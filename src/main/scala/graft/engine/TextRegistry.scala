@@ -1331,6 +1331,57 @@ object TextRegistry {
         |FROM j WHERE varn > 0 AND 4*dd*dd >= 9*varn
         |ORDER BY doc_id, source""".stripMargin),
 
+    "q_centroid_margin" -> e((s, d) => Similarity.centroidMargin(s, d),
+      s"""WITH ee AS (SELECT vec_id, label,
+         |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE label IS NOT NULL),
+         | px AS (SELECT vec_id, label, i AS pos, v[i] AS xv
+         |  FROM ee CROSS JOIN range(1, 65) t(i)),
+         | c AS (SELECT label, pos, count(*) AS n,
+         |   CAST(sum(CAST(floor(xv*${Similarity.KmeansFixedPoint})
+         |     AS BIGINT)) AS DOUBLE)
+         |    / (count(*)*${Similarity.KmeansFixedPoint}) AS m
+         |  FROM px GROUP BY 1, 2),
+         | pr AS (SELECT a.label AS label_a, b.label AS label_b,
+         |   CAST(floor((a.m - b.m)*(a.m - b.m)*1000000e0) AS BIGINT) AS t
+         |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label),
+         | m2 AS (SELECT label_a, label_b, CAST(sum(t) AS BIGINT) AS d2_u
+         |  FROM pr GROUP BY 1, 2),
+         | rt AS (SELECT px.vec_id, px.label,
+         |   CAST(sum(CAST(floor((px.xv - c.m)*(px.xv - c.m)*1000000e0)
+         |     AS BIGINT)) AS BIGINT) AS r2_u
+         |  FROM px JOIN c ON px.label = c.label AND px.pos = c.pos
+         |  GROUP BY 1, 2),
+         | rl AS (SELECT label, count(*) AS n_vec,
+         |   CAST(sum(r2_u) AS BIGINT) // count(*) AS r2_u
+         |  FROM rt GROUP BY 1)
+         |SELECT label_a, label_b, d2_u, ra.r2_u AS r2a_u,
+         | rb.r2_u AS r2b_u,
+         | d2_u * 1000000 // (ra.r2_u + rb.r2_u + 1) AS sep_ppm
+         |FROM m2 JOIN rl ra ON m2.label_a = ra.label
+         | JOIN rl rb ON m2.label_b = rb.label
+         |ORDER BY 1, 2""".stripMargin),
+
+    "q_label_confusion" -> e((s, d) => Similarity.labelConfusion(s, d),
+      s"""WITH ee AS (SELECT vec_id, label,
+         |   CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE label IS NOT NULL),
+         | px AS (SELECT vec_id, label, i AS pos, v[i] AS xv
+         |  FROM ee CROSS JOIN range(1, 65) t(i)),
+         | c AS (SELECT label, pos,
+         |   CAST(sum(CAST(floor(xv*${Similarity.KmeansFixedPoint})
+         |     AS BIGINT)) AS DOUBLE)
+         |    / (count(*)*${Similarity.KmeansFixedPoint}) AS m
+         |  FROM px GROUP BY 1, 2),
+         | dd AS (SELECT px.vec_id, px.label, c.label AS cl,
+         |   CAST(sum(CAST(floor((px.xv - c.m)*(px.xv - c.m)*1000000e0)
+         |     AS BIGINT)) AS BIGINT) AS d2_u
+         |  FROM px JOIN c ON px.pos = c.pos GROUP BY 1, 2, 3),
+         | pk AS (SELECT vec_id, label, cl, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2_u, cl) AS rn FROM dd)
+         |SELECT label, cl AS pred, count(*) AS n_vec
+         |FROM pk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "q_weighted_sample" -> e(TextOps.weightedSample, {
       val h = duckH28("'ws_'||doc_id")
       s"""WITH t AS (SELECT doc_id, source,

@@ -274,6 +274,35 @@ class Round5OpsSpec extends SparkSpec {
       ("b", 5L, 1L, 1000000L)))
   }
 
+  private def embDir(rows: Seq[(Long, Seq[Float], Int)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("r5emb").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("centroidMargin: micro-quantized pair distance and radii") {
+    // label 0: (1,0),(1,0.2) → centroid (1, 0.1), both members at
+    // squared radius 0.01 → r2_u = 10000 µ. label 1: single (−1,0) →
+    // radius 0. Pair distance (1−(−1))² + 0.1² → 4010000 µ.
+    val dir = embDir(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0),
+      (3L, Seq(-1.0f, 0.0f), 1)))
+    val got = graft.engine.Similarity.centroidMargin(spark, dir)
+      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0, 1, 4010000L, 10000L, 0L, 4010000L * 1000000L / 10001L)))
+  }
+
+  test("labelConfusion: nearest-centroid classification is diagonal") {
+    val dir = embDir(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.2f), 0),
+      (3L, Seq(-1.0f, 0.0f), 1)))
+    val got = graft.engine.Similarity.labelConfusion(spark, dir)
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0, 0, 2L), (1, 1, 1L)))
+  }
+
   test("cumShare: decile cumulative revenue shares over exact cents") {
     // Spends: c1 400 (150+250), c2 300, c3 200, c4 100 → total 1000.
     // 4 customers over ntile(10) → singleton deciles 1..4; cumulative
