@@ -578,6 +578,118 @@ object Registry {
         |   AS cum_share_ppm
         |FROM r CROSS JOIN t GROUP BY decile, total_cents
         |ORDER BY decile""".stripMargin),
+
+    "q_trade_matrix" -> e(Relational.tradeMatrix,
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        | year(l_shipdate) AS ship_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation sn ON s_nationkey = sn.n_nationkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    "q_mkt_share" -> e(Relational.mktShare,
+      s"""WITH ac AS (SELECT c_custkey FROM customer
+         |   JOIN nation ON c_nationkey = n_nationkey
+         |   JOIN region ON n_regionkey = r_regionkey
+         |  WHERE r_name = 'ASIA'),
+         | sf AS (SELECT s_suppkey,
+         |   n_name = '${Relational.ShareNation}' AS is_share
+         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+         | l AS (SELECT l_orderkey, l_suppkey,
+         |   CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+         |     * (1 - CAST(l_discount AS DECIMAL(10,2))) * 10000 AS BIGINT)
+         |     AS units
+         |  FROM lineitem)
+         |SELECT year(o_orderdate) AS o_year,
+         | CAST(sum(CASE WHEN is_share THEN units ELSE 0 END) AS BIGINT)
+         |   AS nation_units,
+         | CAST(sum(units) AS BIGINT) AS total_units,
+         | CAST(sum(CASE WHEN is_share THEN units ELSE 0 END) AS BIGINT)
+         |   * 1000000 // CAST(sum(units) AS BIGINT) AS share_ppm
+         |FROM l JOIN sf ON l_suppkey = s_suppkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_custkey IN (SELECT c_custkey FROM ac)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_returned_rev" -> e(Relational.returnedRevenue,
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE)
+        |   AS returned_rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3 ORDER BY returned_rev DESC, c_custkey
+        |LIMIT 20""".stripMargin),
+
+    "q_promo_share" -> e(Relational.promoShare,
+      """WITH l AS (SELECT l_partkey,
+        |   strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |   CAST(CAST(l_extendedprice AS DECIMAL(10,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(10,2))) * 10000 AS BIGINT)
+        |     AS units
+        |  FROM lineitem)
+        |SELECT ship_month,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)
+        |   AS BIGINT) AS promo_units,
+        | CAST(sum(units) AS BIGINT) AS total_units,
+        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)
+        |   AS BIGINT) * 1000000 // CAST(sum(units) AS BIGINT) AS promo_ppm
+        |FROM l JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_part_value_conc" -> e(Relational.partValueConc,
+      """WITH per AS (SELECT l_partkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(10,2)))) * 10000 AS BIGINT)
+        |     AS units,
+        |   count(*) AS n_items
+        |  FROM lineitem GROUP BY 1),
+        | t AS (SELECT CAST(sum(units) AS BIGINT) AS total_units FROM per)
+        |SELECT l_partkey, units, n_items,
+        | units * 1000000 // total_units AS share_ppm
+        |FROM per CROSS JOIN t
+        |WHERE units * 2000 > total_units
+        |ORDER BY units DESC, l_partkey""".stripMargin),
+
+    "q_supp_rank" -> e(Relational.suppRank,
+      """WITH per AS (SELECT l_suppkey,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |     * (1 - CAST(l_discount AS DECIMAL(10,2)))) * 10000 AS BIGINT)
+        |     AS units
+        |  FROM lineitem GROUP BY 1),
+        | r AS (SELECT n_name,
+        |   CAST(row_number() OVER (PARTITION BY n_name
+        |     ORDER BY units DESC, s_suppkey) AS BIGINT) AS rk,
+        |   s_suppkey, s_name, units
+        |  FROM per JOIN supplier ON l_suppkey = s_suppkey
+        |   JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, rk, s_suppkey, s_name, units FROM r
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin),
+
+    "q_ewma_volume" -> e(Relational.ewmaVolume,
+      """WITH daily AS (SELECT
+        |   date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |     AS dd, count(*) AS cnt
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        | sc AS (SELECT dd + j AS dd,
+        |   cnt * (CAST(1 AS BIGINT) << (9 - j)) AS unit
+        |  FROM daily, generate_series(0, 9) g(j)),
+        | agg AS (SELECT dd, CAST(sum(unit) AS BIGINT) AS e
+        |  FROM sc GROUP BY 1)
+        |SELECT d.dd, d.cnt, CAST(a.e AS DOUBLE) / 512.0 AS ewma
+        |FROM daily d JOIN agg a USING (dd) ORDER BY dd""".stripMargin),
   )
 
   /** All declared queries, in a stable order. */

@@ -902,4 +902,208 @@ object Relational {
         col("cum_share_ppm"))
       .orderBy("decile")
   }
+
+  // ---- TPC-H-shaped trade analytics (round-5 ninth widening) ---------
+
+  /** Bilateral trade matrix (the TPC-H Q7 shape): revenue flowing from
+    * supplier nation to customer nation per ship year, over a two-year
+    * window.
+    *
+    * Scale shape: lineitem shuffles ONCE on l_orderkey for the orders⋈
+    * customer leg; supplier (warehouse-bounded) and nation (25 rows)
+    * ride broadcast hash joins on the fact scan, so the supp-nation
+    * column is attached map-side before the shuffle. The date filter
+    * pushes to the lineitem scan. Exact decimal revenue; group keys are
+    * the complete sort key, so output order is total and tie-free. */
+  def tradeMatrix(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1998-01-01").cast("timestamp")
+    val supN = Sources.supplier(s, d)
+      .join(broadcast(Sources.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custN = cust(s, d)
+      .join(broadcast(Sources.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    li(s, d).filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        revenue.as("rev"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+      .agg(outD(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  /** The market-share nation for q_mkt_share / its oracle — a named
+    * constant so both renderings stay single-sourced. */
+  val ShareNation = "NATION_3"
+
+  /** National market share (the TPC-H Q8 shape): per order year, the
+    * integer-ppm share of ASIA-customer revenue supplied by
+    * [[ShareNation]].
+    *
+    * Determinism: both numerator and denominator are exact ×10000
+    * fixed-point sums — revenue = price(2dp) × (1−discount(2dp)) has at
+    * most 4 decimals, so ×10000 is integer-valued and the decimal→long
+    * cast cannot diverge on rounding (Spark truncates, DuckDB rounds —
+    * identical only on integers). The share is floor-ppm division.
+    * Scale: the supplier-side flag joins broadcast; the single fact
+    * shuffle is the orderkey join; the per-year rollup is 7 keys. */
+  def mktShare(s: SparkSession, d: String): DataFrame = {
+    val asiaCust = cust(s, d)
+      .join(broadcast(Sources.nation(s, d)
+          .join(Sources.region(s, d).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supFlag = Sources.supplier(s, d)
+      .join(broadcast(Sources.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"),
+        (col("n_name") === ShareNation).as("is_share"))
+    li(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (revenue * 10000).cast("long").as("units"))
+      .join(broadcast(supFlag), col("l_suppkey") === col("s_suppkey"))
+      .join(ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("is_share"), col("units")).otherwise(0L))
+          .cast("long").as("nation_units"),
+        sum(col("units")).cast("long").as("total_units"))
+      .withColumn("share_ppm",
+        expr("nation_units * 1000000 DIV total_units"))
+      .orderBy("o_year")
+  }
+
+  /** Returned-revenue ranking (the TPC-H Q10 shape): top 20 customers
+    * by revenue on returned line items ('R' flag), with nation.
+    *
+    * The returnflag filter pushes to the fact scan; nation broadcasts;
+    * the top-k is TakeOrderedAndProject on (revenue DESC, custkey) —
+    * the unique trailing key makes the limit deterministic even under
+    * revenue ties. */
+  def returnedRevenue(s: SparkSession, d: String): DataFrame = {
+    val custN = cust(s, d)
+      .join(broadcast(Sources.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"))
+    li(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), revenue.as("rev"))
+      .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custN, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(outD(sum(col("rev"))).as("returned_rev"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("returned_rev").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Promotion revenue share (the TPC-H Q14 shape): per ship month, the
+    * integer-ppm share of revenue from PROMO-type parts.
+    *
+    * The part type is a broadcast dimension flag attached map-side; the
+    * month rollup aggregates exact cents; no shuffle carries more than
+    * (month → two longs). */
+  def promoShare(s: SparkSession, d: String): DataFrame = {
+    val promoFlag = Sources.part(s, d)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li(s, d)
+      .select(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        (revenue * 10000).cast("long").as("units"))
+      .join(broadcast(promoFlag), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("ship_month"))
+      .agg(sum(when(col("is_promo"), col("units")).otherwise(0L))
+          .cast("long").as("promo_units"),
+        sum(col("units")).cast("long").as("total_units"))
+      .withColumn("promo_ppm",
+        expr("promo_units * 1000000 DIV total_units"))
+      .orderBy("ship_month")
+  }
+
+  /** Part value concentration (the TPC-H Q11 shape): parts whose
+    * lifetime revenue exceeds 0.05% of total revenue — the
+    * inventory-concentration screen.
+    *
+    * The global total is a one-row broadcast; the threshold test is the
+    * cross-multiplied integer inequality `units * 2000 > total_units`
+    * (0.05% = 1/2000) — no division, no doubles, no epsilon; units are
+    * exact ×10000 fixed point (see [[mktShare]]). The per-part
+    * pre-aggregate does the volume work map-side; output is bounded by
+    * construction (≤ 2000 parts can each exceed 1/2000 of the total). */
+  def partValueConc(s: SparkSession, d: String): DataFrame = {
+    val per = li(s, d)
+      .groupBy(col("l_partkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("units"),
+        count(lit(1)).as("n_items"))
+    val tot = per.agg(sum(col("units")).cast("long").as("total_units"))
+    per.crossJoin(broadcast(tot))
+      .filter(col("units") * 2000 > col("total_units"))
+      .withColumn("share_ppm", expr("units * 1000000 DIV total_units"))
+      .select(col("l_partkey"), col("units"), col("n_items"),
+        col("share_ppm"))
+      .orderBy(col("units").desc, col("l_partkey"))
+  }
+
+  /** Per-nation supplier leaderboard: each nation's top 3 suppliers by
+    * lifetime revenue — the grouped-top-k window shape over exact
+    * ×10000 fixed-point revenue, rank ties broken by the unique
+    * supplier key.
+    *
+    * Scale: the supplier-keyed pre-aggregate collapses the fact table
+    * to one row per supplier BEFORE the window; the rank partition is
+    * per-nation over warehouse-bounded suppliers, and WindowGroupLimit
+    * prunes rank > 3 early. */
+  def suppRank(s: SparkSession, d: String): DataFrame = {
+    val per = li(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg((sum(revenue) * 10000).cast("long").as("units"))
+    val supN = Sources.supplier(s, d)
+      .join(broadcast(Sources.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("units").desc, col("s_suppkey"))
+    per.join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("n_name"), col("rk"), col("s_suppkey"), col("s_name"),
+        col("units"))
+      .orderBy("n_name", "rk")
+  }
+
+  /** EWMA order-volume smoothing: per-day order counts convolved with
+    * the power-of-two kernel 2^-j over a 10-day trailing window —
+    * exponential smoothing whose every term is an exact binary
+    * fraction, so the double sum is EXACT (counts < 2^40 × 2^-9 fit a
+    * 53-bit mantissa with room) and order-independent in both engines.
+    *
+    * Implemented as a scatter: each observed day contributes
+    * cnt·2^(9-j) integer units to days d..d+9, summed per target day in
+    * ×512 fixed point — missing days correctly contribute nothing,
+    * with no day-spine gap fill needed. One shuffle on day keys. */
+  def ewmaVolume(s: SparkSession, d: String): DataFrame = {
+    val daily = ord(s, d).filter(col("o_orderdate").isNotNull)
+      .groupBy(datediff(to_date(col("o_orderdate")),
+        to_date(lit("1990-01-01"))).cast("long").as("dd"))
+      .agg(count(lit(1)).as("cnt"))
+    val scattered = daily
+      .select(col("dd"), col("cnt"), explode(sequence(lit(0), lit(9))).as("j"))
+      .select((col("dd") + col("j")).as("dd"),
+        expr("cnt * shiftleft(CAST(1 AS BIGINT), 9 - j)").as("unit"))
+      .groupBy(col("dd")).agg(sum(col("unit")).as("ewma_x512"))
+    daily.join(scattered, Seq("dd"))
+      .select(col("dd"), col("cnt"),
+        (col("ewma_x512").cast("double") / 512.0).as("ewma"))
+      .orderBy("dd")
+  }
 }
