@@ -1354,6 +1354,94 @@ object TextOps {
         col("max_bucket"), col("n_colliding"), col("n_cand_pairs"))
       .orderBy("band")
 
+  /** LSH quality report: precision/recall of the banded candidate set
+    * against EXACT shingle-Jaccard ground truth, per threshold — the
+    * measurement that justifies (or indicts) the b/r banding choice
+    * before a 100 TB dedup run trusts it.
+    *
+    * Ground truth is every pair sharing ≥ 1 shingle (any pair with
+    * Jaccard > 0 by definition shares one), generated from the stored
+    * per-shingle hash postings — an inverted-index self-join bounded by
+    * Σ df², never all-pairs. Threshold tests are the cross-multiplied
+    * integer inequality `inter·100 ≥ τ·union` (no double compare), and
+    * every count/ratio is integer/floor-ppm, so both engines agree bit
+    * for bit. At 100 TB this diagnostic runs on a corpus sample — the
+    * df² term on hot shingles is the documented envelope (SCALE.md).
+    *
+    * One pass over the pair table: thresholds are exploded onto it
+    * (×5), then a 5-key aggregate; the candidate total is a one-row
+    * broadcast. */
+  def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
+    val sets = sharedShingleSets(s, d)
+    val posts = sets
+      .select(col("doc_id"), explode(col("hx")).as("h")).distinct()
+    val gtPairs = posts.alias("x")
+      .join(posts.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      .join(sets.select(col("doc_id").as("a"), col("s").as("sa")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("s").as("sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType)
+          .as("inter"),
+        size(array_union(col("sa"), col("sb"))).cast(LongType).as("uni"))
+    val cand = sharedCandPairs(s, d).select(col("a"), col("b"))
+    val flagged = gtPairs.join(
+      cand.withColumn("is_cand", lit(true)), Seq("a", "b"), "left")
+      .withColumn("is_cand", coalesce(col("is_cand"), lit(false)))
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    flagged
+      .withColumn("tau", explode(array(Seq(50, 60, 70, 80, 90)
+        .map(t => lit(t.toLong)): _*)))
+      .groupBy(col("tau"))
+      .agg(sum(when(col("inter") * 100 >= col("tau") * col("uni"), 1L)
+          .otherwise(0L)).as("n_true"),
+        sum(when(col("is_cand") &&
+            col("inter") * 100 >= col("tau") * col("uni"), 1L)
+          .otherwise(0L)).as("n_cand_true"))
+      .crossJoin(broadcast(nCand))
+      .withColumn("precision_ppm",
+        when(col("n_cand") > 0,
+          expr("n_cand_true * 1000000 DIV n_cand")).otherwise(0L))
+      .withColumn("recall_ppm",
+        when(col("n_true") > 0,
+          expr("n_cand_true * 1000000 DIV n_true")).otherwise(0L))
+      .select(col("tau"), col("n_true"), col("n_cand_true"), col("n_cand"),
+        col("precision_ppm"), col("recall_ppm"))
+      .orderBy("tau")
+  }
+
+  /** Per-source language-mix profile: the [[langId]] stopword
+    * classifier rolled up to (source, predicted language) with
+    * integer-ppm shares of each source's documents — the intake report
+    * that shows which feeds are drifting off-language.
+    *
+    * The per-source total is a partition window (not a join), so a
+    * null source forms its own group instead of being dropped by
+    * null-unsafe join equality. One corpus tokenize + two thin
+    * aggregates. */
+  def langMix(s: SparkSession, d: String): DataFrame = {
+    val perDoc = corpus(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("tok").isin(StopWords: _*), 1).otherwise(0))
+          .as("n_stop"))
+      .select(col("source"),
+        when(col("n_stop").cast("double") / col("n_tok") >= 0.05,
+          lit("en")).otherwise(lit("und")).as("pred_lang"))
+    perDoc
+      .groupBy(col("source"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("total", sum(col("n_docs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("share_ppm", expr("n_docs * 1000000 DIV total"))
+      .select(col("source"), col("pred_lang"), col("n_docs"),
+        col("share_ppm"))
+      .orderBy("source", "pred_lang")
+  }
+
   /** Per-source character-class composition — alpha / digit / space /
     * other counts and ppm shares: the cheap script/encoding screen that
     * flags a source gone wrong (binary spill, markup floods, digit

@@ -1393,5 +1393,56 @@ object TextRegistry {
          |FROM t ORDER BY key_fp, doc_id
          |LIMIT ${TextOps.WeightedSampleK}""".stripMargin
     }),
+
+    "q_lsh_pr" -> e(TextOps.lshPrecisionRecall,
+      s"""WITH $ngramPairCtes,
+         | posts AS (SELECT DISTINCT doc_id, ${duckH28("sh")} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM ss)),
+         | gp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM posts x JOIN posts y
+         |  ON x.h = y.h AND x.doc_id < y.doc_id),
+         | gj AS (SELECT gp.a, gp.b,
+         |   CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |   CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS uni,
+         |   (c.a IS NOT NULL) AS is_cand
+         |  FROM gp JOIN ss sa ON sa.doc_id = gp.a
+         |   JOIN ss sb ON sb.doc_id = gp.b
+         |   LEFT JOIN cand c ON c.a = gp.a AND c.b = gp.b),
+         | nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+         | x AS (SELECT tau,
+         |   CAST(sum(CASE WHEN inter*100 >= tau*uni THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS n_true,
+         |   CAST(sum(CASE WHEN is_cand AND inter*100 >= tau*uni
+         |     THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_true
+         |  FROM gj CROSS JOIN (SELECT CAST(unnest([50,60,70,80,90])
+         |    AS BIGINT) AS tau) ts
+         |  GROUP BY tau)
+         |SELECT tau, n_true, n_cand_true, n_cand,
+         | CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand
+         |   ELSE 0 END AS precision_ppm,
+         | CASE WHEN n_true > 0 THEN n_cand_true * 1000000 // n_true
+         |   ELSE 0 END AS recall_ppm
+         |FROM x CROSS JOIN nc ORDER BY tau""".stripMargin),
+
+    "q_lang_mix" -> e(TextOps.langMix,
+      """WITH u AS (SELECT doc_id, source,
+        |   unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | g AS (SELECT doc_id, source, count(*) AS n_tok,
+        |   CAST(sum(CASE WHEN tok IN ('the','a','of','and','in')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM u GROUP BY 1, 2),
+        | p AS (SELECT source,
+        |   CASE WHEN CAST(n_stop AS DOUBLE)/n_tok >= 0.05
+        |     THEN 'en' ELSE 'und' END AS pred_lang
+        |  FROM g),
+        | c AS (SELECT source, pred_lang, count(*) AS n_docs
+        |  FROM p GROUP BY 1, 2),
+        | w AS (SELECT source, pred_lang, n_docs,
+        |   CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT source, pred_lang, n_docs,
+        | n_docs * 1000000 // total AS share_ppm
+        |FROM w ORDER BY 1, 2""".stripMargin),
   )
 }

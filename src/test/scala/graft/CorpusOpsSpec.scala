@@ -93,4 +93,35 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(String, String, Long, Boolean)].collect()
       .foreach { case (a, b, _, leaky) => assert(leaky == (a != b)) }
   }
+
+  test("langMix: per-source predicted-language shares in floor ppm") {
+    // s1: "the of and x" → 3/4 stopwords → en; "x y z" → und →
+    // en/und split 500000 ppm each. s2's only doc is und → 1000000.
+    val dir = corpusDir(Seq(
+      (1L, "the of and x", "en", "s1", 12L),
+      (2L, "x y z", "en", "s1", 5L),
+      (3L, "q w", "de", "s2", 3L)))
+    val got = TextOps.langMix(spark, dir)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", "en", 1L, 500000L),
+      ("s1", "und", 1L, 500000L),
+      ("s2", "und", 1L, 1000000L)))
+  }
+
+  test("lshPrecisionRecall: identical pair is truth AND candidate at " +
+      "every threshold") {
+    // doc1 = doc2 (jacc 1, identical signatures → candidate in every
+    // band); doc3 shares no shingle with either — not ground truth,
+    // and its disjoint shingle set cannot produce an equal 3-hash band
+    // signature, so the report is exactly one pair at every τ.
+    val dir = corpusDir(Seq(
+      (1L, "w1 w2 w3 w4 w5", "en", "s1", 14L),
+      (2L, "w1 w2 w3 w4 w5", "en", "s1", 14L),
+      (3L, "zz yy xx ww vv", "en", "s2", 14L)))
+    val got = TextOps.lshPrecisionRecall(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(50L, 60L, 70L, 80L, 90L).map(t =>
+      (t, 1L, 1L, 1L, 1000000L, 1000000L)))
+  }
 }
