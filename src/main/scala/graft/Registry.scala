@@ -690,6 +690,38 @@ object Registry {
         |  FROM sc GROUP BY 1)
         |SELECT d.dd, d.cnt, CAST(a.e AS DOUBLE) / 512.0 AS ewma
         |FROM daily d JOIN agg a USING (dd) ORDER BY dd""".stripMargin),
+
+    "q_cohort_ltv" -> e(Relational.cohortLtv,
+      """WITH o AS (SELECT o_custkey,
+        |   CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+        |     AS mo,
+        |   CAST(CAST(o_totalprice AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |     AS cents
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        | f AS (SELECT o_custkey, min(mo) AS cohort_mo FROM o GROUP BY 1)
+        |SELECT cohort_mo, mo - cohort_mo AS "offset",
+        | count(DISTINCT o.o_custkey) AS n_cust,
+        | CAST(sum(cents) AS BIGINT) AS cents
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "q_basket_rules" -> e(Relational.basketRules,
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        | nb AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM lp),
+        | pp AS (SELECT l_partkey, count(*) AS n_p FROM lp GROUP BY 1),
+        | pr AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |   count(*) AS n_ab
+        |  FROM lp a JOIN lp b
+        |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 ORDER BY n_ab DESC, p1, p2 LIMIT 40)
+        |SELECT p1, p2, n_ab, pa.n_p AS n_a, pb.n_p AS n_b, n_baskets,
+        | n_ab * 1000000 // pa.n_p AS conf_ab_ppm,
+        | n_ab * 1000000 // pb.n_p AS conf_ba_ppm
+        |FROM pr JOIN pp pa ON pr.p1 = pa.l_partkey
+        | JOIN pp pb ON pr.p2 = pb.l_partkey
+        | CROSS JOIN nb
+        |ORDER BY n_ab DESC, p1, p2""".stripMargin),
   )
 
   /** All declared queries, in a stable order. */

@@ -1106,4 +1106,72 @@ object Relational {
         (col("ewma_x512").cast("double") / 512.0).as("ewma"))
       .orderBy("dd")
   }
+
+  /** Cohort lifetime value: customers grouped by first-order month,
+    * tracked across month offsets — the BI cohort-LTV triangle, in
+    * exact cents.
+    *
+    * Months are the integer index year·12 + (month−1), so offsets are
+    * plain subtraction — no date intervals, no calendar arithmetic to
+    * diverge on. Two customer-keyed aggregates (first-order month,
+    * then the join-back) and one (cohort, offset)-keyed rollup whose
+    * keyspace is calendar-bounded. The countDistinct is per
+    * (cohort, offset) — at 100 TB it map-side partials over the
+    * customer-collapsed frame, never raw orders. */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    val o = ord(s, d).filter(col("o_orderdate").isNotNull)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("mo"),
+        (money(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val first = o.groupBy(col("o_custkey"))
+      .agg(min(col("mo")).as("cohort_mo"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_mo"), (col("mo") - col("cohort_mo")).as("offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        sum(col("cents")).cast("long").as("cents"))
+      .orderBy("cohort_mo", "offset")
+  }
+
+  /** Association rules over order baskets: for the top-40 co-occurring
+    * part pairs, support counts and both directed confidences in
+    * floor ppm — the market-basket rule report.
+    *
+    * Confidence (n_ab·10⁶ div n_a) is the deliberate metric: every
+    * product stays far inside int64 at any scale, where a lift
+    * numerator n_ab·n_baskets·10⁶ would overflow at warehouse volumes.
+    * The pair fan-out is the same in-array C(k,2) expansion as
+    * [[basketPairs]] (≤ C(cap,2) per order); per-part supports and the
+    * basket total are dimension-bounded broadcasts. */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val lp = li(s, d)
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = lp.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val perPart = lp.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_p"))
+    val pairs = lp
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(flatten(expr(
+        "transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+      .limit(40)
+    pairs
+      .join(broadcast(perPart.select(col("l_partkey").as("p1"),
+        col("n_p").as("n_a"))), Seq("p1"))
+      .join(broadcast(perPart.select(col("l_partkey").as("p2"),
+        col("n_p").as("n_b"))), Seq("p2"))
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("conf_ab_ppm", expr("n_ab * 1000000 DIV n_a"))
+      .withColumn("conf_ba_ppm", expr("n_ab * 1000000 DIV n_b"))
+      .select(col("p1"), col("p2"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_baskets"), col("conf_ab_ppm"), col("conf_ba_ppm"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+  }
 }

@@ -1418,16 +1418,18 @@ object TextOps {
     *
     * The per-source total is a partition window (not a join), so a
     * null source forms its own group instead of being dropped by
-    * null-unsafe join equality. One corpus tokenize + two thin
-    * aggregates. */
+    * null-unsafe join equality. Token counts come from the shared
+    * doc_toks stage (Σ local counts ≡ token count — the corpus is
+    * tokenized once per corpus, not once more here); source attaches
+    * via a thin doc_id-keyed join. */
   def langMix(s: SparkSession, d: String): DataFrame = {
-    val perDoc = corpus(s, d)
-      .select(col("doc_id"), col("source"),
-        explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("source"))
-      .agg(count(lit(1)).as("n_tok"),
-        sum(when(col("tok").isin(StopWords: _*), 1).otherwise(0))
+    val perDoc = sharedDocToks(s, d)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lc")).as("n_tok"),
+        sum(when(col("tok").isin(StopWords: _*), col("lc")).otherwise(0L))
           .as("n_stop"))
+      .join(corpus(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
       .select(col("source"),
         when(col("n_stop").cast("double") / col("n_tok") >= 0.05,
           lit("en")).otherwise(lit("und")).as("pred_lang"))

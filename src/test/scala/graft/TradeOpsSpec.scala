@@ -127,4 +127,43 @@ class TradeOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(got == Seq((0L, 2L, 2.0), (1L, 1L, 2.0)))
   }
+
+  test("cohortLtv: first-order-month cohorts × month offsets, exact cents") {
+    // c1 first orders 1995-01 (mo 23940): offset 0 has one 10.50 order,
+    // offset 1 has two (21.00 total). c2's single order starts the
+    // 1995-02 cohort.
+    val d = java.nio.file.Files.createTempDirectory("ltv").toString
+    Seq((1L, 1L, "O", 10.50, ts("1995-01-15"), "1-URGENT"),
+      (2L, 1L, "O", 10.50, ts("1995-02-01"), "1-URGENT"),
+      (3L, 1L, "O", 10.50, ts("1995-02-20"), "1-URGENT"),
+      (4L, 2L, "O", 7.25, ts("1995-02-10"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").write.parquet(s"$d/orders.parquet")
+    val got = Relational.cohortLtv(spark, d)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (23940L, 0L, 1L, 1050L),
+      (23940L, 1L, 1L, 2100L),
+      (23941L, 0L, 1L, 725L)))
+  }
+
+  test("basketRules: directed confidences over distinct-part baskets") {
+    // o100 = {1,2,3} (part 2 on two lines — counted once), o200 = {2,3}:
+    // pair (2,3) supports 2 of 2 baskets; parts 2 and 3 each appear in
+    // 2 baskets, part 1 in one.
+    val d = java.nio.file.Files.createTempDirectory("rules").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 2L), (100L, 3L),
+      (200L, 2L), (200L, 3L)).zipWithIndex.map { case ((ok, pk), i) =>
+      (ok, pk, 1L, i + 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts("1995-01-01"))
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    val got = Relational.basketRules(spark, d)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (2L, 3L, 2L, 2L, 2L, 2L, 1000000L, 1000000L),
+      (1L, 2L, 1L, 1L, 2L, 2L, 1000000L, 500000L),
+      (1L, 3L, 1L, 1L, 2L, 2L, 1000000L, 500000L)))
+  }
 }
