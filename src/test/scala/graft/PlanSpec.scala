@@ -190,4 +190,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cand_pairs-"), "pair-stage checkpoint not read")
     assert(p.contains("GreaterThanOrEqual(jacc,0.8)"), "jacc filter not pushed")
   }
+
+  test("trade analytics: broadcast dims, pushed filters, top-k heads") {
+    // Q7: both nation legs broadcast; date filter reaches the fact scan
+    val tm = plan("q_trade_matrix")
+    assert(tm.contains("BroadcastHashJoin"), "q_trade_matrix dims not broadcast")
+    assert(!tm.contains("CartesianProduct"))
+    assert(tm.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q_trade_matrix ship-date filter not pushed")
+    // Q10: the returnflag filter must reach the scan; top-20 is a
+    // TakeOrderedAndProject, never a global sort
+    val rr = plan("q_returned_rev")
+    assert(rr.contains("EqualTo(l_returnflag,R)"),
+      "q_returned_rev flag filter not pushed")
+    assert(rr.contains("TakeOrderedAndProject"),
+      "q_returned_rev top-20 is not a partial top-k")
+    // Q8/Q14/Q11: one fact scan each; flag/total sides broadcast
+    for (q <- Seq("q_mkt_share", "q_promo_share", "q_part_value_conc")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q lost its broadcast side")
+      assert(!p.contains("CartesianProduct")
+        || p.contains("BroadcastExchange"), s"$q plans a real cartesian")
+    }
+    // supplier leaderboard: rank≤3 prunes map-side
+    assert(plan("q_supp_rank").contains("WindowGroupLimit"),
+      "q_supp_rank rank cap not pushed map-side")
+    // basket rules: the 40-pair head is a TakeOrderedAndProject and the
+    // support lookups broadcast onto it
+    val br = plan("q_basket_rules")
+    assert(br.contains("TakeOrderedAndProject"),
+      "q_basket_rules pair head is not a partial top-k")
+    assert(br.contains("BroadcastHashJoin"),
+      "q_basket_rules supports not broadcast")
+  }
 }
