@@ -224,6 +224,41 @@ object Events {
       .orderBy("stage")
   }
 
+  /** Conversion-window sensitivity: for attribution windows of 1, 6
+    * and 24 hours, how many first-viewers purchase within that window
+    * of their first view — the report that picks an attribution window
+    * by measuring what it would claim, instead of assuming one.
+    *
+    * One user-keyed window pass builds (first view, first purchase
+    * after it) per user; the 3-way window expansion multiplies the
+    * already user-collapsed frame, never raw events. All epoch-micro
+    * integer arithmetic; shares in floor ppm. Users whose only view
+    * events are undated have a null first-view and are excluded in
+    * both engines (SQL min skips nulls; the HAVING mirror drops them). */
+  def convertWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val perUser = ev(s, d).filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("us"))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("tp", min(when(
+        col("event_type") === "purchase" && col("us") > col("tv"),
+        col("us"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("tv")).as("tv"), max(col("tp")).as("tp"))
+      .filter(col("tv").isNotNull)
+    perUser
+      .withColumn("window_h",
+        explode(array(lit(1L), lit(6L), lit(24L))))
+      .groupBy(col("window_h"))
+      .agg(count(lit(1)).as("n_viewers"),
+        sum(when(col("tp").isNotNull &&
+            col("tp") - col("tv") <= col("window_h") * 3600000000L, 1L)
+          .otherwise(0L)).as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 DIV n_viewers"))
+      .orderBy("window_h")
+  }
+
   /** Microseconds per week — the cohort bucket of [[retention]]. */
   val WeekUs = 7L * 86400L * 1000000L
 
@@ -793,6 +828,28 @@ object EventsRegistry {
         |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
         | CAST(n_users AS DOUBLE)/n0 AS conv
         |FROM st CROSS JOIN base ORDER BY stage""".stripMargin),
+
+    "q_convert_window" -> e(Events.convertWindow,
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE user_id IS NOT NULL),
+        | v AS (SELECT user_id, min(us) AS tv FROM e
+        |  WHERE event_type = 'view' GROUP BY 1
+        |  HAVING min(us) IS NOT NULL),
+        | p AS (SELECT e.user_id, min(us) AS tp FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > tv GROUP BY 1),
+        | u AS (SELECT v.user_id, tv, tp
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id),
+        | x AS (SELECT window_h, count(*) AS n_viewers,
+        |   CAST(sum(CASE WHEN tp IS NOT NULL
+        |     AND tp - tv <= window_h * 3600000000 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_converted
+        |  FROM u CROSS JOIN (SELECT CAST(unnest([1, 6, 24]) AS BIGINT)
+        |    AS window_h) ws
+        |  GROUP BY 1)
+        |SELECT window_h, n_viewers, n_converted,
+        | n_converted * 1000000 // n_viewers AS conv_ppm
+        |FROM x ORDER BY window_h""".stripMargin),
 
     "q_retention" -> e(Events.retention,
       s"""WITH e AS (SELECT user_id, event_type,

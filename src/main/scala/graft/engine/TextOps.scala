@@ -1411,6 +1411,42 @@ object TextOps {
       .orderBy("tau")
   }
 
+  /** Token budget for [[mixTokens]] — a CONSTANT training-mix target
+    * (not a corpus fraction): the planner answers "how much of each
+    * source fits an N-token budget", and N is a training decision. */
+  val MixTokenBudget = 20000L
+
+  /** Token-budget mixture planner: given [[MixTokenBudget]] split
+    * uniformly across sources, the per-source sampling rate (floor
+    * ppm, capped at 1) and the expected token yield — the arithmetic a
+    * pipeline runs before a mixture-sampled training dump.
+    *
+    * Reads per-source token supply off the shared doc_toks stage (one
+    * tokenize per corpus); the source frame is |sources|-sized, so the
+    * distinct-count and every division run on a broadcast-scale table.
+    * All integer/floor-ppm. At real token volumes target·10⁶ nears
+    * int64 — the production variant widens those two products to
+    * decimal(38,0) (the q_len_zscore discipline); test-SF code stays
+    * on longs. */
+  def mixTokens(s: SparkSession, d: String): DataFrame = {
+    val perSrc = sharedDocToks(s, d)
+      .join(corpus(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("lc")).cast(LongType).as("src_tok"))
+    val nSrc = perSrc.agg(countDistinct(col("source")).as("n_sources"))
+    perSrc.crossJoin(broadcast(nSrc))
+      .withColumn("target_tok",
+        expr(s"$MixTokenBudget DIV n_sources"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("target_tok * 1000000 DIV src_tok")))
+      .withColumn("expected_tok",
+        expr("src_tok * rate_ppm DIV 1000000"))
+      .select(col("source"), col("src_tok"), col("target_tok"),
+        col("rate_ppm"), col("expected_tok"))
+      .orderBy("source")
+  }
+
   /** Per-source language-mix profile: the [[langId]] stopword
     * classifier rolled up to (source, predicted language) with
     * integer-ppm shares of each source's documents — the intake report

@@ -1444,5 +1444,21 @@ object TextRegistry {
         |SELECT source, pred_lang, n_docs,
         | n_docs * 1000000 // total AS share_ppm
         |FROM w ORDER BY 1, 2""".stripMargin),
+
+    "q_mix_tokens" -> e(TextOps.mixTokens,
+      s"""WITH u AS (SELECT doc_id, source,
+         |   unnest(string_split(text,' ')) AS tok
+         |  FROM documents),
+         | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS src_tok
+         |  FROM u GROUP BY 1),
+         | ns AS (SELECT count(DISTINCT source) AS n_sources FROM ps),
+         | x AS (SELECT source, src_tok,
+         |   ${TextOps.MixTokenBudget} // n_sources AS target_tok
+         |  FROM ps CROSS JOIN ns)
+         |SELECT source, src_tok, target_tok,
+         | least(1000000, target_tok * 1000000 // src_tok) AS rate_ppm,
+         | src_tok * least(1000000, target_tok * 1000000 // src_tok)
+         |   // 1000000 AS expected_tok
+         |FROM x ORDER BY source""".stripMargin),
   )
 }

@@ -318,4 +318,36 @@ class Round5OpsSpec extends SparkSpec {
       (1L, 1L, 40000L, 400000L), (2L, 1L, 70000L, 700000L),
       (3L, 1L, 90000L, 900000L), (4L, 1L, 100000L, 1000000L)))
   }
+
+  test("convertWindow: conversions per attribution window, floor ppm") {
+    // u1 purchases 30 min after first view (all windows); u2 at 2 h
+    // (6 h and 24 h only); u3 never; u4 has no view at all and is not
+    // a viewer. 1 h: 1/3 = 333333 ppm; 6 h and 24 h: 2/3 = 666666.
+    val dir = eventsDir(Seq(
+      (1L, 0L, "view"), (1L, 1800L, "purchase"),
+      (2L, 0L, "view"), (2L, 7200L, "purchase"),
+      (3L, 0L, "view"),
+      (4L, 0L, "purchase")))
+    val got = Events.convertWindow(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1L, 333333L),
+      (6L, 3L, 2L, 666666L),
+      (24L, 3L, 2L, 666666L)))
+  }
+
+  test("mixTokens: uniform budget split, capped and uncapped rates") {
+    // Budget 20000 over 2 sources → target 10000 each. s1 supplies
+    // 20001 tokens → rate 10⁷⁰/20001 = 499975 ppm, expected yield
+    // 20001·499975 div 10⁶ = 9999. s2 supplies 1 token → capped at
+    // 10⁶ ppm, yield 1.
+    val dir = docsDir(Seq(
+      (1L, ("x " * 20000) + "y", "s1"),
+      (2L, "z", "s2")))
+    val got = TextOps.mixTokens(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("s1", 20001L, 10000L, 499975L, 9999L),
+      ("s2", 1L, 10000L, 1000000L, 1L)))
+  }
 }
