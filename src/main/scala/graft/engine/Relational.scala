@@ -805,11 +805,16 @@ object Relational {
     * benched ~2× slower at sf0.1. Top-k rides a total (n_orders DESC,
     * p1, p2) order on the unique pair key, so the limit is
     * deterministic (sort_array makes p1 < p2 by construction). */
-  def basketPairs(s: SparkSession, d: String): DataFrame =
+  /** Top-40 co-occurring part pairs with support counts — the shared
+    * C(k,2) in-array pair head of [[basketPairs]] and [[basketRules]]:
+    * per-order sorted DISTINCT part sets expand to ordered (p1 < p2)
+    * pairs inside the array (collect_set drops null parts; the
+    * explicit order-key filter pins one portable null semantics where
+    * a SQL self-join would silently drop the null basket and a groupBy
+    * would keep it). Any future change to the expansion (e.g. a basket
+    * cap) lands in both queries at once. */
+  private def basketPairHead(s: SparkSession, d: String): DataFrame =
     li(s, d)
-      // explicit: a null order key is not a basket (a SQL self-join
-      // would silently drop it while groupBy would keep a null GROUP —
-      // pin one portable semantics)
       .filter(col("l_orderkey").isNotNull)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
@@ -818,9 +823,14 @@ object Relational {
           "transform(slice(parts, i + 2, size(parts)), " +
           "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
       .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
       .limit(40)
+
+  def basketPairs(s: SparkSession, d: String): DataFrame =
+    basketPairHead(s, d)
+      .select(col("p1"), col("p2"), col("n_ab").as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
 
   /** Inter-order gap histogram: days between a customer's consecutive
     * orders, bucketed by week — the re-purchase-cadence distribution.
@@ -953,7 +963,13 @@ object Relational {
     * cast cannot diverge on rounding (Spark truncates, DuckDB rounds —
     * identical only on integers). The share is floor-ppm division.
     * Scale: the supplier-side flag joins broadcast; the single fact
-    * shuffle is the orderkey join; the per-year rollup is 7 keys. */
+    * shuffle is the orderkey join; the per-year rollup is 7 keys.
+    *
+    * int64 envelope (also binds [[promoShare]] and [[partValueConc]]):
+    * the ppm numerator units·10⁶ = dollars·10¹⁰ wraps past ~$9.2·10⁸
+    * per group — a full-population warehouse share. The production
+    * variant widens the two share products to decimal(38,0) (the
+    * q_len_zscore discipline, SCALE.md); test-SF code stays on longs. */
   def mktShare(s: SparkSession, d: String): DataFrame = {
     val asiaCust = cust(s, d)
       .join(broadcast(Sources.nation(s, d)
@@ -1151,18 +1167,7 @@ object Relational {
       .agg(count(lit(1)).as("n_baskets"))
     val perPart = lp.groupBy(col("l_partkey"))
       .agg(count(lit(1)).as("n_p"))
-    val pairs = lp
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(flatten(expr(
-        "transform(parts, (x, i) -> " +
-          "transform(slice(parts, i + 2, size(parts)), " +
-          "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
-      .limit(40)
-    pairs
+    basketPairHead(s, d)
       .join(broadcast(perPart.select(col("l_partkey").as("p1"),
         col("n_p").as("n_a"))), Seq("p1"))
       .join(broadcast(perPart.select(col("l_partkey").as("p2"),

@@ -1434,7 +1434,10 @@ object TextOps {
         Seq("doc_id"))
       .groupBy(col("source"))
       .agg(sum(col("lc")).cast(LongType).as("src_tok"))
-    val nSrc = perSrc.agg(countDistinct(col("source")).as("n_sources"))
+    // row count, NOT countDistinct: a null source is still a per-source
+    // group that receives a target share — distinct-counting would
+    // exclude it from the divisor and oversubscribe the budget
+    val nSrc = perSrc.agg(count(lit(1)).as("n_sources"))
     perSrc.crossJoin(broadcast(nSrc))
       .withColumn("target_tok",
         expr(s"$MixTokenBudget DIV n_sources"))
@@ -1472,8 +1475,8 @@ object TextOps {
     perDoc
       .groupBy(col("source"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
-      .withColumn("total", sum(col("n_docs")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .withColumn("total",
+        sum(col("n_docs")).over(Window.partitionBy(col("source"))))
       .withColumn("share_ppm", expr("n_docs * 1000000 DIV total"))
       .select(col("source"), col("pred_lang"), col("n_docs"),
         col("share_ppm"))

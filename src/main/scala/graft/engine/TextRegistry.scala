@@ -1451,7 +1451,7 @@ object TextRegistry {
          |  FROM documents),
          | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS src_tok
          |  FROM u GROUP BY 1),
-         | ns AS (SELECT count(DISTINCT source) AS n_sources FROM ps),
+         | ns AS (SELECT count(*) AS n_sources FROM ps),
          | x AS (SELECT source, src_tok,
          |   ${TextOps.MixTokenBudget} // n_sources AS target_tok
          |  FROM ps CROSS JOIN ns)

@@ -209,8 +209,7 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q_mkt_share", "q_promo_share", "q_part_value_conc")) {
       val p = plan(q)
       assert(p.contains("BroadcastExchange"), s"$q lost its broadcast side")
-      assert(!p.contains("CartesianProduct")
-        || p.contains("BroadcastExchange"), s"$q plans a real cartesian")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
     // supplier leaderboard: rank≤3 prunes map-side
     assert(plan("q_supp_rank").contains("WindowGroupLimit"),

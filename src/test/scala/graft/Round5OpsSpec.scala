@@ -350,4 +350,16 @@ class Round5OpsSpec extends SparkSpec {
       ("s1", 20001L, 10000L, 499975L, 9999L),
       ("s2", 1L, 10000L, 1000000L, 1L)))
   }
+
+  test("mixTokens: a null source is a budget recipient, so it divides " +
+      "the budget") {
+    // {null, s1} are TWO per-source groups → target 20000/2 = 10000
+    // each. countDistinct would divide by 1 and oversubscribe.
+    val dir = docsDir(Seq((1L, "a b", "s1"), (2L, "c", null)))
+    val got = TextOps.mixTokens(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (null, 1L, 10000L, 1000000L, 1L),
+      ("s1", 2L, 10000L, 1000000L, 2L)))
+  }
 }
