@@ -1411,6 +1411,85 @@ object TextOps {
       .orderBy("tau")
   }
 
+  /** Zipf-law fit over the top-100 token frequencies: the least-squares
+    * slope of log-frequency against log-rank — the corpus-health
+    * fingerprint (natural text sits near −1; template floods and
+    * boilerplate bend it).
+    *
+    * Determinism: rank and frequency are exact integers; the only
+    * transcendental is ln, floor-quantized to micro units BEFORE any
+    * aggregation (the [[weightedSample]] precedent — a boundary-crossing
+    * ulp disagreement is the accepted negligible risk); the regression
+    * sums are exact int64 products of micro-quantized values, and the
+    * final slope is one long→double division, bit-identical on
+    * identical operands. Slope is emitted as num/den DOUBLES rather
+    * than floor-ppm because the numerator is negative and Spark's DIV
+    * (truncate) disagrees with DuckDB's // (floor) below zero.
+    *
+    * Scale: the frequency table is vocab-sized; its top-100 head is
+    * TakeOrderedAndProject, and the window ranks 100 rows. */
+  def tokZipf(s: SparkSession, d: String): DataFrame = {
+    val freq = sharedDocToks(s, d)
+      .groupBy(col("tok")).agg(sum(col("lc")).cast(LongType).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(100)
+    val ranked = freq.withColumn("rank", row_number()
+      .over(Window.orderBy(col("freq").desc, col("tok"))).cast(LongType))
+    ranked
+      .withColumn("lx",
+        floor(log(col("rank").cast("double")) * 1000000).cast(LongType))
+      .withColumn("ly",
+        floor(log(col("freq").cast("double")) * 1000000).cast(LongType))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lx")).cast(LongType).as("sx"),
+        sum(col("ly")).cast(LongType).as("sy"),
+        sum(col("lx") * col("ly")).cast(LongType).as("sxy"),
+        sum(col("lx") * col("lx")).cast(LongType).as("sxx"))
+      .withColumn("slope",
+        expr("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n * sxx - sx * sx AS DOUBLE)"))
+      .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+        col("slope"))
+  }
+
+  /** Heaps-law vocabulary-growth curve: distinct-token count as a
+    * function of cumulative tokens processed, at ten document-count
+    * checkpoints — the "is new data still bringing new words" signal a
+    * curation loop watches (a flattening curve says the crawl is
+    * re-serving known content).
+    *
+    * The prefix order is ascending doc_id (unique in the canonical
+    * corpus, so the curve is tie-free by construction). Vocabulary at
+    * a checkpoint counts tokens whose FIRST-occurrence doc_id is ≤ the
+    * checkpoint boundary — one vocab-sized frame joined against ten
+    * broadcast boundaries, never a distinct-over-growing-prefix
+    * window. All integer. */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val toks = sharedDocToks(s, d)
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(sum(col("lc")).cast(LongType).as("n_tok"))
+    val w = Window.orderBy(col("doc_id"))
+    val ranked = perDoc
+      .withColumn("r", row_number().over(w).cast(LongType))
+      .withColumn("cum_tok", sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val nDocs = ranked.agg(max(col("r")).as("n_docs"))
+    // checkpoint = last doc of each decile of the doc sequence
+    val checks = ranked.crossJoin(broadcast(nDocs))
+      .filter(col("r") * 10 % col("n_docs") < lit(10))
+      .withColumn("decile", expr("r * 10 DIV n_docs"))
+      .groupBy(col("decile"))
+      .agg(max(col("doc_id")).as("boundary_doc"),
+        max(col("r")).as("n_docs_seen"),
+        max(col("cum_tok")).as("cum_tok"))
+    val firstOcc = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    firstOcc.crossJoin(broadcast(checks))
+      .filter(col("first_doc") <= col("boundary_doc"))
+      .groupBy(col("decile"), col("n_docs_seen"), col("cum_tok"))
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy("decile")
+  }
+
   /** Token budget for [[mixTokens]] — a CONSTANT training-mix target
     * (not a corpus fraction): the planner answers "how much of each
     * source fits an N-token budget", and N is a training decision. */

@@ -1460,5 +1460,44 @@ object TextRegistry {
          | src_tok * least(1000000, target_tok * 1000000 // src_tok)
          |   // 1000000 AS expected_tok
          |FROM x ORDER BY source""".stripMargin),
+
+    "q_tok_zipf" -> e(TextOps.tokZipf,
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM t
+        |  GROUP BY 1 ORDER BY freq DESC, tok LIMIT 100),
+        | r AS (SELECT tok, freq, CAST(row_number() OVER (
+        |    ORDER BY freq DESC, tok) AS BIGINT) AS rank FROM f),
+        | q AS (SELECT CAST(floor(ln(rank) * 1000000) AS BIGINT) AS lx,
+        |   CAST(floor(ln(freq) * 1000000) AS BIGINT) AS ly FROM r),
+        | s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+        |   CAST(sum(lx*ly) AS BIGINT) AS sxy,
+        |   CAST(sum(lx*lx) AS BIGINT) AS sxx FROM q)
+        |SELECT n, sx, sy, sxy, sxx,
+        | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        |   AS slope
+        |FROM s""".stripMargin),
+
+    "q_heaps_law" -> e(TextOps.heapsLaw,
+      """WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        | pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM t
+        |  GROUP BY 1),
+        | r AS (SELECT doc_id, n_tok,
+        |   CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+        |   CAST(sum(n_tok) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |     AS cum_tok
+        |  FROM pd),
+        | nd AS (SELECT max(r) AS n_docs FROM r),
+        | ck AS (SELECT r * 10 // n_docs AS decile,
+        |   max(doc_id) AS boundary_doc, max(r) AS n_docs_seen,
+        |   max(cum_tok) AS cum_tok
+        |  FROM r CROSS JOIN nd WHERE r * 10 % n_docs < 10 GROUP BY 1),
+        | fo AS (SELECT tok, min(doc_id) AS first_doc FROM t GROUP BY 1)
+        |SELECT decile, n_docs_seen, cum_tok, count(*) AS vocab
+        |FROM fo CROSS JOIN ck WHERE first_doc <= boundary_doc
+        |GROUP BY decile, n_docs_seen, cum_tok ORDER BY decile""".stripMargin),
   )
 }

@@ -94,6 +94,30 @@ class CorpusOpsSpec extends SparkSpec {
       .foreach { case (a, b, _, leaky) => assert(leaky == (a != b)) }
   }
 
+  test("tokZipf: exact micro-quantized regression — slope −1 on a " +
+      "perfect 2:1 corpus") {
+    // freqs a:4, b:2 → ranks 1, 2. lx = (0, 693147); ly = (1386294,
+    // 693147) — note floor(10⁶·ln 4) = 2·floor(10⁶·ln 2) exactly here.
+    // num = 2·sxy − sx·sy = −693147², den = 2·sxx − sx² = 693147² →
+    // slope exactly −1.0.
+    val dir = corpusDir(Seq((1L, "a a a a b b", "en", "s1", 11L)))
+    val got = TextOps.tokZipf(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, 693147L, 2079441L, 480452763609L, 480452763609L, -1.0)))
+  }
+
+  test("heapsLaw: vocabulary growth at document checkpoints") {
+    // d1 "a b a" (3 tokens, vocab {a,b}), d2 "b c" (2 tokens, +c).
+    // With 2 docs every doc is a checkpoint: deciles 5 and 10.
+    val dir = corpusDir(Seq(
+      (1L, "a b a", "en", "s1", 5L),
+      (2L, "b c", "en", "s1", 3L)))
+    val got = TextOps.heapsLaw(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((5L, 1L, 3L, 2L), (10L, 2L, 5L, 3L)))
+  }
+
   test("langMix: per-source predicted-language shares in floor ppm") {
     // s1: "the of and x" → 3/4 stopwords → en; "x y z" → und →
     // en/und split 500000 ppm each. s2's only doc is und → 1000000.
