@@ -812,20 +812,24 @@ object Relational {
     * explicit order-key filter pins one portable null semantics where
     * a SQL self-join would silently drop the null basket and a groupBy
     * would keep it). Any future change to the expansion (e.g. a basket
-    * cap) lands in both queries at once. */
+    * cap) lands in both queries at once. [[Stages]]-materialized so the
+    * two consumers expand the C(k,2) fan-out once per warehouse, not
+    * once per query. */
   private def basketPairHead(s: SparkSession, d: String): DataFrame =
-    li(s, d)
-      .filter(col("l_orderkey").isNotNull)
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(flatten(expr(
-        "transform(parts, (x, i) -> " +
-          "transform(slice(parts, i + 2, size(parts)), " +
-          "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_ab"))
-      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
-      .limit(40)
+    Stages.materialize(s, "basket_head", d) {
+      li(s, d)
+        .filter(col("l_orderkey").isNotNull)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .select(explode(flatten(expr(
+          "transform(parts, (x, i) -> " +
+            "transform(slice(parts, i + 2, size(parts)), " +
+            "y -> struct(x AS p1, y AS p2)))"))).as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+        .agg(count(lit(1)).as("n_ab"))
+        .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+        .limit(40)
+    }
 
   def basketPairs(s: SparkSession, d: String): DataFrame =
     basketPairHead(s, d)
@@ -1050,7 +1054,8 @@ object Relational {
     * lifetime revenue exceeds 0.05% of total revenue — the
     * inventory-concentration screen.
     *
-    * The global total is a one-row broadcast; the threshold test is the
+    * The grand total is a partition-less window over the per-part
+    * pre-aggregate (one fact scan); the threshold test is the
     * cross-multiplied integer inequality `units * 2000 > total_units`
     * (0.05% = 1/2000) — no division, no doubles, no epsilon; units are
     * exact ×10000 fixed point (see [[mktShare]]). The per-part
@@ -1061,8 +1066,13 @@ object Relational {
       .groupBy(col("l_partkey"))
       .agg((sum(revenue) * 10000).cast("long").as("units"),
         count(lit(1)).as("n_items"))
-    val tot = per.agg(sum(col("units")).cast("long").as("total_units"))
-    per.crossJoin(broadcast(tot))
+    // the grand total as a partition-less window over the per-part
+    // frame: ONE fact scan (a separate .agg would re-run the groupBy
+    // scan); the single-partition window ranks dimension-bounded part
+    // rows, not fact volume
+    per
+      .withColumn("total_units",
+        sum(col("units")).over(Window.partitionBy()).cast("long"))
       .filter(col("units") * 2000 > col("total_units"))
       .withColumn("share_ppm", expr("units * 1000000 DIV total_units"))
       .select(col("l_partkey"), col("units"), col("n_items"),

@@ -205,21 +205,31 @@ class PlanSpec extends SparkSpec {
       "q_returned_rev flag filter not pushed")
     assert(rr.contains("TakeOrderedAndProject"),
       "q_returned_rev top-20 is not a partial top-k")
-    // Q8/Q14/Q11: one fact scan each; flag/total sides broadcast
-    for (q <- Seq("q_mkt_share", "q_promo_share", "q_part_value_conc")) {
+    // Q8/Q14: one fact scan each; flag sides broadcast
+    for (q <- Seq("q_mkt_share", "q_promo_share")) {
       val p = plan(q)
       assert(p.contains("BroadcastExchange"), s"$q lost its broadcast side")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
+    // Q11: the grand total is a window over the per-part frame —
+    // exactly ONE lineitem scan (a separate total aggregate would
+    // re-run the fact groupBy)
+    val pv = plan("q_part_value_conc")
+    assert(!pv.contains("CartesianProduct"), "q_part_value_conc cartesian")
+    assert("lineitem\\.parquet".r.findAllIn(pv).size == 1,
+      "q_part_value_conc scans lineitem more than once")
     // supplier leaderboard: rank≤3 prunes map-side
     assert(plan("q_supp_rank").contains("WindowGroupLimit"),
       "q_supp_rank rank cap not pushed map-side")
-    // basket rules: the 40-pair head is a TakeOrderedAndProject and the
-    // support lookups broadcast onto it
+    // basket rules: the C(k,2) pair head is read from its stage (built
+    // once, shared with q_basket_pairs) and the support lookups
+    // broadcast onto the 40-row head
     val br = plan("q_basket_rules")
-    assert(br.contains("TakeOrderedAndProject"),
-      "q_basket_rules pair head is not a partial top-k")
+    assert(br.contains("basket_head-"),
+      "q_basket_rules does not read the shared pair stage")
     assert(br.contains("BroadcastHashJoin"),
       "q_basket_rules supports not broadcast")
+    assert(plan("q_basket_pairs").contains("basket_head-"),
+      "q_basket_pairs does not read the shared pair stage")
   }
 }
