@@ -18,13 +18,17 @@ classes: comma-separated subset of
   evdup    replayed / key-tied events
   evnull   events with null fields
   vecdup   embeddings: replayed / id-colliding / degenerate vectors
+  reldup   orders/lineitem: replayed rows, key collisions with divergent
+           payloads, null keys/dates — the classes a regenerated
+           warehouse could carry into the relational/trade queries
 (default: all). `all` shells out to sbt for graft.Verify, then runs
 check.py. Deterministic for a given (src, seed, classes).
 """
 import os, random, shutil, subprocess, sys
 import duckdb
 
-ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "vecdup"}
+ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "vecdup",
+               "reldup"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -50,9 +54,72 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     rng = random.Random(seed)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    mutated = {"documents", "events", "embeddings"}
+    if "reldup" in classes:
+        mutated |= {"orders", "lineitem"}
     for t in TABLES:
-        if t not in ("documents", "events", "embeddings"):
+        if t not in mutated:
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # ---- orders/lineitem: replays, key collisions, null keys/dates ----
+    if "reldup" in classes:
+        ocols = [c[0] for c in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/orders.parquet'").fetchall()]
+        orows = con.sql(f"SELECT * FROM '{src}/orders.parquet'").fetchall()
+        i_ok, i_ck, i_tot, i_od = (ocols.index(c) for c in
+            ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+        ob = rng.sample(orows, min(16, len(orows)))
+        oex = []
+        for r in ob[:5]:            # exact replayed orders (dup orderkey)
+            oex.append(tuple(r))
+        for r in ob[5:9]:           # same orderkey, divergent payload
+            q = list(r)
+            q[i_tot] = (r[i_tot] or 0.0) + 111.0
+            oex.append(tuple(q))
+        for r in ob[9:12]:          # fresh key, null orderdate
+            q = list(r)
+            q[i_ok] = r[i_ok] + 10_000_000
+            q[i_od] = None
+            oex.append(tuple(q))
+        q = list(ob[12]); q[i_ok] = None            # null orderkey
+        oex.append(tuple(q))
+        q = list(ob[13]); q[i_ok] = ob[13][i_ok] + 20_000_000
+        q[i_ck] = None                              # null custkey
+        oex.append(tuple(q))
+        con.execute(f"CREATE OR REPLACE TABLE ford AS "
+                    f"SELECT * FROM '{src}/orders.parquet'")
+        con.executemany(
+            f"INSERT INTO ford VALUES ({','.join('?' * len(ocols))})", oex)
+        con.execute(f"COPY ford TO '{dst}/orders.parquet' (FORMAT PARQUET)")
+
+        lcols = [c[0] for c in con.sql(
+            f"DESCRIBE SELECT * FROM '{src}/lineitem.parquet'").fetchall()]
+        lrows = con.sql(f"SELECT * FROM '{src}/lineitem.parquet'").fetchall()
+        k_ok, k_pk, k_sk, k_ln, k_q, k_sd = (lcols.index(c) for c in
+            ("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+             "l_quantity", "l_shipdate"))
+        lb = rng.sample(lrows, min(20, len(lrows)))
+        lex = []
+        for r in lb[:5]:            # exact replayed lines
+            lex.append(tuple(r))
+        for r in lb[5:9]:           # same (orderkey, linenumber), new qty
+            q = list(r)
+            q[k_q] = (r[k_q] or 0.0) + 1.0
+            lex.append(tuple(q))
+        for fld, rs in (("l_partkey", lb[9:12]), ("l_suppkey", lb[12:15]),
+                        ("l_shipdate", lb[15:18])):
+            for r in rs:            # null part/supp/shipdate
+                q = list(r)
+                q[lcols.index(fld)] = None
+                lex.append(tuple(q))
+        q = list(lb[18]); q[k_ok] = None            # null orderkey
+        lex.append(tuple(q))
+        con.execute(f"CREATE OR REPLACE TABLE fli AS "
+                    f"SELECT * FROM '{src}/lineitem.parquet'")
+        con.executemany(
+            f"INSERT INTO fli VALUES ({','.join('?' * len(lcols))})", lex)
+        con.execute(f"COPY fli TO '{dst}/lineitem.parquet' (FORMAT PARQUET)")
+        print(f"fuzz gen: +{len(oex)} orders, +{len(lex)} lineitems")
 
     # ---- documents: duplicate doc_ids + nasty text + nulls ------------
     docs = con.sql(f"SELECT * FROM '{src}/documents.parquet'").fetchall()

@@ -411,12 +411,16 @@ object Registry {
     "q_incr_agg" -> e(Relational.incrAgg,
       // the oracle is the FULL recompute — incremental state merge must
       // be indistinguishable from rescanning all of history
+      // undated orders are EXCLUDED explicitly: a row with a null
+      // period date belongs to no maintenance period, so the partials
+      // can never see it — the recompute must define the maintained
+      // table over dated orders or the law breaks on exactly that row
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS sp6,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
         |   / count(*) AS avg6,
         | min(o_orderdate) AS first_od, max(o_orderdate) AS last_od
-        |FROM orders GROUP BY 1, 2
+        |FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
         |ORDER BY o_orderpriority, o_orderstatus, n, sp6, avg6,
         | first_od, last_od""".stripMargin),
 

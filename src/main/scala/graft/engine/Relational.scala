@@ -674,7 +674,12 @@ object Relational {
     * The oracle is the full recompute over all of orders: incremental
     * maintenance must be indistinguishable from recomputation (the
     * algebraic-mergeability law). avg is derived sum/count at read
-    * time — a stored average would not merge. */
+    * time — a stored average would not merge.
+    *
+    * The maintained table is defined over DATED orders: a row with a
+    * null period date belongs to no maintenance period (every range
+    * partial is never-true on null), so the recompute oracle excludes
+    * them explicitly too — the law is stated over assignable rows. */
   def incrAgg(s: SparkSession, d: String): DataFrame = {
     def partial(lo: String, hi: String): DataFrame =
       Sources.orders(s, d)
