@@ -21,6 +21,9 @@ classes: comma-separated subset of
   reldup   orders/lineitem: replayed rows, key collisions with divergent
            payloads, null keys/dates — the classes a regenerated
            warehouse could carry into the relational/trade queries
+  dimdup   dimension tables: duplicate primary keys with divergent
+           payloads and null FKs in customer/supplier/part/nation —
+           the join-fanout and window-tie classes
 (default: all). `all` shells out to sbt for graft.Verify, then runs
 check.py. Deterministic for a given (src, seed, classes).
 """
@@ -28,7 +31,7 @@ import os, random, shutil, subprocess, sys
 import duckdb
 
 ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "vecdup",
-               "reldup"}
+               "reldup", "dimdup"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -57,9 +60,47 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     mutated = {"documents", "events", "embeddings"}
     if "reldup" in classes:
         mutated |= {"orders", "lineitem"}
+    if "dimdup" in classes:
+        mutated |= {"customer", "supplier", "part", "nation"}
     for t in TABLES:
         if t not in mutated:
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+
+    # ---- dims: duplicate PKs with divergent payloads, null FKs --------
+    if "dimdup" in classes:
+        def mutate_dim(table, pk, payload, fk=None):
+            cols = [c[0] for c in con.sql(
+                f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
+            rows = con.sql(f"SELECT * FROM '{src}/{table}.parquet'").fetchall()
+            i_pk, i_pay = cols.index(pk), cols.index(payload)
+            b = rng.sample(rows, min(8, len(rows)))
+            ex = []
+            for r in b[:3]:         # exact replayed dim rows
+                ex.append(tuple(r))
+            for r in b[3:6]:        # same PK, divergent payload
+                q = list(r)
+                q[i_pay] = (str(r[i_pay]) + "_DUP") \
+                    if isinstance(r[i_pay], str) else None
+                ex.append(tuple(q))
+            if fk is not None:      # fresh PK, null FK
+                q = list(b[6])
+                q[i_pk] = max(x[i_pk] for x in rows) + 1000
+                q[cols.index(fk)] = None
+                ex.append(tuple(q))
+            q = list(b[7]); q[i_pk] = None          # null PK
+            ex.append(tuple(q))
+            con.execute(f"CREATE OR REPLACE TABLE fdim AS "
+                        f"SELECT * FROM '{src}/{table}.parquet'")
+            con.executemany(
+                f"INSERT INTO fdim VALUES ({','.join('?' * len(cols))})", ex)
+            con.execute(
+                f"COPY fdim TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
+            return len(ex)
+        nd = (mutate_dim("customer", "c_custkey", "c_name", "c_nationkey") +
+              mutate_dim("supplier", "s_suppkey", "s_name", "s_nationkey") +
+              mutate_dim("part", "p_partkey", "p_type") +
+              mutate_dim("nation", "n_nationkey", "n_name", "n_regionkey"))
+        print(f"fuzz gen: +{nd} dim rows")
 
     # ---- orders/lineitem: replays, key collisions, null keys/dates ----
     if "reldup" in classes:

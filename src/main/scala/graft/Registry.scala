@@ -39,7 +39,7 @@ object Registry {
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
-        |ORDER BY o_orderkey""".stripMargin),
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin),
 
     "q_join_multi" -> e(Relational.joinMulti,
       """SELECT r_name, n_name,
@@ -128,10 +128,12 @@ object Registry {
     "q_window_running" -> e(Relational.windowRunning,
       """SELECT o_custkey, o_orderkey,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
-        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey, o_totalprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS run_total
-        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey, run_total""".stripMargin),
 
     "q_sort_limit" -> e(Relational.sortLimit,
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -332,10 +334,13 @@ object Registry {
         | cume_dist() OVER w AS cd
         |FROM orders WHERE o_custkey % 50 = 0
         |WINDOW
-        | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+        | w AS (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey, o_totalprice),
+        | wf AS (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey, o_totalprice
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey, prev_price, next_price,
+        | quartile""".stripMargin),
 
     "q_date_funcs" -> e(Relational.dateFuncs,
       """SELECT o_orderkey,

@@ -70,20 +70,85 @@ object Registry0 {
       "AND len(list_filter(embedding, x -> x IS NULL)) = 0) " +
       "WHERE nm > 0 AND NOT isnan(nm)) WHERE rn = 1)"
 
+  /** DuckDB mirrors of the canonical dimension views ([[Sources]]):
+    * one arg-min-by-md5 survivor per non-null primary key, payload
+    * rendered with the chr(1)/chr(2) delimiter/sentinel scheme and
+    * DOUBLE money columns through DECIMAL(10,2) (raw double→string
+    * formatting is not engine-portable). Injected into every oracle
+    * that reads the dim. */
+  private def dimCte(cteName: String, table: String, pk: String,
+      fields: Seq[(String, String)]): (String, String, String) = {
+    val pack = fields.map { case (c, _) => s"$c:=$c" }.mkString(", ")
+    val render = fields.map { case (_, r) => s"coalesce($r, chr(2))" }
+      .mkString(", ")
+    (table, cteName,
+      s"$cteName AS (SELECT $pk, UNNEST(arg_min(struct_pack($pack), " +
+        s"md5(concat_ws(chr(1), $render)))) " +
+        s"FROM $table WHERE $pk IS NOT NULL GROUP BY $pk)")
+  }
+
+  private def money(c: String) =
+    s"CAST(CAST($c AS DECIMAL(10,2)) AS VARCHAR)"
+  private def str(c: String) = c
+  private def int(c: String) = s"CAST($c AS VARCHAR)"
+
+  /** (table, cteName, cte) for the five dims. */
+  private val DimCtes: Seq[(String, String, String)] = Seq(
+    dimCte("cdim", "customer", "c_custkey", Seq(
+      "c_name" -> str("c_name"), "c_nationkey" -> int("c_nationkey"),
+      "c_acctbal" -> money("c_acctbal"),
+      "c_mktsegment" -> str("c_mktsegment"))),
+    dimCte("sdim", "supplier", "s_suppkey", Seq(
+      "s_name" -> str("s_name"), "s_nationkey" -> int("s_nationkey"),
+      "s_acctbal" -> money("s_acctbal"))),
+    dimCte("pdim", "part", "p_partkey", Seq(
+      "p_name" -> str("p_name"), "p_brand" -> str("p_brand"),
+      "p_type" -> str("p_type"), "p_size" -> int("p_size"),
+      "p_retailprice" -> money("p_retailprice"))),
+    dimCte("ndim", "nation", "n_nationkey", Seq(
+      "n_name" -> str("n_name"), "n_regionkey" -> int("n_regionkey"))),
+    dimCte("rdim", "region", "r_regionkey", Seq(
+      "r_name" -> str("r_name"))))
+
+  def canonDims(sql: String): String =
+    DimCtes.foldLeft(sql) { case (acc, (table, cteName, cte)) =>
+      injectCte(acc, table, cteName, cte)
+    }
+
+  /** Replace whole-word `table` with `cteName` OUTSIDE single-quoted
+    * SQL string literals only — a table word inside a literal (e.g.
+    * the PII scrub regex '\b(customer|...)\b') is data, not a table
+    * reference, and rewriting it would silently change the oracle's
+    * semantics. The split regex treats an escaped '' as two adjacent
+    * literals, which replaces nothing between them — harmless. */
+  private def replaceTableWord(sql: String, table: String,
+      cteName: String): String = {
+    val lit = "'(?:[^']|'')*'".r
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- lit.findAllMatchIn(sql)) {
+      sb.append(sql.substring(last, m.start)
+        .replaceAll(s"\\b$table\\b", cteName))
+      sb.append(m.matched)
+      last = m.end
+    }
+    sb.append(sql.substring(last).replaceAll(s"\\b$table\\b", cteName))
+    sb.toString
+  }
+
   /** Redirect an oracle's references to `table` to the canonical CTE
     * `cteName`, prepending `cte` to the WITH list (after RECURSIVE,
     * whose keyword must stay first). No-op when the table is unused. */
   private def injectCte(sql: String, table: String, cteName: String,
-      cte: String): String =
-    if (!sql.contains(table)) sql
-    else {
-      val r = sql.replaceAll(s"\\b$table\\b", cteName)
-      if (r.matches("(?s)\\s*WITH\\s+RECURSIVE\\s.*"))
-        r.replaceFirst("WITH\\s+RECURSIVE\\s", s"WITH RECURSIVE $cte,\n ")
-      else if (r.matches("(?s)\\s*WITH\\s.*"))
-        r.replaceFirst("WITH\\s", s"WITH $cte,\n ")
-      else s"WITH $cte\n$r"
-    }
+      cte: String): String = {
+    val r = replaceTableWord(sql, table, cteName)
+    if (r == sql) sql
+    else if (r.matches("(?s)\\s*WITH\\s+RECURSIVE\\s.*"))
+      r.replaceFirst("WITH\\s+RECURSIVE\\s", s"WITH RECURSIVE $cte,\n ")
+    else if (r.matches("(?s)\\s*WITH\\s.*"))
+      r.replaceFirst("WITH\\s", s"WITH $cte,\n ")
+    else s"WITH $cte\n$r"
+  }
 
   def canonDocs(sql: String): String =
     injectCte(sql, "documents", "docs", DocsCte)
@@ -96,7 +161,8 @@ object Registry0 {
       oracle: Option[String])
 
   def e(fn: (SparkSession, String) => DataFrame, sql: String): Entry =
-    Entry((s, d) => portableOrder(fn(s, d)), Some(canonVecs(canonDocs(sql))))
+    Entry((s, d) => portableOrder(fn(s, d)),
+      Some(canonDims(canonVecs(canonDocs(sql)))))
 
   /** Entry with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(fn: (SparkSession, String) => DataFrame): Entry =

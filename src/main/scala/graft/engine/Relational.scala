@@ -68,7 +68,11 @@ object Relational {
     ord(s, d).filter(col("o_orderstatus") === "F")
       .join(c, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
-      .orderBy("o_orderkey")
+      // TOTAL order: o_orderkey alone is not unique when the fact
+      // table carries replayed orders — key-tied rows with divergent
+      // payloads would interleave engine-dependently
+      .orderBy("o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+        "o_totalprice")
   }
 
   /** Star join: fact ⋈ fact ⋈ dims — the 100 TB shape (lineitem/orders
@@ -177,13 +181,17 @@ object Relational {
   }
 
   def windowRunning(s: SparkSession, d: String): DataFrame = {
+    // o_totalprice in the WINDOW order: replayed orders tie on
+    // (date, orderkey) with divergent payloads, and a running sum's
+    // VALUES depend on tie order — with the payload in the key, any
+    // remaining tie is a fully identical row (interchangeable)
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ord(s, d)
       .withColumn("run_total", outD(sum(money(col("o_totalprice"))).over(w)))
       .select("o_custkey", "o_orderkey", "run_total")
-      .orderBy("o_custkey", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey", "run_total")
   }
 
   def sortLimit(s: SparkSession, d: String): DataFrame =
@@ -474,8 +482,11 @@ object Relational {
 
   /** lead/lag/first/last/ntile/percent_rank/cume_dist in one pass. */
   def windowFuncs(s: SparkSession, d: String): DataFrame = {
+    // o_totalprice in the window order (see windowRunning): lag/lead/
+    // first/last VALUES are tie-order-dependent when replayed orders
+    // tie on (date, orderkey) with divergent payloads
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
     val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ord(s, d).filter(col("o_custkey") % 50 === 0)
       .select(col("o_custkey"), col("o_orderkey"),
@@ -486,7 +497,8 @@ object Relational {
         ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
-      .orderBy("o_custkey", "o_orderkey")
+      .orderBy("o_custkey", "o_orderkey", "prev_price", "next_price",
+        "quartile")
   }
 
   def dateFuncs(s: SparkSession, d: String): DataFrame =

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -26,11 +26,60 @@ object Sources {
       spec: Types.CoercionSpec = Types.CoercionSpec()): DataFrame =
     Types.normalizeDecimals(Types.coerce(read(spark, dir, name), spec))
 
-  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
-  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
-  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
-  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
-  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  // ---- canonical dimension views -------------------------------------
+  // One deterministic survivor per non-null primary key, exactly the
+  // TextOps.corpus discipline applied to the warehouse dims: a
+  // regenerated dim carrying duplicate PKs (replays, divergent-payload
+  // collisions) would otherwise fan out every join and tie every
+  // PK-keyed window/sort engine-dependently (the fuzz `dimdup` class
+  // broke 6 queries before this). Survivor = min md5 over the
+  // chr(1)-delimited, chr(2)-null-sentineled payload rendering; DOUBLE
+  // payloads render through DECIMAL(10,2) (the generated money columns
+  // are 2-decimal), because raw double→string formatting is not
+  // engine-portable. Null-PK rows are unjoinable and dropped at
+  // intake. DuckDB mirrors: Registry0.DimCtes, auto-injected into
+  // every oracle that reads a dim. Facts (orders/lineitem) are NOT
+  // canonicalized — duplicate fact rows are legitimate data.
+
+  private val DimNul = lit("")
+
+  private def dimKeyPart(c: Column): Column = coalesce(c, DimNul)
+
+  private def canonDim(df: DataFrame, pk: String,
+      keyRender: Seq[Column], payload: Seq[String]): DataFrame = {
+    val key = md5(concat_ws("", keyRender.map(dimKeyPart): _*))
+    df.filter(col(pk).isNotNull)
+      .groupBy(col(pk))
+      .agg(min_by(struct(payload.map(col): _*), key).as("r"))
+      .select(col(pk) +: payload.map(c => col(s"r.$c").as(c)): _*)
+  }
+
+  private def moneyStr(c: String): Column =
+    col(c).cast("decimal(10,2)").cast("string")
+
+  def region(s: SparkSession, d: String): DataFrame =
+    canonDim(read(s, d, "region"), "r_regionkey",
+      Seq(col("r_name")), Seq("r_name"))
+  def nation(s: SparkSession, d: String): DataFrame =
+    canonDim(read(s, d, "nation"), "n_nationkey",
+      Seq(col("n_name"), col("n_regionkey").cast("string")),
+      Seq("n_name", "n_regionkey"))
+  def customer(s: SparkSession, d: String): DataFrame =
+    canonDim(read(s, d, "customer"), "c_custkey",
+      Seq(col("c_name"), col("c_nationkey").cast("string"),
+        moneyStr("c_acctbal"), col("c_mktsegment")),
+      Seq("c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+  def supplier(s: SparkSession, d: String): DataFrame =
+    canonDim(read(s, d, "supplier"), "s_suppkey",
+      Seq(col("s_name"), col("s_nationkey").cast("string"),
+        moneyStr("s_acctbal")),
+      Seq("s_name", "s_nationkey", "s_acctbal"))
+  def part(s: SparkSession, d: String): DataFrame =
+    canonDim(read(s, d, "part"), "p_partkey",
+      Seq(col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast("string"), moneyStr("p_retailprice")),
+      Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+
   def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")

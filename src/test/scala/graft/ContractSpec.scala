@@ -164,18 +164,102 @@ class ContractSpec extends SparkSpec {
   /** Deterministic Scala twin of scripts/fuzz.py `gen`: clone sf0.001
     * and inject duplicate doc_ids (replays, reshuffles, cross-source,
     * different lengths), nasty text (null/empty/whitespace runs), null
-    * doc_ids, replayed / key-tied / null-field events. */
+    * doc_ids, replayed / key-tied / null-field events, replayed /
+    * key-colliding / null-keyed orders and lineitems (`reldup`), and
+    * duplicate-PK / null-FK dimension rows (`dimdup`). */
   private def adversarialDir(): String = {
     import org.apache.spark.sql.Row
     import spark.implicits._
     val src = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem")
-    tables.foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
-    }
+    spark.read.parquet(s"$src/region.parquet")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
+
+    // dims: exact replays, same-PK divergent payloads, null FK, null PK
+    val natT = spark.read.parquet(s"$src/nation.parquet")
+    val nb = natT.orderBy("n_nationkey").limit(6)
+      .as[(java.lang.Integer, String, java.lang.Integer)].collect()
+    val nextra = nb.take(2).toSeq ++
+      nb.slice(2, 4).map(r => (r._1, r._2 + "_DUP", r._3)) ++
+      Seq((nb(4)._1, nb(4)._2, null: java.lang.Integer),
+        (null: java.lang.Integer, "NATION_NULLKEY", nb(5)._3))
+    natT.union(nextra.toDF(natT.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    val custT = spark.read.parquet(s"$src/customer.parquet")
+    val cb = custT.orderBy("c_custkey").limit(8)
+      .as[(java.lang.Long, String, java.lang.Integer, java.lang.Double,
+        String)].collect()
+    val cextra = cb.take(3).toSeq ++
+      cb.slice(3, 6).map(r => (r._1, r._2 + "_DUP", r._3, r._4, r._5)) ++
+      Seq((cb(6)._1, cb(6)._2, null: java.lang.Integer, cb(6)._4, cb(6)._5),
+        (null: java.lang.Long, "NULLKEY", cb(7)._3, cb(7)._4, cb(7)._5))
+    custT.union(cextra.toDF(custT.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+
+    val supT = spark.read.parquet(s"$src/supplier.parquet")
+    val sb = supT.orderBy("s_suppkey").limit(6)
+      .as[(java.lang.Long, String, java.lang.Integer, java.lang.Double)]
+      .collect()
+    val sextra = sb.take(2).toSeq ++
+      sb.slice(2, 4).map(r => (r._1, r._2 + "_DUP", r._3, r._4)) ++
+      Seq((sb(4)._1, sb(4)._2, null: java.lang.Integer, sb(4)._4),
+        (null: java.lang.Long, "NULLKEY", sb(5)._3, sb(5)._4))
+    supT.union(sextra.toDF(supT.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+
+    val partT = spark.read.parquet(s"$src/part.parquet")
+    val pb = partT.orderBy("p_partkey").limit(6)
+      .as[(java.lang.Long, String, String, String, java.lang.Integer,
+        java.lang.Double)].collect()
+    val pextra = pb.take(2).toSeq ++
+      pb.slice(2, 4).map(r => (r._1, r._2, r._3, r._4 + "_DUP", r._5, r._6)) ++
+      Seq((null: java.lang.Long, "NULLKEY", pb(4)._3, pb(4)._4, pb(4)._5,
+        pb(4)._6))
+    partT.union(pextra.toDF(partT.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+
+    // facts: exact replays, key collisions with divergent payloads,
+    // null keys/dates — NOT canonicalized by the engine, so every
+    // consumer must be tie-proof on them
+    val ordT = spark.read.parquet(s"$src/orders.parquet")
+    val ob = ordT.orderBy("o_orderkey").limit(12)
+      .as[(java.lang.Long, java.lang.Long, String, java.lang.Double,
+        java.sql.Timestamp, String)].collect()
+    val oextra = ob.take(4).toSeq ++
+      ob.slice(4, 8).map(r =>
+        (r._1, r._2, r._3, Double.box(r._4 + 111.0), r._5, r._6)) ++
+      ob.slice(8, 10).map(r =>
+        (Long.box(r._1 + 10000000L), r._2, r._3, r._4,
+          null: java.sql.Timestamp, r._6)) ++
+      Seq((null: java.lang.Long, ob(10)._2, ob(10)._3, ob(10)._4,
+        ob(10)._5, ob(10)._6),
+        (Long.box(ob(11)._1 + 20000000L), null: java.lang.Long, ob(11)._3,
+          ob(11)._4, ob(11)._5, ob(11)._6))
+    ordT.union(oextra.toDF(ordT.columns: _*))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val liT = spark.read.parquet(s"$src/lineitem.parquet")
+    val lb = liT.orderBy("l_orderkey", "l_linenumber").limit(12).collect()
+    val lextra: Seq[Row] = lb.take(4).toSeq ++
+      lb.slice(4, 8).map { r => // same (orderkey, linenumber), new qty
+        Row(r.get(0), r.get(1), r.get(2), r.get(3),
+          Double.box(r.getDouble(4) + 1.0), r.get(5), r.get(6), r.get(7),
+          r.get(8), r.get(9), r.get(10))
+      } ++
+      Seq(
+        Row(lb(8).get(0), null, lb(8).get(2), lb(8).get(3), lb(8).get(4),
+          lb(8).get(5), lb(8).get(6), lb(8).get(7), lb(8).get(8),
+          lb(8).get(9), lb(8).get(10)), // null partkey
+        Row(lb(9).get(0), lb(9).get(1), lb(9).get(2), lb(9).get(3),
+          lb(9).get(4), lb(9).get(5), lb(9).get(6), lb(9).get(7),
+          lb(9).get(8), lb(9).get(9), null), // null shipdate
+        Row(null, lb(10).get(1), lb(10).get(2), lb(10).get(3),
+          lb(10).get(4), lb(10).get(5), lb(10).get(6), lb(10).get(7),
+          lb(10).get(8), lb(10).get(9), lb(10).get(10))) // null orderkey
+    liT.union(spark.createDataFrame(
+        spark.sparkContext.parallelize(lextra), liT.schema))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val ebase2 = emb.orderBy("vec_id").limit(6)
