@@ -10,7 +10,7 @@ import graft.engine._
   * decimal arithmetic, bit-deterministic doubles — see Relational docs).
   */
 object Registry {
-  import Registry0.{Entry, e}
+  import Registry0.{Entry, e, eRawDims}
 
   val relational: Seq[(String, Entry)] = Seq(
     "q_scan_project" -> e(Relational.scanProject,
@@ -731,6 +731,25 @@ object Registry {
         | JOIN pp pb ON pr.p2 = pb.l_partkey
         | CROSS JOIN nb
         |ORDER BY n_ab DESC, p1, p2""".stripMargin),
+
+    "q_dq_dims" -> eRawDims(Relational.dqDims, {
+      def one(t: String, pk: String, fk: Option[String]) = {
+        val nf = fk.map(f =>
+          s"CAST(sum(CASE WHEN $f IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+          .getOrElse("CAST(0 AS BIGINT)")
+        s"""SELECT '$t' AS table_name, count(*) AS n_rows,
+           | count(*) - count($pk) AS n_null_pk,
+           | count($pk) - count(DISTINCT $pk) AS n_dup_pk,
+           | $nf AS n_null_fk
+           |FROM $t""".stripMargin
+      }
+      Seq(one("customer", "c_custkey", Some("c_nationkey")),
+        one("supplier", "s_suppkey", Some("s_nationkey")),
+        one("part", "p_partkey", None),
+        one("nation", "n_nationkey", Some("n_regionkey")),
+        one("region", "r_regionkey", None))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    }),
   )
 
   /** All declared queries, in a stable order. */

@@ -164,6 +164,15 @@ object Registry0 {
     Entry((s, d) => portableOrder(fn(s, d)),
       Some(canonDims(canonVecs(canonDocs(sql)))))
 
+  /** Entry whose oracle reads the RAW dimension tables — for audits
+    * that measure exactly what the canonical views repair (injecting
+    * the dim CTEs would make such an audit read its own fix). Docs /
+    * vecs canonicalization still applies. */
+  def eRawDims(fn: (SparkSession, String) => DataFrame,
+      sql: String): Entry =
+    Entry((s, d) => portableOrder(fn(s, d)),
+      Some(canonVecs(canonDocs(sql))))
+
   /** Entry with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(fn: (SparkSession, String) => DataFrame): Entry =
     Entry((s, d) => portableOrder(fn(s, d)), None)

@@ -1150,6 +1150,36 @@ object Relational {
       .orderBy("dd")
   }
 
+  /** Raw-dimension quality audit: per dim table, the row count, null
+    * and duplicate primary keys, and null foreign keys — the intake
+    * report that quantifies exactly what the canonical dimension views
+    * ([[Sources]]) repair. Reads the RAW tables deliberately (the
+    * canonical views would hide their own fix; the oracle matches via
+    * [[Registry0.eRawDims]]). One metadata-cheap aggregate per dim —
+    * all map-side partials, five one-row frames unioned. */
+  def dqDims(s: SparkSession, d: String): DataFrame = {
+    def audit(t: String, pk: String, fk: Option[String]): DataFrame = {
+      val df = Sources.read(s, d, t)
+      val nullFk = fk
+        .map(f => sum(when(col(f).isNull, 1L).otherwise(0L)))
+        .getOrElse(sum(when(lit(false), 1L).otherwise(0L)))
+      df.agg(count(lit(1)).as("n_rows"),
+        count(col(pk)).as("n_pk_nonnull"),
+        countDistinct(col(pk)).as("n_pk_distinct"),
+        nullFk.cast("long").as("n_null_fk"))
+        .select(lit(t).as("table_name"), col("n_rows"),
+          (col("n_rows") - col("n_pk_nonnull")).as("n_null_pk"),
+          (col("n_pk_nonnull") - col("n_pk_distinct")).as("n_dup_pk"),
+          col("n_null_fk"))
+    }
+    audit("customer", "c_custkey", Some("c_nationkey"))
+      .unionByName(audit("supplier", "s_suppkey", Some("s_nationkey")))
+      .unionByName(audit("part", "p_partkey", None))
+      .unionByName(audit("nation", "n_nationkey", Some("n_regionkey")))
+      .unionByName(audit("region", "r_regionkey", None))
+      .orderBy("table_name")
+  }
+
   /** Cohort lifetime value: customers grouped by first-order month,
     * tracked across month offsets — the BI cohort-LTV triangle, in
     * exact cents.

@@ -128,6 +128,35 @@ class TradeOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 2.0), (1L, 1L, 2.0)))
   }
 
+  test("dqDims: raw-dimension audit counts planted anomalies") {
+    // customer: one duplicate PK, one null PK, one null FK among 4 rows;
+    // the other dims are single clean rows.
+    val d = java.nio.file.Files.createTempDirectory("dq").toString
+    Seq((java.lang.Long.valueOf(1L), "C1", Integer.valueOf(0), 1.0, "S"),
+      (java.lang.Long.valueOf(1L), "C1b", Integer.valueOf(0), 1.0, "S"),
+      (java.lang.Long.valueOf(2L), "C2", null.asInstanceOf[Integer], 1.0, "S"),
+      (null.asInstanceOf[java.lang.Long], "C3", Integer.valueOf(0), 1.0, "S"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").write.parquet(s"$d/customer.parquet")
+    Seq((1L, "S1", 0, 1.0)).toDF("s_suppkey", "s_name", "s_nationkey",
+      "s_acctbal").write.parquet(s"$d/supplier.parquet")
+    Seq((1L, "P1", "B", "T", 1, 1.0)).toDF("p_partkey", "p_name",
+      "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.parquet(s"$d/part.parquet")
+    Seq((0, "N0", 0)).toDF("n_nationkey", "n_name", "n_regionkey")
+      .write.parquet(s"$d/nation.parquet")
+    Seq((0, "R0")).toDF("r_regionkey", "r_name")
+      .write.parquet(s"$d/region.parquet")
+    val got = Relational.dqDims(spark, d)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("customer", 4L, 1L, 1L, 1L),
+      ("nation", 1L, 0L, 0L, 0L),
+      ("part", 1L, 0L, 0L, 0L),
+      ("region", 1L, 0L, 0L, 0L),
+      ("supplier", 1L, 0L, 0L, 0L)))
+  }
+
   test("cohortLtv: first-order-month cohorts × month offsets, exact cents") {
     // c1 first orders 1995-01 (mo 23940): offset 0 has one 10.50 order,
     // offset 1 has two (21.00 total). c2's single order starts the
