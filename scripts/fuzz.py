@@ -82,13 +82,14 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
                 q[i_pay] = (str(r[i_pay]) + "_DUP") \
                     if isinstance(r[i_pay], str) else None
                 ex.append(tuple(q))
-            if fk is not None:      # fresh PK, null FK
+            if fk is not None and len(b) > 6:   # fresh PK, null FK
                 q = list(b[6])
                 q[i_pk] = max(x[i_pk] for x in rows) + 1000
                 q[cols.index(fk)] = None
                 ex.append(tuple(q))
-            q = list(b[7]); q[i_pk] = None          # null PK
-            ex.append(tuple(q))
+            if len(b) > 7:                      # null PK
+                q = list(b[7]); q[i_pk] = None
+                ex.append(tuple(q))
             con.execute(f"CREATE OR REPLACE TABLE fdim AS "
                         f"SELECT * FROM '{src}/{table}.parquet'")
             con.executemany(
@@ -122,11 +123,13 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             q[i_ok] = r[i_ok] + 10_000_000
             q[i_od] = None
             oex.append(tuple(q))
-        q = list(ob[12]); q[i_ok] = None            # null orderkey
-        oex.append(tuple(q))
-        q = list(ob[13]); q[i_ok] = ob[13][i_ok] + 20_000_000
-        q[i_ck] = None                              # null custkey
-        oex.append(tuple(q))
+        if len(ob) > 12:                            # null orderkey
+            q = list(ob[12]); q[i_ok] = None
+            oex.append(tuple(q))
+        if len(ob) > 13:                            # null custkey
+            q = list(ob[13]); q[i_ok] = ob[13][i_ok] + 20_000_000
+            q[i_ck] = None
+            oex.append(tuple(q))
         con.execute(f"CREATE OR REPLACE TABLE ford AS "
                     f"SELECT * FROM '{src}/orders.parquet'")
         con.executemany(
@@ -153,8 +156,9 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
                 q = list(r)
                 q[lcols.index(fld)] = None
                 lex.append(tuple(q))
-        q = list(lb[18]); q[k_ok] = None            # null orderkey
-        lex.append(tuple(q))
+        if len(lb) > 18:                            # null orderkey
+            q = list(lb[18]); q[k_ok] = None
+            lex.append(tuple(q))
         con.execute(f"CREATE OR REPLACE TABLE fli AS "
                     f"SELECT * FROM '{src}/lineitem.parquet'")
         con.executemany(

@@ -340,7 +340,7 @@ object Registry {
         |   ORDER BY o_orderdate, o_orderkey, o_totalprice
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey, prev_price, next_price,
-        | quartile""".stripMargin),
+        | quartile, pr, cd""".stripMargin),
 
     "q_date_funcs" -> e(Relational.dateFuncs,
       """SELECT o_orderkey,
@@ -385,9 +385,13 @@ object Registry {
         |FROM ds GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_sample_hash" -> e(Relational.sampleHash,
+      // concat_ws, not ||: both engines' concat_ws SKIPS null keys
+      // (so a null-orderkey row still hashes on the remaining key),
+      // while || null-poisons — the engines would disagree on exactly
+      // the null-key rows
       s"""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          |WHERE ${graft.engine.PortableHash.duckH28(
-               "l_orderkey||'_'||l_linenumber")} % 100 < 5
+               "concat_ws('_', l_orderkey, l_linenumber)")} % 100 < 5
          |ORDER BY 1, 2, 3""".stripMargin),
 
     "q_upsert_keys" -> e(Relational.upsertKeys,
@@ -735,7 +739,8 @@ object Registry {
     "q_dq_dims" -> eRawDims(Relational.dqDims, {
       def one(t: String, pk: String, fk: Option[String]) = {
         val nf = fk.map(f =>
-          s"CAST(sum(CASE WHEN $f IS NULL THEN 1 ELSE 0 END) AS BIGINT)")
+          s"CAST(coalesce(sum(CASE WHEN $f IS NULL THEN 1 ELSE 0 END), 0)" +
+            " AS BIGINT)")
           .getOrElse("CAST(0 AS BIGINT)")
         s"""SELECT '$t' AS table_name, count(*) AS n_rows,
            | count(*) - count($pk) AS n_null_pk,

@@ -498,7 +498,7 @@ object Relational {
         percent_rank().over(w).as("pr"),
         cume_dist().over(w).as("cd"))
       .orderBy("o_custkey", "o_orderkey", "prev_price", "next_price",
-        "quartile")
+        "quartile", "pr", "cd")
   }
 
   def dateFuncs(s: SparkSession, d: String): DataFrame =
@@ -693,20 +693,26 @@ object Relational {
     * partial is never-true on null), so the recompute oracle excludes
     * them explicitly too — the law is stated over assignable rows. */
   def incrAgg(s: SparkSession, d: String): DataFrame = {
-    def partial(lo: String, hi: String): DataFrame =
+    // half-open period bounds; the first/last periods are UNBOUNDED
+    // below/above so every dated order belongs to exactly one period —
+    // a closed overall range would silently drop out-of-range dates
+    // from the incremental side only (the null-date gap's twin)
+    def partial(lo: Option[String], hi: Option[String]): DataFrame =
       Sources.orders(s, d)
-        .filter(col("o_orderdate") >= to_timestamp(lit(lo)) &&
-          col("o_orderdate") < to_timestamp(lit(hi)))
+        .filter(lo.map(l => col("o_orderdate") >= to_timestamp(lit(l)))
+          .getOrElse(col("o_orderdate").isNotNull) &&
+          hi.map(h => col("o_orderdate") < to_timestamp(lit(h)))
+            .getOrElse(col("o_orderdate").isNotNull))
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(money(col("o_totalprice"))).as("sum_price"),
           min(col("o_orderdate")).as("first_od"),
           max(col("o_orderdate")).as("last_od"))
     val states = Seq(
-      partial("1990-01-01", "2000-01-01"),  // the accumulated state
-      partial("2000-01-01", "2001-01-01"),  // yearly deltas
-      partial("2001-01-01", "2002-01-01"),
-      partial("2002-01-01", "2100-01-01"))  // empty partial: no-op merge
+      partial(None, Some("2000-01-01")),    // accumulated state, open below
+      partial(Some("2000-01-01"), Some("2001-01-01")), // yearly deltas
+      partial(Some("2001-01-01"), Some("2002-01-01")),
+      partial(Some("2002-01-01"), None))    // current period, open above
     Mutations.mergeAggStates(states,
         keys = Seq("o_orderpriority", "o_orderstatus"),
         sums = Seq("n", "sum_price"),
@@ -1160,13 +1166,16 @@ object Relational {
   def dqDims(s: SparkSession, d: String): DataFrame = {
     def audit(t: String, pk: String, fk: Option[String]): DataFrame = {
       val df = Sources.read(s, d, t)
-      val nullFk = fk
+      // coalesced: sum over ZERO rows is NULL in both engines, but the
+      // no-FK oracle branch emits a literal 0 — keep the empty-table
+      // case aligned
+      val nullFk = coalesce(fk
         .map(f => sum(when(col(f).isNull, 1L).otherwise(0L)))
-        .getOrElse(sum(when(lit(false), 1L).otherwise(0L)))
+        .getOrElse(sum(lit(0L))).cast("long"), lit(0L))
       df.agg(count(lit(1)).as("n_rows"),
         count(col(pk)).as("n_pk_nonnull"),
         countDistinct(col(pk)).as("n_pk_distinct"),
-        nullFk.cast("long").as("n_null_fk"))
+        nullFk.as("n_null_fk"))
         .select(lit(t).as("table_name"), col("n_rows"),
           (col("n_rows") - col("n_pk_nonnull")).as("n_null_pk"),
           (col("n_pk_nonnull") - col("n_pk_distinct")).as("n_dup_pk"),
