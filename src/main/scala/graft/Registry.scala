@@ -736,6 +736,79 @@ object Registry {
         | CROSS JOIN nb
         |ORDER BY n_ab DESC, p1, p2""".stripMargin),
 
+    "q_local_supp" -> e(Relational.localSupp,
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE)
+        |   AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_discount_rev" -> e(Relational.discountRev,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2))
+        |   * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS disc_rev,
+        | count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin),
+
+    "q_cust_order_dist" -> e(Relational.custOrderDist,
+      """WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM pc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    "q_idle_rich" -> e(Relational.idleRich,
+      """WITH wc AS (SELECT c_custkey, c_nationkey,
+        |   CAST(CAST(c_acctbal AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer),
+        | pos AS (SELECT * FROM wc WHERE cents > 0),
+        | st AS (SELECT count(*) AS n_pos,
+        |   CAST(sum(cents) AS BIGINT) AS sum_cents FROM pos),
+        | rich AS (SELECT c_custkey, c_nationkey, cents
+        |  FROM pos CROSS JOIN st WHERE cents * n_pos > sum_cents),
+        | noord AS (SELECT r.* FROM rich r WHERE NOT EXISTS
+        |   (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'))
+        |SELECT n_name, count(*) AS n_cust,
+        | CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM noord JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q_small_qty" -> e(Relational.smallQty,
+      """WITH wu AS (SELECT l_partkey, l_extendedprice,
+        |   CAST(CAST(l_quantity AS DECIMAL(10,2)) * 100 AS BIGINT)
+        |     AS qty_u
+        |  FROM lineitem),
+        | per AS (SELECT l_partkey AS pk, count(*) AS n_l,
+        |   CAST(sum(qty_u) AS BIGINT) AS sum_qu FROM wu GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)))
+        |   AS DOUBLE) AS total_price,
+        | count(*) AS n_items
+        |FROM wu JOIN per ON l_partkey = pk
+        |WHERE qty_u * 5 * n_l < sum_qu""".stripMargin),
+
+    "q_large_orders" -> e(Relational.largeOrders,
+      """WITH per AS (SELECT l_orderkey,
+        |   sum(CAST(l_quantity AS DECIMAL(10,2))) AS sq
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(10,2))) > 300)
+        |SELECT c_custkey, c_name, l_orderkey, o_orderdate, o_totalprice,
+        | CAST(sq AS DOUBLE) AS sum_qty
+        |FROM per JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, l_orderkey LIMIT 20""".stripMargin),
+
     "q_dq_dims" -> eRawDims(Relational.dqDims, {
       def one(t: String, pk: String, fk: Option[String]) = {
         val nf = fk.map(f =>

@@ -1156,6 +1156,123 @@ object Relational {
       .orderBy("dd")
   }
 
+  /** Local-supplier revenue (the TPC-H Q5 shape): revenue per nation
+    * from line items where the customer and the supplier share the
+    * nation — the intra-national trade rollup. Both nation attachments
+    * are broadcast maps onto the single orderkey-shuffled fact pass;
+    * the equality filter runs map-side after the last broadcast. */
+  def localSupp(s: SparkSession, d: String): DataFrame = {
+    val custN = cust(s, d).select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("c_nat"))
+    val supN = Sources.supplier(s, d).select(col("s_suppkey"),
+      col("s_nationkey").cast("long").as("s_nat"))
+    li(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), revenue.as("rev"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custN), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nat") === col("s_nat"))
+      .join(broadcast(Sources.nation(s, d)),
+        col("s_nat") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(outD(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Discount-band revenue (the TPC-H Q6 shape): the what-if forecast
+    * — revenue that would vanish if mid-band discounts were dropped,
+    * over one ship year and a quantity cap. Exact decimal×decimal
+    * product summed order-free; every predicate pushes to the scan;
+    * single-row output. */
+  def discountRev(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(outD(sum(money(col("l_extendedprice")) *
+        money(col("l_discount")))).as("disc_rev"),
+        count(lit(1)).as("n_items"))
+
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed k orders, INCLUDING the zero-order customers the
+    * left join preserves. Two aggregates: customer-keyed count, then
+    * the count-of-counts whose keyspace is the max order count. */
+  def custOrderDist(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Idle high-balance customers (the TPC-H Q22 shape, churn-risk
+    * variant): customers with above-average positive balance and no
+    * order in the final year, rolled up per nation. The above-average
+    * test is the cross-multiplied integer inequality cents·n >
+    * sum_cents against a broadcast one-row stats frame — no double
+    * division, no epsilon; the idleness test is a left anti join on
+    * the date-filtered order keys (the filter pushes to the scan). */
+  def idleRich(s: SparkSession, d: String): DataFrame = {
+    val withCents = cust(s, d)
+      .withColumn("cents", (money(col("c_acctbal")) * 100).cast("long"))
+    val pos = withCents.filter(col("cents") > 0)
+    val stats = pos.agg(count(lit(1)).as("n_pos"),
+      sum(col("cents")).cast("long").as("sum_cents"))
+    val recent = ord(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    pos.crossJoin(broadcast(stats))
+      .filter(col("cents") * col("n_pos") > col("sum_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Sources.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("cents")).cast("long").as("total_cents"))
+      .orderBy("n_name")
+  }
+
+  /** Small-quantity revenue (the TPC-H Q17 shape): revenue on line
+    * items whose quantity is under 20% of their part's average — the
+    * small-lot reorder signal. The per-part average test is the
+    * cross-multiplied integer inequality qty_u·5·n < sum_qu over
+    * ×100 fixed-point quantities (2-decimal by generation); the
+    * per-part stats frame joins back partkey-co-partitioned. */
+  def smallQty(s: SparkSession, d: String): DataFrame = {
+    val withU = li(s, d)
+      .withColumn("qty_u", (money(col("l_quantity")) * 100).cast("long"))
+    val per = withU.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("n_l"),
+        sum(col("qty_u")).cast("long").as("sum_qu"))
+    withU.join(per, col("l_partkey") === col("pk"))
+      .filter(col("qty_u") * 5 * col("n_l") < col("sum_qu"))
+      .agg(outD(sum(money(col("l_extendedprice")))).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * quantity exceeds 300 units, with customer, top 20 by order value.
+    * The HAVING runs on the orderkey-keyed pre-aggregate (map-side
+    * partials); the survivors (rare by construction) join orders and
+    * the broadcast-scale customer dim; top-k is TakeOrderedAndProject
+    * with the unique orderkey breaking value ties. */
+  def largeOrders(s: SparkSession, d: String): DataFrame = {
+    val per = li(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(money(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 300)
+    per.join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        outD(col("sum_qty_dec")).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("l_orderkey"))
+      .limit(20)
+  }
+
   /** Raw-dimension quality audit: per dim table, the row count, null
     * and duplicate primary keys, and null foreign keys — the intake
     * report that quantifies exactly what the canonical dimension views

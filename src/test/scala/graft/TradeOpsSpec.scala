@@ -128,6 +128,67 @@ class TradeOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2L, 2.0), (1L, 1L, 2.0)))
   }
 
+  test("localSupp: only customer-nation == supplier-nation revenue") {
+    // l1 (s1→c1, both NATION_3, 90.00) and l4 (s2→c2, both NATION_7,
+    // 5.00) are local; l2/l3 cross nations and must not appear.
+    val got = Relational.localSupp(spark, dir)
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got == Seq(("NATION_3", 90.0, 1L), ("NATION_7", 5.0, 1L)))
+  }
+
+  test("discountRev: empty band → null revenue, zero items") {
+    // fixture discounts are 0.10/0.00/0.00/0.50 — none in [0.05, 0.07]
+    val got = Relational.discountRev(spark, dir)
+      .as[(Option[Double], Long)].collect().toSeq
+    assert(got == Seq((None, 0L)))
+  }
+
+  test("custOrderDist: count-of-counts including the left join") {
+    // both customers placed exactly one order
+    val got = Relational.custOrderDist(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("idleRich: above-average balance, no recent order") {
+    // positive balances 5.00 (c1) and 6.00 (c2): only c2 clears the
+    // cross-multiplied average test (1200 > 1100); its last order is
+    // 1997 → idle. c1 is below average and excluded.
+    val got = Relational.idleRich(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("NATION_7", 1L, 600L)))
+  }
+
+  test("smallQty: no line under 20% of its part average on unit lots") {
+    // every fixture line has quantity 1.0, so no line is under 20% of
+    // its part's average
+    val got = Relational.smallQty(spark, dir)
+      .as[(Option[Double], Long)].collect().toSeq
+    assert(got == Seq((None, 0L)))
+  }
+
+  test("largeOrders: orders above 300 total units with customer") {
+    val d = java.nio.file.Files.createTempDirectory("lo").toString
+    Seq((10L, 1L, 1L, 1, 200.0, 10.0, 0.0, 0.0, "N", "O", ts("1995-01-01")),
+      (10L, 2L, 1L, 2, 150.0, 10.0, 0.0, 0.0, "N", "O", ts("1995-01-01")),
+      (20L, 1L, 1L, 1, 10.0, 10.0, 0.0, 0.0, "N", "O", ts("1995-01-01")))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$d/lineitem.parquet")
+    Seq((10L, 1L, "O", 400.0, ts("1995-01-01"), "1-URGENT"),
+      (20L, 1L, "O", 30.0, ts("1995-02-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority").write.parquet(s"$d/orders.parquet")
+    Seq((1L, "C1", 0, 5.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").write.parquet(s"$d/customer.parquet")
+    val got = Relational.largeOrders(spark, d)
+      .as[(Long, String, Long, java.sql.Timestamp, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq((1L, "C1", 10L, ts("1995-01-01"), 400.0, 350.0)))
+  }
+
   test("dqDims: raw-dimension audit counts planted anomalies") {
     // customer: one duplicate PK, one null PK, one null FK among 4 rows;
     // the other dims are single clean rows.
