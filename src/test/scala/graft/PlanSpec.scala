@@ -232,4 +232,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_basket_pairs").contains("basket_head-"),
       "q_basket_pairs does not read the shared pair stage")
   }
+
+  test("TPC-H completion: pushed filters, broadcasts, no cartesians") {
+    // Q6: every predicate reaches the scan
+    val q6 = plan("q_discount_rev")
+    assert(q6.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "q_discount_rev predicates not pushed")
+    // Q5/Q22: broadcast sides present, no cartesian anywhere
+    for (q <- Seq("q_local_supp", "q_idle_rich", "q_cust_order_dist",
+        "q_small_qty", "q_large_orders")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    assert(plan("q_local_supp").contains("BroadcastHashJoin"),
+      "q_local_supp nation maps not broadcast")
+    // Q18: top-20 is a partial top-k, never a global sort
+    assert(plan("q_large_orders").contains("TakeOrderedAndProject"),
+      "q_large_orders top-20 is not a partial top-k")
+  }
 }
