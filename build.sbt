@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr through UNPREFIXED: sbt's
+// default LoggedOutput strategy prepends "[info] " to every stdout line,
+// which corrupted the Bench JSON contract line for four driver rounds
+// (the driver tail-parses raw stdout; "[info] {...}" is not JSON).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

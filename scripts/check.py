@@ -28,6 +28,18 @@ def fetch(rel):
     order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
     return [tuple(canon(row[i]) for i in order) for row in rel.fetchall()]
 
+def int128_cols(rel):
+    """Output columns whose DuckDB type has no 64-bit representation
+    (HUGEINT from an uncast sum(), DECIMAL(38,*)): the driver's
+    comparator materializes these as float64 ("3.0" vs Spark's "3"),
+    hash-red with rows/schema green — while fetchall() here preserves
+    Python ints and masks it. This exact class hid the q_pack_seqs /
+    q_event_trans reds for three driver rounds; any oracle emitting one
+    of these types must CAST it down explicitly."""
+    return [c for c, t in zip(rel.columns, rel.types)
+            if str(t) in ("HUGEINT", "UHUGEINT")
+            or str(t).startswith("DECIMAL(38")]
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in TABLES:
@@ -38,6 +50,12 @@ def main(outdir, sfdir):
         sql = oracle[name]
         try:
             want = con.sql(sql)
+            huge = int128_cols(want)
+            if huge:
+                print(f"FAIL {name}: int128-typed oracle columns {huge} "
+                      "(driver hashes these as float64 — CAST AS BIGINT)")
+                n_bad += 1
+                continue
             wvals = fetch(want)
         except Exception as ex:
             print(f"FAIL {name}: oracle error: {str(ex)[:200]}")

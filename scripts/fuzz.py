@@ -17,6 +17,11 @@ classes: comma-separated subset of
   nullid   null doc_id rows
   evdup    replayed / key-tied events
   evnull   events with null fields
+  evns     nanosecond-grain timestamps: the events table re-typed to
+           TIMESTAMP_NS with pre-epoch sub-µs rows (the floor-vs-
+           truncate ns→µs conversion class) and same-µs ns-level
+           near-ties whose ns order disagrees with event_id order
+           (the tie-break portability class)
   vecdup   embeddings: replayed / id-colliding / degenerate vectors
   reldup   orders/lineitem: replayed rows, key collisions with divergent
            payloads, null keys/dates — the classes a regenerated
@@ -30,8 +35,8 @@ check.py. Deterministic for a given (src, seed, classes).
 import os, random, shutil, subprocess, sys
 import duckdb
 
-ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "vecdup",
-               "reldup", "dimdup"}
+ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "evns",
+               "vecdup", "reldup", "dimdup"}
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -253,7 +258,60 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     if eex:
         con.executemany(
             f"INSERT INTO fev VALUES ({','.join('?' * len(ecols))})", eex)
-    con.execute(f"COPY fev TO '{dst}/events.parquet' (FORMAT PARQUET)")
+    if "evns" in classes:
+        # Re-type the whole table to nanosecond-precision parquet (what
+        # the driver's regenerated events carry — Spark reads it via
+        # nanosAsLong + floor division, DuckDB via its flooring
+        # TIMESTAMP cast), then add ns-grain rows no µs column can
+        # express. pyarrow, not DuckDB COPY: DuckDB 1.0 silently
+        # downcasts TIMESTAMP_NS to µs on parquet write AND truncates
+        # sub-µs string literals at parse, so the ns payload has to be
+        # built from integer nanos outside SQL.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        tbl = con.sql("SELECT * FROM fev").arrow()
+        ti = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(ti, pa.field("ts", pa.timestamp("ns")),
+                             tbl.column(ti).cast(pa.timestamp("ns")))
+        u = ebase[0][j_uid]
+        et0, et1 = types[0], types[-1]
+        jun1 = 1_717_200_000 * 10 ** 9  # 2024-06-01 00:00:00 UTC
+        ns_rows = [
+            # pre-epoch sub-µs: trunc(ns/1000) = 0 µs but floor = -1 µs
+            (3_000_001, -500, et0),          # 1969-12-31 23:59:59.9999995
+            (3_000_002, -876_543_211, et1),  # ...59.123456789
+            # post-epoch ns-grain control (floor == trunc)
+            (3_000_003, 1_900, et0),
+            # same-µs ns near-tie whose ns order (004 later) disagrees
+            # with event_id order — after µs flooring the pair ties and
+            # must break on event_id identically in both engines
+            (3_000_004, jun1 + 700, et0),
+            (3_000_005, jun1 + 200, et1),
+        ]
+        cols = []
+        for i, f in enumerate(tbl.schema):
+            if i == j_eid:
+                v = [r[0] for r in ns_rows]
+            elif i == j_ts:
+                v = pa.array([r[1] for r in ns_rows],
+                             pa.int64()).cast(pa.timestamp("ns"))
+                cols.append(v)
+                continue
+            elif i == j_uid:
+                v = [u] * len(ns_rows)
+            elif i == j_et:
+                v = [r[2] for r in ns_rows]
+            elif i == j_val:
+                v = [1.0] * len(ns_rows)
+            else:
+                v = [None] * len(ns_rows)
+            cols.append(pa.array(v, f.type))
+        extra_tbl = pa.table(cols, schema=tbl.schema)
+        pq.write_table(pa.concat_tables([tbl, extra_tbl]),
+                       f"{dst}/events.parquet", version="2.6")
+        eex.extend(ns_rows)
+    else:
+        con.execute(f"COPY fev TO '{dst}/events.parquet' (FORMAT PARQUET)")
 
     # ---- embeddings: replays, id collisions, degenerate vectors -------
     vex = []

@@ -25,7 +25,11 @@ object Bench {
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = graft.engine.Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: a benchmark over 170+ queries emits hundreds of
+    // WARN lines (WindowExec single-partition advisories alone flooded
+    // rounds 4-5), and the driver captures only a 2000-char stdout TAIL —
+    // log noise after the JSON contract line pushes it out of the window.
+    spark.sparkContext.setLogLevel("ERROR")
     // Unmeasured warmup (standard benchmark practice): one tiny
     // read+shuffle+agg exercises the parquet reader, whole-stage codegen
     // and shuffle machinery so the first measured query doesn't absorb
@@ -80,11 +84,18 @@ object Bench {
     // only per-query numbers worth a judge's eye); the full map goes to
     // the BENCH_LAST.json file artifact, which is committed per round
     // and has no size window.
-    println(line(results.toSeq.sortBy(-_._2).take(10)))
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line(results) + "\n").getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
+    // Stop Spark BEFORE printing the contract line so no executor/
+    // shutdown logging can land after it, then emit the short line 3×
+    // as the absolute last stdout bytes: the driver's 2000-char tail
+    // capture cannot orphan all three copies, and with the sbt
+    // StdoutOutput strategy (build.sbt) the line arrives unprefixed.
     spark.stop()
+    val short = line(results.toSeq.sortBy(-_._2).take(10))
+    println(short); println(short); println(short)
+    System.out.flush()
     if (failed.result().nonEmpty) sys.exit(2)
   }
 }

@@ -833,7 +833,7 @@ object Registry {
   /** All declared queries, in a stable order. */
   def entries: Seq[(String, Entry)] =
     relational ++ EventsRegistry.entries ++ TextRegistry.entries ++
-      SketchRegistry.entries
+      SketchRegistry.entries ++ DiagRegistry.entries
 
   /** Raw entry names BEFORE map-collapse — the duplicate-name invariant
     * Smoke checks (a name collision across the per-module registries

@@ -785,9 +785,14 @@ object EventsRegistry {
       """WITH e AS (SELECT event_type, value,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
         |  WHERE ts IS NOT NULL),
+        |-- FLOORED window start (us minus the nonnegative remainder),
+        |-- not (us // m) * m: DuckDB's // truncates toward zero, which
+        |-- for a pre-epoch event would emit a window that does not
+        |-- contain it — Spark's window() floors (r6 fuzz `evns` class)
         | w AS (SELECT event_type, value,
-        |   unnest([(us // 1800000000) * 1800000000,
-        |           (us // 1800000000) * 1800000000 - 1800000000]) AS ws
+        |   unnest([us - ((us % 1800000000) + 1800000000) % 1800000000,
+        |           us - ((us % 1800000000) + 1800000000) % 1800000000
+        |             - 1800000000]) AS ws
         |  FROM e)
         |SELECT ws AS win_start_us, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total
@@ -933,7 +938,12 @@ object EventsRegistry {
         | tc AS (SELECT event_type AS from_type, nxt AS to_type,
         |   count(*) AS n FROM x WHERE nxt IS NOT NULL GROUP BY 1, 2),
         | ft AS (SELECT from_type, sum(n) AS tot FROM tc GROUP BY 1)
-        |SELECT from_type, to_type, n, n * 1000000 // tot AS ppm
+        |-- CAST AS BIGINT is load-bearing: sum(n) is HUGEINT, HUGEINT //
+        |-- stays HUGEINT, and an int128 output column round-trips through
+        |-- the driver comparator as float64 ("3.0" != "3" — hash-red with
+        |-- rows/schema green). Root cause of the r4-r5 q_event_trans reds.
+        |SELECT from_type, to_type, n,
+        | CAST(n * 1000000 // tot AS BIGINT) AS ppm
         |FROM tc JOIN ft USING (from_type)
         |ORDER BY from_type, to_type, n, ppm""".stripMargin),
 

@@ -261,4 +261,59 @@ object Layout {
       .drop("__z" +: zCols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Distributed global rank + running sum — the scale-safe replacement
+    * for `Window.orderBy(key)` over an unbounded input, which funnels
+    * EVERY row through one partition (the WindowExec "No Partition
+    * Defined" advisory). Two passes, identical output: range-partition
+    * on the sort key (partition i holds keys ordered strictly before
+    * partition i+1 under `sortExprs`), rank and running-sum per
+    * partition in parallel, then broadcast-join the per-partition
+    * row/value offsets — a ≤`parts`-row frame, the only unpartitioned
+    * window left and bounded by the partition count, not the data.
+    * Range boundaries come from sampling, but the offsets correct any
+    * placement exactly, so the output does not depend on them.
+    *
+    * Appends to `df`:
+    *   - `r`      global 1-based rank (long) in `sortExprs` order
+    *   - `cum`    running sum of `value` up to and including the row
+    *   - `n_rows` total input row count (long)
+    *
+    * The sort key must be total (tie-free) for `r`/`cum` to be
+    * deterministic — the same contract the single-window form had. */
+  def rankedCum(df: DataFrame, sortExprs: Seq[Column], value: Column,
+      parts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__pid", "__lr", "__lcum", "__cnt", "__psum",
+      "__off_r", "__off_c")
+    require(!df.columns.exists(reserved.contains),
+      s"input carries a reserved rankedCum column (${reserved.mkString(",")})")
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wl = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
+    val local = ranged
+      .withColumn("__lr", row_number().over(wl).cast("long"))
+      .withColumn("__lcum", sum(value).over(
+        wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // prefix offsets over the per-partition totals: a deliberately
+    // bounded broadcast cross join (≤ parts² = 1024 pairs), NOT an
+    // unpartitioned window — the helper exists to remove the global
+    // WindowExec, so it must not reintroduce one even on a tiny frame
+    val totals = ranged.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), sum(value).as("__psum"))
+    val offs = totals.select(col("__pid"))
+      .crossJoin(broadcast(totals.select(col("__pid").as("__pid2"),
+        col("__cnt"), col("__psum"))))
+      .groupBy(col("__pid"))
+      .agg(
+        sum(when(col("__pid2") < col("__pid"), col("__cnt"))
+          .otherwise(lit(0L))).as("__off_r"),
+        sum(when(col("__pid2") < col("__pid"), col("__psum"))
+          .otherwise(lit(0L))).as("__off_c"),
+        sum(col("__cnt")).as("n_rows"))
+    local.join(broadcast(offs), Seq("__pid"))
+      .withColumn("r", col("__off_r") + col("__lr"))
+      .withColumn("cum", col("__off_c") + col("__lcum"))
+      .drop("__pid", "__lr", "__lcum", "__off_r", "__off_c")
+  }
 }

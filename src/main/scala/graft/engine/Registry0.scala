@@ -87,8 +87,12 @@ object Registry0 {
         s"FROM $table WHERE $pk IS NOT NULL GROUP BY $pk)")
   }
 
+  // try_cast, not CAST: Spark's non-ANSI cast turns an out-of-range or
+  // NaN money payload into NULL (rendered as the chr(2) sentinel in the
+  // survivor key) while DuckDB's strict CAST would raise — try_cast
+  // pins the same NULL-on-overflow semantics in the oracle.
   private def money(c: String) =
-    s"CAST(CAST($c AS DECIMAL(10,2)) AS VARCHAR)"
+    s"CAST(try_cast($c AS DECIMAL(10,2)) AS VARCHAR)"
   private def str(c: String) = c
   private def int(c: String) = s"CAST($c AS VARCHAR)"
 
@@ -116,14 +120,16 @@ object Registry0 {
     }
 
   /** Replace whole-word `table` with `cteName` OUTSIDE single-quoted
-    * SQL string literals only — a table word inside a literal (e.g.
-    * the PII scrub regex '\b(customer|...)\b') is data, not a table
-    * reference, and rewriting it would silently change the oracle's
-    * semantics. The split regex treats an escaped '' as two adjacent
-    * literals, which replaces nothing between them — harmless. */
+    * SQL string literals, double-quoted identifiers, and `--` line
+    * comments — a table word inside a literal (e.g. the PII scrub
+    * regex '\b(customer|...)\b'), inside a quoted alias ("part"), or
+    * inside a comment is not a table reference, and rewriting it would
+    * silently change (or cosmetically corrupt) the oracle. The split
+    * regex treats an escaped '' as two adjacent literals, which
+    * replaces nothing between them — harmless. */
   private def replaceTableWord(sql: String, table: String,
       cteName: String): String = {
-    val lit = "'(?:[^']|'')*'".r
+    val lit = "('(?:[^']|'')*')|(\"[^\"]*\")|(--[^\n]*)".r
     val sb = new StringBuilder
     var last = 0
     for (m <- lit.findAllMatchIn(sql)) {

@@ -917,19 +917,29 @@ object Relational {
     * running sum are tie-free; shares are floor-ppm integers.
     *
     * Scale: the customer-keyed pre-aggregate does the volume work
-    * map-side; the global window then ranks ONE ROW PER CUSTOMER — at
-    * 1000-executor scale that single-partition sort is the operator's
-    * scale ceiling (documented in SCALE.md: promote to a range-
-    * partitioned sort + partition-offset pass, same output). */
+    * map-side; the rank + running sum then ride [[Layout.rankedCum]]'s
+    * range-partitioned two-pass (parallel per-partition windows + a
+    * broadcast offset join) instead of a global single-partition
+    * window, so the operator has no data-sized serial stage. The
+    * decile is computed from the global rank with ntile's exact
+    * first-buckets-get-the-remainder arithmetic — bit-identical to
+    * `ntile(10) OVER (ORDER BY cents DESC, o_custkey)`, which is what
+    * the oracle still runs. */
   def cumShare(s: SparkSession, d: String): DataFrame = {
     val per = ord(s, d).groupBy(col("o_custkey"))
       .agg((sum(money(col("o_totalprice"))) * 100).cast("long").as("cents"))
     val tot = per.agg(sum(col("cents")).as("total_cents"))
-    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
-    per
-      .withColumn("decile", ntile(10).over(w).cast("long"))
-      .withColumn("cum_cents", sum(col("cents")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    Layout.rankedCum(per, Seq(col("cents").desc, col("o_custkey")),
+        col("cents"))
+      .withColumnRenamed("cum", "cum_cents")
+      // ntile(k): first n%k buckets get n/k+1 rows, the rest n/k
+      .withColumn("decile", expr(
+        """CASE WHEN r <= (n_rows % 10) * (n_rows DIV 10 + 1)
+          |THEN (r - 1) DIV (n_rows DIV 10 + 1) + 1
+          |ELSE n_rows % 10
+          |  + (r - 1 - (n_rows % 10) * (n_rows DIV 10 + 1))
+          |    DIV (n_rows DIV 10) + 1
+          |END""".stripMargin))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), max(col("cum_cents")).as("cum_cents"))
       .crossJoin(broadcast(tot))

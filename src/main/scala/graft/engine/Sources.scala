@@ -142,6 +142,22 @@ object Sources {
       case LongType =>
         // Integer division — `/` on longs is double division in Spark and
         // epoch-nanos exceed 2^53, which silently rounds the result.
+        //
+        // TRUNCATING division (DIV) is the verified-correct choice, not
+        // floor. The ns→µs semantics matrix, measured against DuckDB
+        // 1.0.0 (the oracle engine) in r6:
+        //   - DuckDB's PARQUET READER downcasts a TIMESTAMP(NANOS)
+        //     column to µs TIMESTAMP at the scan by TRUNCATION toward
+        //     zero (-500 ns → 0 µs; -876543211 ns → -876543 µs) — this
+        //     is the path every oracle's `CAST(ts AS TIMESTAMP)` sees
+        //     (the cast itself is then an identity);
+        //   - DuckDB's IN-ENGINE CAST(TIMESTAMP_NS AS TIMESTAMP) floors
+        //     (-0.5 µs → -1) — real, but never on the oracle path,
+        //     because the oracle only ever reads ts from parquet.
+        // Spark's DIV truncates toward zero, matching the reader path
+        // for any sign. The fuzz `evns` class (pre-epoch sub-µs rows,
+        // same-µs ns near-ties in a real ns parquet) locks this parity
+        // end-to-end; a floor-division variant fails it.
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => raw
     }

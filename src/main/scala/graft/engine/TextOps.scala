@@ -1359,10 +1359,14 @@ object TextOps {
     * measurement that justifies (or indicts) the b/r banding choice
     * before a 100 TB dedup run trusts it.
     *
-    * Ground truth is every pair sharing ≥ 1 shingle (any pair with
-    * Jaccard > 0 by definition shares one), generated from the stored
-    * per-shingle hash postings — an inverted-index self-join bounded by
-    * Σ df², never all-pairs. Threshold tests are the cross-multiplied
+    * Ground truth is every pair sharing ≥ 1 shingle HASH (the stored
+    * 28-bit h28 postings, not raw shingle strings) — an inverted-index
+    * self-join bounded by Σ df², never all-pairs. An h28 collision can
+    * admit a pair sharing no actual shingle, so the set slightly
+    * OVER-approximates "Jaccard > 0" and reported recall is marginally
+    * understated; both engines compute the identical set either way,
+    * and the Jaccard numerators/denominators downstream use the same
+    * hashed universe consistently. Threshold tests are the cross-multiplied
     * integer inequality `inter·100 ≥ τ·union` (no double compare), and
     * every count/ratio is integer/floor-ppm, so both engines agree bit
     * for bit. At 100 TB this diagnostic runs on a corpus sample — the
@@ -1422,9 +1426,16 @@ object TextOps {
     * ulp disagreement is the accepted negligible risk); the regression
     * sums are exact int64 products of micro-quantized values, and the
     * final slope is one long→double division, bit-identical on
-    * identical operands. Slope is emitted as num/den DOUBLES rather
-    * than floor-ppm because the numerator is negative and Spark's DIV
-    * (truncate) disagrees with DuckDB's // (floor) below zero.
+    * identical operands. Slope is emitted as num/den DOUBLES to avoid
+    * any integer-division rounding question on the negative numerator.
+    * (Verified against DuckDB 1.0.0 — the pinned oracle version: its
+    * integer `//` TRUNCATES toward zero, `SELECT -7 // 2` = −3, exactly
+    * matching Spark's DIV, and `%` is truncated-remainder in both. So
+    * every DIV/`//` and %/% pair in this repo is portable even on
+    * negative operands; DuckDB's parquet reader also TRUNCATES ns→µs
+    * at the scan — see the Sources.events semantics matrix — and the
+    * flooring constructs, Spark's window() starts and date casts, are
+    * mirrored by explicit flooring SQL where they occur.)
     *
     * Scale: the frequency table is vocab-sized; its top-100 head is
     * TakeOrderedAndProject, and the window ranks 100 rows. */
@@ -1444,9 +1455,13 @@ object TextOps {
         sum(col("ly")).cast(LongType).as("sy"),
         sum(col("lx") * col("ly")).cast(LongType).as("sxy"),
         sum(col("lx") * col("lx")).cast(LongType).as("sxx"))
+      // zero-denominator guard (degenerate single-token vocabulary):
+      // Spark double x/0 yields NaN/Infinity while DuckDB's behavior is
+      // version-dependent — pin NULL in both engines
       .withColumn("slope",
-        expr("CAST(n * sxy - sx * sy AS DOUBLE) / " +
-          "CAST(n * sxx - sx * sx AS DOUBLE)"))
+        expr("CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE " +
+          "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n * sxx - sx * sx AS DOUBLE) END"))
       .select(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
         col("slope"))
   }
@@ -1467,16 +1482,17 @@ object TextOps {
     val toks = sharedDocToks(s, d)
     val perDoc = toks.groupBy(col("doc_id"))
       .agg(sum(col("lc")).cast(LongType).as("n_tok"))
-    val w = Window.orderBy(col("doc_id"))
-    val ranked = perDoc
-      .withColumn("r", row_number().over(w).cast(LongType))
-      .withColumn("cum_tok", sum(col("n_tok")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val nDocs = ranked.agg(max(col("r")).as("n_docs"))
+    // rank + running token sum over the doc sequence ride the range-
+    // partitioned two-pass (Layout.rankedCum), not a global window —
+    // this half of the query is doc-count-sized and was the repo's
+    // last O(N)-rows-through-one-partition sort; n_rows doubles as the
+    // doc count, replacing the old max(r) aggregate + crossJoin.
+    val ranked = Layout.rankedCum(perDoc, Seq(col("doc_id")), col("n_tok"))
+      .withColumnRenamed("cum", "cum_tok")
     // checkpoint = last doc of each decile of the doc sequence
-    val checks = ranked.crossJoin(broadcast(nDocs))
-      .filter(col("r") * 10 % col("n_docs") < lit(10))
-      .withColumn("decile", expr("r * 10 DIV n_docs"))
+    val checks = ranked
+      .filter(col("r") * 10 % col("n_rows") < lit(10))
+      .withColumn("decile", expr("r * 10 DIV n_rows"))
       .groupBy(col("decile"))
       .agg(max(col("doc_id")).as("boundary_doc"),
         max(col("r")).as("n_docs_seen"),

@@ -494,8 +494,13 @@ object TextRegistry {
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_end
          |  FROM t)
          |SELECT doc_id, source, n_tok,
-         | (tok_end - n_tok) // ${TextOps.PackBudget} AS seq_id,
-         | (tok_end - n_tok) % ${TextOps.PackBudget} AS seq_off
+         | -- CAST AS BIGINT is load-bearing: the window sum makes tok_end
+         | -- HUGEINT, and an int128-typed output column round-trips
+         | -- through the driver comparator as float64 ("3.0" != "3" —
+         | -- hash-red with rows/schema green). Root cause of the r3-r5
+         | -- q_pack_seqs reds; see scripts/check.py's HUGEINT guard.
+         | CAST((tok_end - n_tok) // ${TextOps.PackBudget} AS BIGINT) AS seq_id,
+         | CAST((tok_end - n_tok) % ${TextOps.PackBudget} AS BIGINT) AS seq_off
          |FROM c ORDER BY doc_id, source, n_tok, seq_id, seq_off""".stripMargin),
 
     "q_len_buckets" -> e(TextOps.lenBuckets, {
@@ -1475,8 +1480,9 @@ object TextRegistry {
         |   CAST(sum(lx*ly) AS BIGINT) AS sxy,
         |   CAST(sum(lx*lx) AS BIGINT) AS sxx FROM q)
         |SELECT n, sx, sy, sxy, sxx,
-        | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
-        |   AS slope
+        | CASE WHEN n*sxx - sx*sx = 0 THEN NULL ELSE
+        |  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+        | END AS slope
         |FROM s""".stripMargin),
 
     "q_heaps_law" -> e(TextOps.heapsLaw,

@@ -133,4 +133,38 @@ class LayoutSpec extends SparkSpec {
       .except(plain.groupBy("k").count())
     assert(diff.count() == 0)
   }
+
+  test("rankedCum equals the global-window rank/cumsum, without one") {
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(42)
+    val df = (1 to 5000).map(i => (i.toLong, rng.nextInt(1000).toLong))
+      .toDF("id", "v")
+    // reference: the single-partition form rankedCum replaces
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val ref = df
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("v")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "r", "cum")
+    val got = Layout.rankedCum(df, Seq(col("v").desc, col("id")), col("v"))
+      .select("id", "r", "cum", "n_rows")
+    assert(got.select("id", "r", "cum").except(ref).count() == 0)
+    assert(ref.except(got.select("id", "r", "cum")).count() == 0)
+    assert(got.select("n_rows").distinct().as[Long].collect().toSeq == Seq(5000L))
+    // the point of the helper: no empty-partition-spec WindowExec
+    val bare = got.queryExecution.executedPlan.collect {
+      case we: org.apache.spark.sql.execution.window.WindowExec
+          if we.partitionSpec.isEmpty => we
+    }
+    assert(bare.isEmpty, "rankedCum planned a global window")
+  }
+
+  test("rankedCum handles empty and single-row inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "v")
+    assert(Layout.rankedCum(empty, Seq(col("id")), col("v")).count() == 0)
+    val one = Seq((7L, 3L)).toDF("id", "v")
+    val r = Layout.rankedCum(one, Seq(col("id")), col("v"))
+      .select("r", "cum", "n_rows").as[(Long, Long, Long)].collect()
+    assert(r.toSeq == Seq((1L, 3L, 1L)))
+  }
 }

@@ -250,4 +250,20 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_large_orders").contains("TakeOrderedAndProject"),
       "q_large_orders top-20 is not a partial top-k")
   }
+
+  test("rankedCum consumers plan no data-sized unpartitioned window") {
+    // q_cum_share and q_heaps_law rank O(customers)/O(docs) rows; the
+    // r6 rewrite moved both onto Layout.rankedCum (range partition +
+    // per-partition windows + broadcast offset join). Every WindowExec
+    // left in their plans must carry a partition spec — an empty spec
+    // is the single-partition global sort the rewrite removed.
+    for (q <- Seq("q_cum_share", "q_heaps_law")) {
+      val exec = Registry.queries(q)(spark, sf).queryExecution.executedPlan
+      val bare = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$q still plans ${bare.size} global window(s)")
+    }
+  }
 }
