@@ -29,6 +29,11 @@ classes: comma-separated subset of
   dimdup   dimension tables: duplicate primary keys with divergent
            payloads and null FKs in customer/supplier/part/nation —
            the join-fanout and window-tie classes
+  money    hostile money payloads (NaN, ±Inf, beyond-DECIMAL(10,2)
+           magnitudes) in events.value, orders.o_totalprice,
+           lineitem.l_extendedprice/l_discount, dim acctbal /
+           retailprice — the class where DuckDB's strict CAST raises
+           while Spark's cast yields NULL (oracles must try_cast)
 (default: all). `all` shells out to sbt for graft.Verify, then runs
 check.py. Deterministic for a given (src, seed, classes).
 """
@@ -36,7 +41,16 @@ import os, random, shutil, subprocess, sys
 import duckdb
 
 ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "evns",
-               "vecdup", "reldup", "dimdup"}
+               "vecdup", "reldup", "dimdup", "money"}
+
+# money payloads a hostile upstream could emit into a DOUBLE column:
+# non-finite and out of DECIMAL(10,2) range. Deliberately NOT fuzzed:
+# ulp-zone rounding boundaries at the precision limit (99999999.995) —
+# Spark rounds the binary double, DuckDB its decimal string repr, a
+# documented engine divergence outside the canonical money envelope
+# (Registry0.portableCasts caveat).
+HOSTILE_MONEY = [float("nan"), float("inf"), float("-inf"),
+                 1e12, -1e12, 5e9]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -63,53 +77,69 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     mutated = {"documents", "events", "embeddings"}
-    if "reldup" in classes:
+    if "reldup" in classes or "money" in classes:
         mutated |= {"orders", "lineitem"}
-    if "dimdup" in classes:
+    if "dimdup" in classes or "money" in classes:
         mutated |= {"customer", "supplier", "part", "nation"}
     for t in TABLES:
         if t not in mutated:
             shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
 
     # ---- dims: duplicate PKs with divergent payloads, null FKs --------
-    if "dimdup" in classes:
-        def mutate_dim(table, pk, payload, fk=None):
+    if "dimdup" in classes or "money" in classes:
+        def mutate_dim(table, pk, payload, fk=None, money_col=None):
             cols = [c[0] for c in con.sql(
                 f"DESCRIBE SELECT * FROM '{src}/{table}.parquet'").fetchall()]
             rows = con.sql(f"SELECT * FROM '{src}/{table}.parquet'").fetchall()
             i_pk, i_pay = cols.index(pk), cols.index(payload)
             b = rng.sample(rows, min(8, len(rows)))
             ex = []
-            for r in b[:3]:         # exact replayed dim rows
-                ex.append(tuple(r))
-            for r in b[3:6]:        # same PK, divergent payload
-                q = list(r)
-                q[i_pay] = (str(r[i_pay]) + "_DUP") \
-                    if isinstance(r[i_pay], str) else None
-                ex.append(tuple(q))
-            if fk is not None and len(b) > 6:   # fresh PK, null FK
-                q = list(b[6])
-                q[i_pk] = max(x[i_pk] for x in rows) + 1000
-                q[cols.index(fk)] = None
-                ex.append(tuple(q))
-            if len(b) > 7:                      # null PK
-                q = list(b[7]); q[i_pk] = None
-                ex.append(tuple(q))
+            if "dimdup" in classes:
+                for r in b[:3]:         # exact replayed dim rows
+                    ex.append(tuple(r))
+                for r in b[3:6]:        # same PK, divergent payload
+                    q = list(r)
+                    q[i_pay] = (str(r[i_pay]) + "_DUP") \
+                        if isinstance(r[i_pay], str) else None
+                    ex.append(tuple(q))
+                if fk is not None and len(b) > 6:   # fresh PK, null FK
+                    q = list(b[6])
+                    q[i_pk] = max(x[i_pk] for x in rows) + 1000
+                    q[cols.index(fk)] = None
+                    ex.append(tuple(q))
+                if len(b) > 7:                      # null PK
+                    q = list(b[7]); q[i_pk] = None
+                    ex.append(tuple(q))
+            if "money" in classes and money_col is not None:
+                i_m = cols.index(money_col)
+                for j, v in enumerate(HOSTILE_MONEY):
+                    # dup PK with hostile money (survivor-key class) for
+                    # half, fresh PK (join/row class) for the other half
+                    q = list(b[j % len(b)])
+                    if j >= len(HOSTILE_MONEY) // 2:
+                        q[i_pk] = max(x[i_pk] for x in rows) + 2000 + j
+                    q[i_m] = v
+                    ex.append(tuple(q))
             con.execute(f"CREATE OR REPLACE TABLE fdim AS "
                         f"SELECT * FROM '{src}/{table}.parquet'")
-            con.executemany(
-                f"INSERT INTO fdim VALUES ({','.join('?' * len(cols))})", ex)
+            if ex:
+                con.executemany(
+                    f"INSERT INTO fdim VALUES ({','.join('?' * len(cols))})",
+                    ex)
             con.execute(
                 f"COPY fdim TO '{dst}/{table}.parquet' (FORMAT PARQUET)")
             return len(ex)
-        nd = (mutate_dim("customer", "c_custkey", "c_name", "c_nationkey") +
-              mutate_dim("supplier", "s_suppkey", "s_name", "s_nationkey") +
-              mutate_dim("part", "p_partkey", "p_type") +
+        nd = (mutate_dim("customer", "c_custkey", "c_name", "c_nationkey",
+                         money_col="c_acctbal") +
+              mutate_dim("supplier", "s_suppkey", "s_name", "s_nationkey",
+                         money_col="s_acctbal") +
+              mutate_dim("part", "p_partkey", "p_type",
+                         money_col="p_retailprice") +
               mutate_dim("nation", "n_nationkey", "n_name", "n_regionkey"))
         print(f"fuzz gen: +{nd} dim rows")
 
     # ---- orders/lineitem: replays, key collisions, null keys/dates ----
-    if "reldup" in classes:
+    if "reldup" in classes or "money" in classes:
         ocols = [c[0] for c in con.sql(
             f"DESCRIBE SELECT * FROM '{src}/orders.parquet'").fetchall()]
         orows = con.sql(f"SELECT * FROM '{src}/orders.parquet'").fetchall()
@@ -117,24 +147,31 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             ("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
         ob = rng.sample(orows, min(16, len(orows)))
         oex = []
-        for r in ob[:5]:            # exact replayed orders (dup orderkey)
-            oex.append(tuple(r))
-        for r in ob[5:9]:           # same orderkey, divergent payload
-            q = list(r)
-            q[i_tot] = (r[i_tot] or 0.0) + 111.0
-            oex.append(tuple(q))
-        for r in ob[9:12]:          # fresh key, null orderdate
-            q = list(r)
-            q[i_ok] = r[i_ok] + 10_000_000
-            q[i_od] = None
-            oex.append(tuple(q))
-        if len(ob) > 12:                            # null orderkey
-            q = list(ob[12]); q[i_ok] = None
-            oex.append(tuple(q))
-        if len(ob) > 13:                            # null custkey
-            q = list(ob[13]); q[i_ok] = ob[13][i_ok] + 20_000_000
-            q[i_ck] = None
-            oex.append(tuple(q))
+        if "reldup" in classes:
+            for r in ob[:5]:        # exact replayed orders (dup orderkey)
+                oex.append(tuple(r))
+            for r in ob[5:9]:       # same orderkey, divergent payload
+                q = list(r)
+                q[i_tot] = (r[i_tot] or 0.0) + 111.0
+                oex.append(tuple(q))
+            for r in ob[9:12]:      # fresh key, null orderdate
+                q = list(r)
+                q[i_ok] = r[i_ok] + 10_000_000
+                q[i_od] = None
+                oex.append(tuple(q))
+            if len(ob) > 12:                        # null orderkey
+                q = list(ob[12]); q[i_ok] = None
+                oex.append(tuple(q))
+            if len(ob) > 13:                        # null custkey
+                q = list(ob[13]); q[i_ok] = ob[13][i_ok] + 20_000_000
+                q[i_ck] = None
+                oex.append(tuple(q))
+        if "money" in classes:      # fresh keys, hostile totalprice
+            for j, v in enumerate(HOSTILE_MONEY):
+                q = list(ob[j % len(ob)])
+                q[i_ok] = q[i_ok] + 30_000_000 + j
+                q[i_tot] = v
+                oex.append(tuple(q))
         con.execute(f"CREATE OR REPLACE TABLE ford AS "
                     f"SELECT * FROM '{src}/orders.parquet'")
         con.executemany(
@@ -149,21 +186,34 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
              "l_quantity", "l_shipdate"))
         lb = rng.sample(lrows, min(20, len(lrows)))
         lex = []
-        for r in lb[:5]:            # exact replayed lines
-            lex.append(tuple(r))
-        for r in lb[5:9]:           # same (orderkey, linenumber), new qty
-            q = list(r)
-            q[k_q] = (r[k_q] or 0.0) + 1.0
-            lex.append(tuple(q))
-        for fld, rs in (("l_partkey", lb[9:12]), ("l_suppkey", lb[12:15]),
-                        ("l_shipdate", lb[15:18])):
-            for r in rs:            # null part/supp/shipdate
+        if "reldup" in classes:
+            for r in lb[:5]:        # exact replayed lines
+                lex.append(tuple(r))
+            for r in lb[5:9]:       # same (orderkey, linenumber), new qty
                 q = list(r)
-                q[lcols.index(fld)] = None
+                q[k_q] = (r[k_q] or 0.0) + 1.0
                 lex.append(tuple(q))
-        if len(lb) > 18:                            # null orderkey
-            q = list(lb[18]); q[k_ok] = None
-            lex.append(tuple(q))
+            for fld, rs in (("l_partkey", lb[9:12]),
+                            ("l_suppkey", lb[12:15]),
+                            ("l_shipdate", lb[15:18])):
+                for r in rs:        # null part/supp/shipdate
+                    q = list(r)
+                    q[lcols.index(fld)] = None
+                    lex.append(tuple(q))
+            if len(lb) > 18:                        # null orderkey
+                q = list(lb[18]); q[k_ok] = None
+                lex.append(tuple(q))
+        if "money" in classes:      # hostile extendedprice / discount
+            k_ep = lcols.index("l_extendedprice")
+            k_disc = lcols.index("l_discount")
+            for j, v in enumerate(HOSTILE_MONEY):
+                q = list(lb[j % len(lb)])
+                q[k_ln] = (q[k_ln] or 0) + 90 + j   # fresh line number
+                if j % 2 == 0:
+                    q[k_ep] = v
+                else:
+                    q[k_disc] = v
+                lex.append(tuple(q))
         con.execute(f"CREATE OR REPLACE TABLE fli AS "
                     f"SELECT * FROM '{src}/lineitem.parquet'")
         con.executemany(
@@ -253,6 +303,12 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             field = rng.choice(["ts", "event_type", "value", "props", "user_id"])
             q[ecols.index(field)] = None
             eex.append(tuple(q))
+    if "money" in classes:      # hostile event values
+        for j, v in enumerate(HOSTILE_MONEY):
+            q = list(ebase[j % len(ebase)])
+            q[j_eid] = q[j_eid] + 4_000_000 + j
+            q[j_val] = v
+            eex.append(tuple(q))
     con.execute(
         f"CREATE OR REPLACE TABLE fev AS SELECT * FROM '{src}/events.parquet'")
     if eex:
@@ -338,6 +394,12 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
         ne = list(vrows[2][1])
         ne[3] = None
         vex.append((nvid + 4, ne, 1))               # null ELEMENT in vector
+        ie = list(vrows[3][1])
+        ie[0] = float("inf")
+        vex.append((nvid + 5, ie, 1))               # +Inf element -> Inf norm
+        oe2 = list(vrows[4][1])
+        oe2[1] = float("-inf")
+        vex.append((nvid + 6, oe2, 1))              # -Inf element -> Inf norm
     con.execute(f"CREATE OR REPLACE TABLE fvec AS "
                 f"SELECT * FROM '{src}/embeddings.parquet'")
     if vex:

@@ -271,15 +271,26 @@ object Registry {
         |FROM m ORDER BY l_returnflag""".stripMargin),
 
     "q_histogram" -> e(Relational.histogram,
-      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+      // the inner decimal cast is rewritten to the NaN-guarded try_cast
+      // (portableCasts) — hostile money lands in the NULL bucket, as in
+      // the Spark plan
+      """SELECT CAST(floor(
+        |   CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) / 50000.0)
+        |   AS BIGINT) AS bin,
         | count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_percentiles" -> e(Relational.percentiles,
+      // quantiles over the validated money domain (NULL-quarantined
+      // hostile payloads are excluded by quantile_cont, matching Spark)
       """SELECT o_orderpriority,
-        | round(quantile_cont(o_totalprice, 0.5), 4) AS med,
-        | round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | round(quantile_cont(
+        |   CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE), 0.5), 4)
+        |   AS med,
+        | round(quantile_cont(
+        |   CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE), 0.9), 4)
+        |   AS p90,
         | count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 

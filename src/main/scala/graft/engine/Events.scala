@@ -870,9 +870,9 @@ object EventsRegistry {
 
     "q_json_extract" -> e(Events.jsonExtract,
       """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        | CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(try_cast(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_asof_join" -> e(Events.asofJoin,

@@ -48,8 +48,9 @@ object Registry0 {
       "FROM documents WHERE doc_id IS NOT NULL GROUP BY doc_id)"
 
   /** DuckDB mirror of [[Similarity.canonEmb]] — the canonical-vectors
-    * CTE: degenerate rows (null id, null/empty/zero-norm/NaN-poisoned
-    * embedding) dropped at intake, then one survivor per vec_id by the
+    * CTE: degenerate rows (null id, null/empty/zero-norm/NaN- or
+    * Inf-poisoned embedding) dropped at intake, then one survivor per
+    * vec_id by the
     * (coalesced label, embedding) min key. Injected by [[canonVecs]]
     * into every oracle that reads the embeddings table. */
   val VecsCte: String =
@@ -68,7 +69,7 @@ object Registry0 {
       "x -> CAST(x AS DOUBLE)*x))) AS nm FROM embeddings " +
       "WHERE vec_id IS NOT NULL AND embedding IS NOT NULL " +
       "AND len(list_filter(embedding, x -> x IS NULL)) = 0) " +
-      "WHERE nm > 0 AND NOT isnan(nm)) WHERE rn = 1)"
+      "WHERE nm > 0 AND isfinite(nm)) WHERE rn = 1)"
 
   /** DuckDB mirrors of the canonical dimension views ([[Sources]]):
     * one arg-min-by-md5 survivor per non-null primary key, payload
@@ -87,12 +88,14 @@ object Registry0 {
         s"FROM $table WHERE $pk IS NOT NULL GROUP BY $pk)")
   }
 
-  // try_cast, not CAST: Spark's non-ANSI cast turns an out-of-range or
-  // NaN money payload into NULL (rendered as the chr(2) sentinel in the
-  // survivor key) while DuckDB's strict CAST would raise — try_cast
-  // pins the same NULL-on-overflow semantics in the oracle.
+  // NaN-guarded try_cast, not CAST: Spark's non-ANSI cast turns an
+  // out-of-range / NaN / ±Inf money payload into NULL (rendered as the
+  // chr(2) sentinel in the survivor key) while DuckDB's strict CAST
+  // raises — and DuckDB 1.0.0's try_cast still raises on NaN
+  // specifically (see portableCasts), hence the isnan CASE.
   private def money(c: String) =
-    s"CAST(try_cast($c AS DECIMAL(10,2)) AS VARCHAR)"
+    s"CAST(CASE WHEN isnan($c) THEN NULL " +
+      s"ELSE try_cast($c AS DECIMAL(10,2)) END AS VARCHAR)"
   private def str(c: String) = c
   private def int(c: String) = s"CAST($c AS VARCHAR)"
 
@@ -156,6 +159,31 @@ object Registry0 {
     else s"WITH $cte\n$r"
   }
 
+  /** Rewrite simple-column decimal casts to a NaN-guarded try_cast:
+    * DuckDB's strict CAST RAISES on an out-of-range / NaN / ±Inf payload
+    * while Spark's non-ANSI cast yields NULL — so a hostile money value
+    * in regenerated data would crash the oracle (query red with err)
+    * instead of agreeing with Spark's NULL. try_cast alone is not
+    * enough: DuckDB 1.0.0's try_cast(DOUBLE→DECIMAL) correctly NULLs
+    * ±Inf and out-of-range but still RAISES on NaN (measured — its
+    * internal scale-multiply casts NaN to INT64), hence the explicit
+    * isnan CASE. Identical to CAST wherever CAST succeeds, so this
+    * cannot change a green query. Only bare column references are
+    * rewritten — casts of aggregate results (e.g. `CAST(sum(...) AS
+    * DOUBLE)`) operate on already-validated decimals and cannot raise.
+    * Caveat (accepted, documented): a double in the ulp zone of a
+    * .xx5 rounding boundary at the precision limit (e.g. 99999999.995)
+    * rounds by binary value in Spark but by decimal string repr in
+    * DuckDB — the known cross-engine money-boundary divergence; money
+    * as DOUBLE is the reference's sin (SURVEY §1.3), and the canonical
+    * envelope stays inside DECIMAL(10,2)'s exact range. */
+  private val DecCast =
+    "(?i)CAST\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s+AS\\s+(DECIMAL\\(\\d+,\\s*\\d+\\))\\)".r
+  def portableCasts(sql: String): String =
+    DecCast.replaceAllIn(sql, m =>
+      s"CASE WHEN isnan(${m.group(1)}) THEN NULL " +
+        s"ELSE try_cast(${m.group(1)} AS ${m.group(2)}) END")
+
   def canonDocs(sql: String): String =
     injectCte(sql, "documents", "docs", DocsCte)
 
@@ -168,7 +196,7 @@ object Registry0 {
 
   def e(fn: (SparkSession, String) => DataFrame, sql: String): Entry =
     Entry((s, d) => portableOrder(fn(s, d)),
-      Some(canonDims(canonVecs(canonDocs(sql)))))
+      Some(canonDims(canonVecs(canonDocs(portableCasts(sql))))))
 
   /** Entry whose oracle reads the RAW dimension tables — for audits
     * that measure exactly what the canonical views repair (injecting
@@ -177,7 +205,7 @@ object Registry0 {
   def eRawDims(fn: (SparkSession, String) => DataFrame,
       sql: String): Entry =
     Entry((s, d) => portableOrder(fn(s, d)),
-      Some(canonVecs(canonDocs(sql))))
+      Some(canonVecs(canonDocs(portableCasts(sql)))))
 
   /** Entry with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(fn: (SparkSession, String) => DataFrame): Entry =

@@ -376,17 +376,31 @@ object Relational {
   /** Fixed-width histogram binning. */
   def histogram(s: SparkSession, d: String): DataFrame =
     ord(s, d)
-      .withColumn("bin", floor(col("o_totalprice") / 50000.0).cast("long"))
+      // bin the VALIDATED money domain, not the raw double: money()
+      // quarantines NaN/±Inf/out-of-range to NULL (one NULL "hostile"
+      // bucket) where raw-double floor would saturate NaN to bin 0 and
+      // ±Inf to ±Long.Max — silently corrupting real bins. Decimal→
+      // double is exact for in-range prices, so clean-data bins are
+      // unchanged.
+      .withColumn("bin",
+        floor(outD(money(col("o_totalprice"))) / 50000.0).cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         outD(sum(money(col("o_totalprice")))).as("total"))
       .orderBy("bin")
 
-  /** Exact interpolated percentiles (median / p90). */
+  /** Exact interpolated percentiles (median / p90) over the VALIDATED
+    * money domain: money() quarantines hostile payloads to NULL, which
+    * both engines' percentile/quantile_cont exclude — a NaN/Inf in raw
+    * doubles would otherwise shift the interpolation engine-specifically
+    * (NaN ordering and Inf arithmetic differ). */
   def percentiles(s: SparkSession, d: String): DataFrame =
     ord(s, d).groupBy(col("o_orderpriority"))
-      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 4).as("med"),
-        round(percentile(col("o_totalprice"), lit(0.9)), 4).as("p90"),
+      .agg(
+        round(percentile(outD(money(col("o_totalprice"))), lit(0.5)), 4)
+          .as("med"),
+        round(percentile(outD(money(col("o_totalprice"))), lit(0.9)), 4)
+          .as("p90"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 

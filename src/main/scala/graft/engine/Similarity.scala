@@ -81,7 +81,13 @@ object Similarity {
     Sources.embeddings(s, d)
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .withColumn("__nm", l2norm(col("embedding").cast("array<double>")))
-      .filter(col("__nm") > 0 && !isnan(col("__nm")))
+      // finite, not just non-NaN: a ±Inf/overflowing element gives an
+      // Inf norm that passes `> 0` in both engines and then poisons
+      // every downstream cosine with Inf/Inf = NaN — degenerate at
+      // intake, like the NaN and zero-norm classes (DuckDB mirror:
+      // isfinite(nm) in Registry0.VecsCte)
+      .filter(col("__nm") > 0 && !isnan(col("__nm")) &&
+        col("__nm") =!= Double.PositiveInfinity)
       .groupBy(col("vec_id"))
       .agg(min_by(struct(col("embedding"), col("label")), key).as("r"))
       .select(col("vec_id"), col("r.embedding").as("embedding"),

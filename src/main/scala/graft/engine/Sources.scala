@@ -54,8 +54,11 @@ object Sources {
       .select(col(pk) +: payload.map(c => col(s"r.$c").as(c)): _*)
   }
 
+  // try_cast: hostile money (NaN/±Inf/out-of-range) renders as the null
+  // sentinel in the survivor key instead of throwing under ANSI mode —
+  // mirrored by the NaN-guarded try_cast in Registry0's dim CTEs
   private def moneyStr(c: String): Column =
-    col(c).cast("decimal(10,2)").cast("string")
+    col(c).try_cast("decimal(10,2)").cast("string")
 
   // Stages-materialized: the canonical dim is built ONCE per warehouse
   // (content-keyed checkpoint) and every consumer reads the parquet —

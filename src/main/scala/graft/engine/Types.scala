@@ -26,8 +26,15 @@ object Types {
     * and any ANSI engine. */
   val Money: DecimalType = DecimalType(10, 2)
 
-  /** Cast a 2-decimal double column to the exact Money decimal. */
-  def money(c: Column): Column = c.cast(Money)
+  /** Cast a 2-decimal double column to the exact Money decimal.
+    *
+    * try_cast, not cast: Spark 4 runs ANSI mode, where a NaN / ±Inf /
+    * beyond-(10,2) payload makes a strict cast THROW mid-query. The
+    * engine's money policy is quarantine-not-crash — hostile payloads
+    * become NULL (excluded from sums like any absent measure) exactly as
+    * the oracle's NaN-guarded try_cast does (Registry0.portableCasts);
+    * the fuzz `money` class locks the parity. */
+  def money(c: Column): Column = c.try_cast(Money)
 
   /** Final cast for aggregate outputs.
     *
@@ -64,6 +71,9 @@ object Types {
     // projection, so coercion costs nothing extra at scale.
     df.select(df.columns.toIndexedSeq.map { name =>
       target.get(name) match {
+        // decimal coercion follows the money quarantine policy (see
+        // [[money]]): hostile payloads → NULL, not an ANSI throw
+        case Some(t: DecimalType) => col(name).try_cast(t).as(name)
         case Some(t) => col(name).cast(t).as(name)
         case None    => col(name)
       }
