@@ -203,16 +203,13 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             if len(lb) > 18:                        # null orderkey
                 q = list(lb[18]); q[k_ok] = None
                 lex.append(tuple(q))
-        if "money" in classes:      # hostile extendedprice / discount
+        if "money" in classes:  # hostile extendedprice/discount/quantity
             k_ep = lcols.index("l_extendedprice")
             k_disc = lcols.index("l_discount")
             for j, v in enumerate(HOSTILE_MONEY):
                 q = list(lb[j % len(lb)])
                 q[k_ln] = (q[k_ln] or 0) + 90 + j   # fresh line number
-                if j % 2 == 0:
-                    q[k_ep] = v
-                else:
-                    q[k_disc] = v
+                q[(k_ep, k_disc, k_q)[j % 3]] = v
                 lex.append(tuple(q))
         con.execute(f"CREATE OR REPLACE TABLE fli AS "
                     f"SELECT * FROM '{src}/lineitem.parquet'")
