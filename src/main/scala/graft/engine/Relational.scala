@@ -1117,17 +1117,21 @@ object Relational {
     * pre-aggregate does the volume work map-side; output is bounded by
     * construction (≤ 2000 parts can each exceed 1/2000 of the total). */
   def partValueConc(s: SparkSession, d: String): DataFrame = {
-    val per = li(s, d)
-      .groupBy(col("l_partkey"))
-      .agg((sum(revenue) * 10000).cast("long").as("units"),
-        count(lit(1)).as("n_items"))
-    // the grand total as a partition-less window over the per-part
-    // frame: ONE fact scan (a separate .agg would re-run the groupBy
-    // scan); the single-partition window ranks dimension-bounded part
-    // rows, not fact volume
+    // Stages-materialized per-part reduction (the cum_share pattern,
+    // r6): the fact scan + groupBy run ONCE per warehouse; the grand
+    // total is then a broadcast one-row aggregate over the cheap
+    // parquet rescan instead of the previous partition-less window,
+    // which funneled every per-part row through one partition — part
+    // count scales with the warehouse, so that was a data-sized serial
+    // stage, not a bounded one (GlobalWindowSpec now rejects it).
+    val per = Stages.materialize(s, "pvc_per", d)(
+      li(s, d)
+        .groupBy(col("l_partkey"))
+        .agg((sum(revenue) * 10000).cast("long").as("units"),
+          count(lit(1)).as("n_items")))
+    val tot = per.agg(sum(col("units")).cast("long").as("total_units"))
     per
-      .withColumn("total_units",
-        sum(col("units")).over(Window.partitionBy()).cast("long"))
+      .crossJoin(broadcast(tot))
       .filter(col("units") * 2000 > col("total_units"))
       .withColumn("share_ppm", expr("units * 1000000 DIV total_units"))
       .select(col("l_partkey"), col("units"), col("n_items"),

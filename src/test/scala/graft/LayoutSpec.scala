@@ -25,7 +25,7 @@ class LayoutSpec extends SparkSpec {
     val ev = graft.engine.Sources.events(spark, sf)
     Layout.writePartitionedByDay(ev, dir, "ts")
     val read = spark.read.parquet(dir).filter(col("day") === "2024-01-03")
-    val scan = read.queryExecution.executedPlan.toString
+    val scan = read.queryExecution.sparkPlan.toString
     assert(read.count() > 0)
     // partition filter must reach the scan, not a post-scan Filter
     assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"))
@@ -64,7 +64,7 @@ class LayoutSpec extends SparkSpec {
     val read = spark.read.parquet(dir)
     assert(read.count() == nRows)
     val scan = read.filter(col("day") === "2024-01-03")
-      .queryExecution.executedPlan.toString
+      .queryExecution.sparkPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("2024-01-03"),
       s"pruning lost after compact:\n$scan")
   }
@@ -152,7 +152,7 @@ class LayoutSpec extends SparkSpec {
     assert(ref.except(got.select("id", "r", "cum")).count() == 0)
     assert(got.select("n_rows").distinct().as[Long].collect().toSeq == Seq(5000L))
     // the point of the helper: no empty-partition-spec WindowExec
-    val bare = got.queryExecution.executedPlan.collect {
+    val bare = got.queryExecution.sparkPlan.collect {
       case we: org.apache.spark.sql.execution.window.WindowExec
           if we.partitionSpec.isEmpty => we
     }

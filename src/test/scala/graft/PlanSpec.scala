@@ -211,13 +211,17 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastExchange"), s"$q lost its broadcast side")
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
     }
-    // Q11: the grand total is a window over the per-part frame —
-    // exactly ONE lineitem scan (a separate total aggregate would
-    // re-run the fact groupBy)
+    // Q11 (r6 shape): the per-part reduction is a content-keyed stage —
+    // the query plan must read the STAGE parquet, never re-scan the
+    // lineitem fact table, and take the grand total as a broadcast
+    // one-row aggregate (the old partition-less window funneled every
+    // per-part row through one partition; GlobalWindowSpec rejects it)
     val pv = plan("q_part_value_conc")
     assert(!pv.contains("CartesianProduct"), "q_part_value_conc cartesian")
-    assert("lineitem\\.parquet".r.findAllIn(pv).size == 1,
-      "q_part_value_conc scans lineitem more than once")
+    assert("lineitem\\.parquet".r.findAllIn(pv).isEmpty,
+      "q_part_value_conc must read its stage, not re-scan lineitem")
+    assert(pv.contains("pvc_per-"), "per-part stage not read")
+    assert(pv.contains("BroadcastExchange"), "grand total not broadcast")
     // supplier leaderboard: rank≤3 prunes map-side
     assert(plan("q_supp_rank").contains("WindowGroupLimit"),
       "q_supp_rank rank cap not pushed map-side")
@@ -258,7 +262,7 @@ class PlanSpec extends SparkSpec {
     // left in their plans must carry a partition spec — an empty spec
     // is the single-partition global sort the rewrite removed.
     for (q <- Seq("q_cum_share", "q_heaps_law")) {
-      val exec = Registry.queries(q)(spark, sf).queryExecution.executedPlan
+      val exec = Registry.queries(q)(spark, sf).queryExecution.sparkPlan
       val bare = exec.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec
             if w.partitionSpec.isEmpty => w
