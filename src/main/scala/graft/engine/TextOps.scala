@@ -1480,8 +1480,13 @@ object TextOps {
     * window. All integer. */
   def heapsLaw(s: SparkSession, d: String): DataFrame = {
     val toks = sharedDocToks(s, d)
-    val perDoc = toks.groupBy(col("doc_id"))
-      .agg(sum(col("lc")).cast(LongType).as("n_tok"))
+    // Stages-materialized per-doc reduction: rankedCum's two passes
+    // would each re-aggregate the corpus-sized token stage; the
+    // doc-sized reduction is built once and re-scanned cheaply (the
+    // cum_share pattern).
+    val perDoc = Stages.materialize(s, "heaps_perdoc", d)(
+      toks.groupBy(col("doc_id"))
+        .agg(sum(col("lc")).cast(LongType).as("n_tok")))
     // rank + running token sum over the doc sequence ride the range-
     // partitioned two-pass (Layout.rankedCum), not a global window —
     // this half of the query is doc-count-sized and was the repo's
