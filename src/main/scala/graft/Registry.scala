@@ -820,6 +820,43 @@ object Registry {
         | JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, l_orderkey LIMIT 20""".stripMargin),
 
+    "q_join_full" -> e(Relational.joinFull,
+      """WITH co AS (SELECT o_custkey AS k, count(*) AS n_orders,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+        |     AS spend
+        |  FROM orders GROUP BY 1),
+        | ev AS (SELECT user_id AS u, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(k, u) AS cust,
+        | coalesce(n_orders, 0) AS n_orders,
+        | coalesce(n_events, 0) AS n_events, spend
+        |FROM co FULL JOIN ev ON k = u
+        |ORDER BY cust, n_orders, n_events, spend""".stripMargin),
+
+    "q_autocorr" -> e(Relational.autocorr,
+      """WITH daily AS (SELECT CAST(date_diff('day', DATE '1990-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, count(*) AS c
+        |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+        | span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        | grid AS (SELECT g.day, coalesce(c, 0) AS c
+        |   FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) g
+        |   LEFT JOIN daily USING (day)),
+        | lags AS (SELECT k, day - k AS day, c AS y FROM grid
+        |   CROSS JOIN (SELECT CAST(unnest([1,2,3,4,5,6,7]) AS BIGINT)
+        |     AS k)),
+        | agg AS (SELECT k, count(*) AS m,
+        |   CAST(sum(c) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(c*y) AS BIGINT) AS sxy,
+        |   CAST(sum(c*c) AS BIGINT) AS sxx,
+        |   CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM grid JOIN lags USING (day) GROUP BY 1)
+        |SELECT k, m, sx, sy, sxy, sxx, syy,
+        | CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
+        |  ELSE CAST(m*sxy - sx*sy AS DOUBLE) /
+        |   sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+        |      * CAST(m*syy - sy*sy AS DOUBLE)) END AS r
+        |FROM agg ORDER BY k""".stripMargin),
+
     "q_dq_dims" -> eRawDims(Relational.dqDims, {
       def one(t: String, pk: String, fk: Option[String]) = {
         val nf = fk.map(f =>

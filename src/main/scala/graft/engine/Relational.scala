@@ -1398,4 +1398,81 @@ object Relational {
         col("n_baskets"), col("conf_ab_ppm"), col("conf_ba_ppm"))
       .orderBy(col("n_ab").desc, col("p1"), col("p2"))
   }
+
+  // ---- round-6 widening: join-type completion + time-series depth ----
+
+  /** FULL OUTER join — the one join type the inventory lacked: the
+    * per-customer order book against the per-user event stream, keyed
+    * on the shared customer/user id, keeping BOTH unmatched sides
+    * (customers who never emit events AND event users with no orders —
+    * the reconciliation report an activation analysis starts from).
+    *
+    * Determinism: both sides are pre-aggregated to one row per key
+    * before the join, so the full join is key-unique and tie-free; a
+    * NULL user_id group on the event side survives as an unmatched row
+    * (null keys never match — same three-valued rule both engines).
+    * Scale: two user-sized reductions, one co-partitioned full hash
+    * join; no data-sized serial stage. */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val co = ord(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_orders"),
+        outD(sum(money(col("o_totalprice")))).as("spend"))
+    val ev = Sources.events(s, d).groupBy(col("user_id").as("u"))
+      .agg(count(lit(1)).as("n_events"))
+    co.join(ev, col("k") === col("u"), "full")
+      .select(coalesce(col("k"), col("u")).as("cust"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("spend"))
+      .orderBy("cust", "n_orders", "n_events", "spend")
+  }
+
+  /** Lag-k autocorrelation (k = 1..7) of the daily order count over the
+    * dense day grid — the weekly-seasonality fingerprint a forecasting
+    * pipeline checks before trusting day-over-day deltas. Missing days
+    * count as ZERO (the grid is min..max epoch-day), because an absent
+    * day is a real zero-volume day, not missing data.
+    *
+    * Determinism: counts are exact integers; per lag the Pearson terms
+    * (m, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums, and r is one
+    * num/den computation on identical operands (sqrt of identical
+    * doubles is correctly rounded in both engines). int64 envelope:
+    * m·Σx² needs days·(days·c²) ≲ 2⁶³ — at 10⁹ orders/day widen the
+    * sums to decimal(38,0) (the mktShare discipline; SCALE.md).
+    *
+    * Scale: the daily aggregate collapses the fact table map-side; the
+    * grid is calendar-sized; each lag is a grid-sized self-join on
+    * day+k (7 tiny joins) and the regression is a 7-row report. */
+  def autocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = ord(s, d).filter(col("o_orderdate").isNotNull)
+      .select(datediff(col("o_orderdate"), to_date(lit("1990-01-01")))
+        .cast("long").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val grid = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("c"), lit(0L)).as("c"))
+    val lags = grid.withColumn("k",
+        explode(array((1 to 7).map(k => lit(k.toLong)): _*)))
+      .select(col("k"), (col("day") - col("k")).as("day"),
+        col("c").as("y"))
+    grid.join(lags, Seq("day"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("c")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("c") * col("y")).as("sxy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // the two variance terms are tested for zero SEPARATELY — their
+      // int64 product would overflow long before the inputs do
+      .withColumn("r", expr(
+        """CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
+          |ELSE CAST(m*sxy - sx*sy AS DOUBLE) /
+          |  sqrt(CAST(m*sxx - sx*sx AS DOUBLE) *
+          |       CAST(m*syy - sy*sy AS DOUBLE)) END""".stripMargin))
+      .select(col("k"), col("m"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy"), col("r"))
+      .orderBy("k")
+  }
 }
