@@ -1403,15 +1403,18 @@ object TextRegistry {
       s"""WITH $ngramPairCtes,
          | posts AS (SELECT DISTINCT doc_id, ${duckH28("sh")} AS h
          |  FROM (SELECT doc_id, unnest(s) AS sh FROM ss)),
-         | gp AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         | nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
+         |  FROM posts GROUP BY 1),
+         | gp AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |   CAST(count(*) AS BIGINT) AS inter
          |  FROM posts x JOIN posts y
-         |  ON x.h = y.h AND x.doc_id < y.doc_id),
-         | gj AS (SELECT gp.a, gp.b,
-         |   CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
-         |   CAST(len(list_distinct(sa.s || sb.s)) AS BIGINT) AS uni,
+         |  ON x.h = y.h AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         | gj AS (SELECT gp.a, gp.b, inter,
+         |   na.nh + nb.nh - inter AS uni,
          |   (c.a IS NOT NULL) AS is_cand
-         |  FROM gp JOIN ss sa ON sa.doc_id = gp.a
-         |   JOIN ss sb ON sb.doc_id = gp.b
+         |  FROM gp JOIN nh na ON na.doc_id = gp.a
+         |   JOIN nh nb ON nb.doc_id = gp.b
          |   LEFT JOIN cand c ON c.a = gp.a AND c.b = gp.b),
          | nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
          | x AS (SELECT tau,
