@@ -247,6 +247,54 @@ object ScaleProbe {
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"SCALEPROBE triangles k=$k edges=$edges nodes=$nodes ${secs}%.2f s")
     }
+
+    // LSH-PR ground-truth leg: the df-capped postings self-join behind
+    // q_lsh_pr's exact ground truth. The Caesar shift keeps hot shingles
+    // hot WITHIN each copy but disjoint ACROSS copies, so kept postings
+    // and pairs both grow ~k× — the measured evidence that the
+    // LshPrDfCap bound (Σ_{df≤cap} df² ≤ cap·Σdf) holds in practice.
+    // A super-linear curve here would mean the cap is not binding.
+    def gtPairs(corpus: DataFrame): (Long, Long) = {
+      val sets = TextOps.shingleSets(corpus)
+        .withColumn("hx", transform(col("s"),
+          sh => graft.engine.PortableHash.h28(sh)))
+      val posts = TextOps.cappedPosts(sets)
+      val pairs = posts.alias("x")
+        .join(posts.alias("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id"), col("y.doc_id")).count()
+        .count()
+      (posts.count(), pairs)
+    }
+    gtPairs(copies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (posts, pairs) = gtPairs(copies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE lshpr_gt k=$k posts=$posts gt_pairs=$pairs ${secs}%.2f s")
+    }
+
+    // rankedCum leg: the distributed global rank + running sum behind
+    // q_cum_share and q_heaps_law, over a per-doc frame that grows k×.
+    // Both passes read one persisted range-partitioned frame; the only
+    // unpartitioned piece is the ≤32²-pair offset cross join, so time
+    // should scale ~linearly with rows.
+    import graft.engine.Layout
+    def rankedRows(corpus: DataFrame): (Long, Long) = {
+      val perDoc = corpus.select(col("doc_id"),
+        (length(col("text")) + lit(1L)).as("w"))
+      val r = Layout.rankedCum(perDoc, Seq(col("doc_id")), col("w"))
+      val out = r.agg(max(col("r")), max(col("cum"))).collect()(0)
+      spark.catalog.clearCache() // rankedCum persists the ranged frame
+      (out.getLong(0), out.getLong(1))
+    }
+    rankedRows(copies(1)) // warm
+    Seq(1, 2, 4).foreach { k =>
+      val t0 = System.nanoTime()
+      val (n, cum) = rankedRows(copies(k))
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE rankedcum k=$k rows=$n cum=$cum ${secs}%.2f s")
+    }
     spark.stop()
   }
 }

@@ -280,16 +280,28 @@ object Layout {
     *   - `n_rows` total input row count (long)
     *
     * The sort key must be total (tie-free) for `r`/`cum` to be
-    * deterministic — the same contract the single-window form had. */
+    * deterministic — the same contract the single-window form had.
+    *
+    * The ranged frame is persisted (memory, disk spill) before the two
+    * consumers read it: `__pid` comes from `spark_partition_id()`, so
+    * the rank pass and the totals pass MUST observe the same physical
+    * partitioning. Without the persist that alignment rides on exchange
+    * reuse — and column pruning can make the two subtrees canonically
+    * different (totals needs fewer columns), defeating reuse and
+    * letting two independent range-samplings assign different pids:
+    * silently wrong output. Materializing once makes it structural.
+    * The cache registers with the session CacheManager, so the
+    * harnesses' per-query `spark.catalog.clearCache()` releases it. */
   def rankedCum(df: DataFrame, sortExprs: Seq[Column], value: Column,
       parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val reserved = Seq("__pid", "__lr", "__lcum", "__cnt", "__psum",
-      "__off_r", "__off_c")
+      "__off_r", "__off_c", "r", "cum", "n_rows")
     require(!df.columns.exists(reserved.contains),
       s"input carries a reserved rankedCum column (${reserved.mkString(",")})")
     val ranged = df.repartitionByRange(parts, sortExprs: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wl = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
     val local = ranged
       .withColumn("__lr", row_number().over(wl).cast("long"))

@@ -1329,6 +1329,13 @@ object TextOps {
   /** Ranks kept per source by [[topicTerms]]. */
   val TopicTermsK = 3L
 
+  /** Maximum document frequency for a shingle hash to count toward
+    * [[lshPrecisionRecall]]'s exact ground truth. Hashes hotter than
+    * this are boilerplate, carry no dedup signal, and would make the
+    * postings self-join super-linear (df² per hash); capping bounds the
+    * join at cap·Σdf — linear in the corpus. */
+  val LshPrDfCap = 128L
+
   /** LSH band-collision diagnostics — the b/r tuning curve read before
     * committing a banding to a 100 TB dedup run: per band, the bucket
     * count, the largest bucket, how many buckets collide at all, and
@@ -1360,30 +1367,47 @@ object TextOps {
     * before a 100 TB dedup run trusts it.
     *
     * Ground truth AND Jaccard both live in the deduplicated 28-bit
-    * shingle-hash (h28) universe: the pair set is every pair sharing
-    * ≥ 1 hash (an inverted-index self-join bounded by Σ df², never
+    * shingle-hash (h28) universe, restricted to INFORMATIVE hashes —
+    * hashes whose document frequency is ≤ [[LshPrDfCap]]. A hot
+    * (boilerplate/stopword-ish) 3-gram shared by 10⁵ docs contributes
+    * 10¹⁰ pairs to a naive postings self-join while carrying no dedup
+    * signal; dropping df>cap hashes from BOTH the pair join and the
+    * per-doc nh counts (the same discard, so inter and union stay
+    * self-consistent) bounds the join at Σ_{df≤cap} df² ≤ cap·Σdf =
+    * O(cap · docs · shingles) — linear in the corpus, the standard
+    * "discard uninformative hot features" move (the [[PostingsCap]]
+    * discipline applied to ground truth). The pair set is every pair
+    * sharing ≥ 1 kept hash (an inverted-index self-join, never
     * all-pairs), `inter` is the shared-hash count straight off that
     * join, and `union` is nh(a) + nh(b) − inter from the per-doc
-    * distinct-hash counts — O(1) per pair, no per-pair array
-    * intersection of raw shingle strings (the r6 rewrite; the old
-    * string-set Jaccard hauled both full shingle arrays to every pair
-    * and measured 2.6 s steady at sf0.1 vs ~1 s now). An h28 collision
+    * kept-hash counts — O(1) per pair, no per-pair array
+    * intersection of raw shingle strings. An h28 collision
     * can merge two distinct shingles (slightly inflating J) — the
     * standard hashed-feature approximation, identical in both engines
     * bit for bit and consistent with the candidate side, which banded
     * the very same hashes. Threshold tests are the cross-multiplied
     * integer inequality `inter·100 ≥ τ·union` (no double compare), and
     * every count/ratio is integer/floor-ppm, so both engines agree bit
-    * for bit. At 100 TB this diagnostic runs on a corpus sample — the
-    * df² term on hot shingles is the documented envelope (SCALE.md).
+    * for bit.
     *
     * One pass over the pair table: thresholds are exploded onto it
     * (×5), then a 5-key aggregate; the candidate total is a one-row
     * broadcast. */
-  def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
-    val sets = sharedShingleSets(s, d)
-    val posts = sets
+  /** df-capped ground-truth postings `(doc_id, h)` from a shingle-set
+    * frame carrying an `hx` hash array: distinct per-doc hashes minus
+    * every hash with document frequency > [[LshPrDfCap]]. The shared
+    * building block of [[lshPrecisionRecall]] and the ScaleProbe leg
+    * that measures its linearity. */
+  def cappedPosts(sets: DataFrame): DataFrame = {
+    val rawPosts = sets
       .select(col("doc_id"), explode(col("hx")).as("h")).distinct()
+    val keep = rawPosts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= LshPrDfCap).select(col("h"))
+    rawPosts.join(keep, Seq("h"))
+  }
+
+  def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
+    val posts = cappedPosts(sharedShingleSets(s, d))
     val nh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
     val gtPairs = posts.alias("x")
       .join(posts.alias("y"),

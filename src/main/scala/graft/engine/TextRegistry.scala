@@ -1401,8 +1401,12 @@ object TextRegistry {
 
     "q_lsh_pr" -> e(TextOps.lshPrecisionRecall,
       s"""WITH $ngramPairCtes,
-         | posts AS (SELECT DISTINCT doc_id, ${duckH28("sh")} AS h
+         | posts0 AS (SELECT DISTINCT doc_id, ${duckH28("sh")} AS h
          |  FROM (SELECT doc_id, unnest(s) AS sh FROM ss)),
+         | keep AS (SELECT h FROM posts0 GROUP BY h
+         |  HAVING count(*) <= ${TextOps.LshPrDfCap}),
+         | posts AS (SELECT posts0.doc_id, posts0.h
+         |  FROM posts0 JOIN keep USING (h)),
          | nh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh
          |  FROM posts GROUP BY 1),
          | gp AS (SELECT x.doc_id AS a, y.doc_id AS b,
