@@ -939,17 +939,20 @@ object Relational {
     * first-buckets-get-the-remainder arithmetic — bit-identical to
     * `ntile(10) OVER (ORDER BY cents DESC, o_custkey)`, which is what
     * the oracle still runs. */
-  def cumShare(s: SparkSession, d: String): DataFrame = {
-    // Stages-materialized: rankedCum's two passes (window + partition
-    // totals) and the grand-total branch would each recompute the
-    // orders scan + customer aggregate — materializing the reduced
-    // per-customer frame makes all three a cheap columnar re-scan
-    // (measured 1.3 s → ~0.6 s steady at sf0.1), and at cluster scale
-    // it is the standard "reduce once, rank the reduction" shape.
-    val per = Stages.materialize(s, "cum_share_per", d)(
+  // Stages-materialized: rankedCum's two passes (window + partition
+  // totals) and the grand-total branch would each recompute the
+  // orders scan + customer aggregate — materializing the reduced
+  // per-customer frame makes all three a cheap columnar re-scan
+  // (measured 1.3 s → ~0.6 s steady at sf0.1), and at cluster scale
+  // it is the standard "reduce once, rank the reduction" shape.
+  private def cumSharePer(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "cum_share_per", d)(
       ord(s, d).groupBy(col("o_custkey"))
         .agg((sum(money(col("o_totalprice"))) * 100).cast("long")
           .as("cents")))
+
+  def cumShare(s: SparkSession, d: String): DataFrame = {
+    val per = cumSharePer(s, d)
     val tot = per.agg(sum(col("cents")).as("total_cents"))
     Layout.rankedCum(per, Seq(col("cents").desc, col("o_custkey")),
         col("cents"))
@@ -1116,19 +1119,22 @@ object Relational {
     * exact ×10000 fixed point (see [[mktShare]]). The per-part
     * pre-aggregate does the volume work map-side; output is bounded by
     * construction (≤ 2000 parts can each exceed 1/2000 of the total). */
-  def partValueConc(s: SparkSession, d: String): DataFrame = {
-    // Stages-materialized per-part reduction (the cum_share pattern,
-    // r6): the fact scan + groupBy run ONCE per warehouse; the grand
-    // total is then a broadcast one-row aggregate over the cheap
-    // parquet rescan instead of the previous partition-less window,
-    // which funneled every per-part row through one partition — part
-    // count scales with the warehouse, so that was a data-sized serial
-    // stage, not a bounded one (GlobalWindowSpec now rejects it).
-    val per = Stages.materialize(s, "pvc_per", d)(
+  // Stages-materialized per-part reduction (the cum_share pattern,
+  // r6): the fact scan + groupBy run ONCE per warehouse; the grand
+  // total is then a broadcast one-row aggregate over the cheap
+  // parquet rescan instead of the previous partition-less window,
+  // which funneled every per-part row through one partition — part
+  // count scales with the warehouse, so that was a data-sized serial
+  // stage, not a bounded one (GlobalWindowSpec now rejects it).
+  private def pvcPer(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "pvc_per", d)(
       li(s, d)
         .groupBy(col("l_partkey"))
         .agg((sum(revenue) * 10000).cast("long").as("units"),
           count(lit(1)).as("n_items")))
+
+  def partValueConc(s: SparkSession, d: String): DataFrame = {
+    val per = pvcPer(s, d)
     val tot = per.agg(sum(col("units")).cast("long").as("total_units"))
     per
       .crossJoin(broadcast(tot))
@@ -1474,5 +1480,11 @@ object Relational {
       .select(col("k"), col("m"), col("sx"), col("sy"), col("sxy"),
         col("sxx"), col("syy"), col("r"))
       .orderBy("k")
+  }
+
+  /** Forces this module's Stages-materialized reductions (bench
+    * pre-warm — see [[Warm.stages]]). */
+  def warmStages(s: SparkSession, d: String): Unit = {
+    basketPairHead(s, d); cumSharePer(s, d); pvcPer(s, d); ()
   }
 }

@@ -3,7 +3,7 @@ package graft.engine
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.PortableHash.{h28, minhashJ}
-import graft.engine.TextOps.{tokens, zipGrams2, zipGrams3, gram2, gram3}
+import graft.engine.TextOps.{tokens, zipGrams2, gram2}
 
 /** Fixed-size summary structures — the sketch family a 100 TB corpus
   * pipeline leans on when exact answers would shuffle the world.
@@ -50,9 +50,20 @@ object Sketches {
   val BloomK = 3
   val BloomBuildSource = "src0"
 
-  /** Per-source distinct-shingle estimate by linear counting: hash each
-    * 3-token shingle into m buckets, count occupied buckets f, estimate
-    * n̂ = −m·ln(1 − f/m).
+  /** The staged shingle table exploded to `(source, sh, h)` — one row
+    * per shingle OCCURRENCE, hashes read from the stored `hx` array so
+    * neither sketch query re-tokenizes the corpus or re-runs md5 (the
+    * corpus is exploded once per corpus, at stage build). */
+  private def stagedShingles(s: SparkSession, d: String): DataFrame =
+    TextOps.sharedShingleSets(s, d)
+      .select(col("source"),
+        explode(arrays_zip(col("s"), col("hx"))).as("z"))
+      .select(col("source"), col("z").getField("s").as("sh"),
+        col("z").getField("hx").as("h"))
+
+  /** Per-source distinct-shingle estimate by linear counting: bucket
+    * each 3-token shingle's stored hash into m buckets, count occupied
+    * buckets f, estimate n̂ = −m·ln(1 − f/m).
     *
     * The `exact` column (a real COUNT(DISTINCT shingle)) is the
     * verification column for the oracle gate; a production pipeline
@@ -61,11 +72,8 @@ object Sketches {
     * every distinct shingle string. */
   def distinctSketch(s: SparkSession, d: String): DataFrame = {
     val m = LcBuckets
-    TextOps.corpus(s, d)
-      .select(col("source"), tokens(col("text")).as("toks"))
-      .select(col("source"), explode(zipGrams3(col("toks"))).as("p"))
-      .select(col("source"), gram3(col("p")).as("sh"))
-      .withColumn("b", h28(col("sh")) % lit(m))
+    stagedShingles(s, d)
+      .withColumn("b", col("h") % lit(m))
       .groupBy(col("source"))
       .agg(countDistinct(col("b")).as("filled"),
         countDistinct(col("sh")).as("exact"))
@@ -125,12 +133,9 @@ object Sketches {
     * negatives by construction (spec-asserted): every true member
     * passes the filter, so n_cand ≥ n_true always. */
   def bloomJoin(s: SparkSession, d: String): DataFrame = {
-    val docs = TextOps.corpus(s, d)
-    val build = docs.filter(col("source") === lit(BloomBuildSource))
-      .select(tokens(col("text")).as("toks"))
-      .select(explode(zipGrams3(col("toks"))).as("p"))
-      .select(gram3(col("p")).as("sh")).distinct()
-      .withColumn("h", h28(col("sh")))
+    val staged = stagedShingles(s, d)
+    val build = staged.filter(col("source") === lit(BloomBuildSource))
+      .select(col("sh"), col("h")).distinct()
     val nWords = (BloomBits / 64).toInt
     val wordRows = build
       .select(explode(array((0 until BloomK).map(j =>
@@ -149,12 +154,8 @@ object Sketches {
     def memberSql(j: Int): String =
       s"(shiftright(element_at(bm, CAST(s$j / 64 AS INT) + 1), " +
         s"CAST(s$j % 64 AS INT)) & 1) = 1"
-    val probe = docs.filter(col("source") =!= lit(BloomBuildSource))
-      .select(col("source"), tokens(col("text")).as("toks"))
-      .select(col("source"), explode(zipGrams3(col("toks"))).as("p"))
-      .select(col("source"), gram3(col("p")).as("sh"))
+    val probe = staged.filter(col("source") =!= lit(BloomBuildSource))
       .distinct()
-      .withColumn("h", h28(col("sh")))
     val flagged = probe
       .withColumn("bm", bitmap)
       .withColumns((0 until BloomK).map(j =>

@@ -144,9 +144,11 @@ object TextOps {
     * per document (observed 4× slowdown at sf0.1). CollapseProject keeps
     * the two projections separate because the alias is non-cheap and
     * multiply-referenced. */
-  def shingleSets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles3(col("toks")).as("s"))
+  def shingleSets(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = col("doc_id") +: carry.map(col)
+    docs.select(keep :+ tokens(col("text")).as("toks"): _*)
+      .select(keep :+ shingles3(col("toks")).as("s"): _*)
+  }
 
   /** Add MinHash signature columns h0..h11 to any frame carrying an
     * `hx` shingle-hash-array column — the SINGLE definition of the
@@ -305,14 +307,15 @@ object TextOps {
   // every downstream dedup pass. Values are identical to the unshared
   // pipeline (the stage is the same deterministic frame).
 
-  /** doc_id → 3-token shingle array + its h28 hash array, materialized
-    * once per corpus. Storing `hx` beside `s` means the whole dedup
-    * family hashes each shingle exactly once per corpus: the signature
-    * and simhash stages read stored hashes instead of re-running md5
-    * over every shingle. */
+  /** doc_id → 3-token shingle array + its h28 hash array (+ `source`,
+    * carried through so the sketch queries group without re-reading the
+    * corpus), materialized once per corpus. Storing `hx` beside `s`
+    * means the whole dedup family hashes each shingle exactly once per
+    * corpus: the signature, simhash and sketch consumers read stored
+    * hashes instead of re-running md5 over every shingle. */
   def sharedShingleSets(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "shingle_sets", d)(
-      shingleSets(corpus(s, d))
+      shingleSets(corpus(s, d), carry = Seq("source"))
         .withColumn("hx", transform(col("s"), sh => h28(sh))))
 
   /** MinHash signature table from the materialized shingle sets —
@@ -769,14 +772,15 @@ object TextOps {
       .filter(col("ham") <= NearMaxHamming)
   }
 
-  def simhashNear(s: SparkSession, d: String): DataFrame = {
-    // per-row fold over the STORED hash array — the stage build is a
-    // pure map over the shingle_sets scan (no explode, no shuffle)
-    val sh = Stages.materialize(s, "simhash_shingle", d)(
+  /** Per-doc shingle simhash, staged — a pure map over the
+    * [[sharedShingleSets]] scan (no explode, no shuffle). */
+  def sharedSimhashShingle(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "simhash_shingle", d)(
       sharedShingleSets(s, d).filter(size(col("s")) > 0)
         .select(col("doc_id"), simhashOfHashes(col("hx")).as("simhash")))
-    simhashNearPairs(sh).orderBy("a", "b")
-  }
+
+  def simhashNear(s: SparkSession, d: String): DataFrame =
+    simhashNearPairs(sharedSimhashShingle(s, d)).orderBy("a", "b")
 
   /** Sketch-quality measurement: for every LSH candidate pair, the
     * MinHash-estimated Jaccard (fraction of equal signature components)
@@ -1507,15 +1511,16 @@ object TextOps {
     * checkpoint boundary — one vocab-sized frame joined against ten
     * broadcast boundaries, never a distinct-over-growing-prefix
     * window. All integer. */
-  def heapsLaw(s: SparkSession, d: String): DataFrame = {
-    val toks = sharedDocToks(s, d)
-    // Stages-materialized per-doc reduction: rankedCum's two passes
-    // would each re-aggregate the corpus-sized token stage; the
-    // doc-sized reduction is built once and re-scanned cheaply (the
-    // cum_share pattern).
-    val perDoc = Stages.materialize(s, "heaps_perdoc", d)(
-      toks.groupBy(col("doc_id"))
+  /** Staged per-doc token totals: rankedCum's two passes would each
+    * re-aggregate the corpus-sized token stage; the doc-sized reduction
+    * is built once and re-scanned cheaply (the cum_share pattern). */
+  def sharedHeapsPerDoc(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "heaps_perdoc", d)(
+      sharedDocToks(s, d).groupBy(col("doc_id"))
         .agg(sum(col("lc")).cast(LongType).as("n_tok")))
+
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    val perDoc = sharedHeapsPerDoc(s, d)
     // rank + running token sum over the doc sequence ride the range-
     // partitioned two-pass (Layout.rankedCum), not a global window —
     // this half of the query is doc-count-sized and was the repo's
@@ -1531,7 +1536,7 @@ object TextOps {
       .agg(max(col("doc_id")).as("boundary_doc"),
         max(col("r")).as("n_docs_seen"),
         max(col("cum_tok")).as("cum_tok"))
-    val firstOcc = toks.groupBy(col("tok"))
+    val firstOcc = sharedDocToks(s, d).groupBy(col("tok"))
       .agg(min(col("doc_id")).as("first_doc"))
     firstOcc.crossJoin(broadcast(checks))
       .filter(col("first_doc") <= col("boundary_doc"))
@@ -2102,10 +2107,12 @@ object TextOps {
     * `lift` are integer quotients cast to double in a fixed expression
     * shape — bit-deterministic. Documents with fewer than two tokens
     * have no bigrams and drop out, matching the oracle's inner join. */
+  /** Staged per-doc bigram counts — [[ngramNovelty]]'s front half. */
+  def sharedDocGrams(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "doc_grams", d)(docGramCounts(corpus(s, d)))
+
   def ngramNovelty(s: SparkSession, d: String): DataFrame =
-    ngramNoveltyFromGrams(
-      Stages.materialize(s, "doc_grams", d)(
-        docGramCounts(corpus(s, d))))
+    ngramNoveltyFromGrams(sharedDocGrams(s, d))
 
   /** Per-document bigram occurrence counts keyed by gram digest — the
     * staged front half of [[ngramNovelty]]. */

@@ -182,6 +182,18 @@ class PlanSpec extends SparkSpec {
       "q_quantile_bins window lost its source partitioning")
   }
 
+  test("sketch queries read the shingle stage, not the raw corpus") {
+    // r7: q_bloom_join and q_distinct_sketch used to re-tokenize and
+    // re-explode the corpus 3-grams each; both now explode the stored
+    // (s, hx) arrays off the shared shingle_sets stage — one corpus
+    // explode per corpus, zero md5 re-hashing
+    for (q <- Seq("q_bloom_join", "q_distinct_sketch")) {
+      val p = plan(q)
+      assert(p.contains("shingle_sets-"), s"$q does not read the shingle stage")
+      assert(!p.contains("corpus-"), s"$q still re-scans the corpus stage")
+    }
+  }
+
   test("q_dedup_ngram reads the materialized pair stage with pushed filter") {
     // the threshold filter must reach the stage's parquet scan — the
     // shared-stage rework keeps the query a pushed-filter file read, not
