@@ -18,10 +18,13 @@ classes: comma-separated subset of
   evdup    replayed / key-tied events
   evnull   events with null fields
   evns     nanosecond-grain timestamps: the events table re-typed to
-           TIMESTAMP_NS with pre-epoch sub-µs rows (the floor-vs-
-           truncate ns→µs conversion class) and same-µs ns-level
-           near-ties whose ns order disagrees with event_id order
-           (the tie-break portability class)
+           TIMESTAMP_NS with pre-epoch sub-µs rows (the ns→µs
+           conversion-semantics class: both engines TRUNCATE toward
+           zero — Spark via nanosAsLong + DIV 1000, DuckDB's parquet
+           reader at the scan; see the measured matrix in
+           Sources.events — a floor-division variant FAILS this class)
+           and same-µs ns-level near-ties whose ns order disagrees
+           with event_id order (the tie-break portability class)
   vecdup   embeddings: replayed / id-colliding / degenerate vectors
   reldup   orders/lineitem: replayed rows, key collisions with divergent
            payloads, null keys/dates — the classes a regenerated
@@ -34,8 +37,15 @@ classes: comma-separated subset of
            lineitem.l_extendedprice/l_discount, dim acctbal /
            retailprice — the class where DuckDB's strict CAST raises
            while Spark's cast yields NULL (oracles must try_cast)
-(default: all). `all` shells out to sbt for graft.Verify, then runs
-check.py. Deterministic for a given (src, seed, classes).
+  zero     EVERY table replaced by a zero-row clone (schema preserved)
+           — the degenerate-input sweep: empty aggregates, empty
+           windows, zero denominators, empty stage materializations.
+           Exclusive: cannot combine with other classes (there is no
+           data left to mutate), and not part of the default set —
+           run explicitly as `... <seed> zero`.
+(default: all non-zero classes). `all` shells out to sbt for
+graft.Verify, then runs check.py. Deterministic for a given
+(src, seed, classes).
 """
 import os, random, shutil, subprocess, sys
 import duckdb
@@ -72,7 +82,25 @@ NASTY_TEXT = [
 ]
 
 
+def gen_zero(src, dst):
+    """Zero-row clone of every table, schemas preserved (DuckDB keeps
+    the source parquet schema on an empty COPY). The events table stays
+    µs-typed — the sf0 sweep tests empty-input behavior, not the ns
+    reader path (evns covers that with rows that exercise it)."""
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
+                    f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"fuzz gen: {dst}  (zero-row clones of {len(TABLES)} tables)")
+
+
 def gen(src, dst, seed=5, classes=ALL_CLASSES):
+    if "zero" in classes:
+        assert classes == {"zero"}, \
+            "zero is exclusive — there is no data left to mutate"
+        gen_zero(src, dst)
+        return
     rng = random.Random(seed)
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
@@ -314,9 +342,10 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     if "evns" in classes:
         # Re-type the whole table to nanosecond-precision parquet (what
         # the driver's regenerated events carry — Spark reads it via
-        # nanosAsLong + floor division, DuckDB via its flooring
-        # TIMESTAMP cast), then add ns-grain rows no µs column can
-        # express. pyarrow, not DuckDB COPY: DuckDB 1.0 silently
+        # nanosAsLong + truncating DIV, DuckDB's parquet reader
+        # truncates to µs at the scan; truncation on BOTH paths, per
+        # the measured matrix in Sources.events), then add ns-grain
+        # rows no µs column can express. pyarrow, not DuckDB COPY: DuckDB 1.0 silently
         # downcasts TIMESTAMP_NS to µs on parquet write AND truncates
         # sub-µs string literals at parse, so the ns payload has to be
         # built from integer nanos outside SQL.
@@ -410,7 +439,7 @@ def main():
     cmd, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     classes = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else ALL_CLASSES
-    assert classes <= ALL_CLASSES, classes - ALL_CLASSES
+    assert classes <= ALL_CLASSES | {"zero"}, classes - ALL_CLASSES
     if cmd == "gen":
         gen(src, out, seed, classes)
         return 0

@@ -219,7 +219,10 @@ object Events {
         "stack(4, '0_users', n0, '1_view', n1, '2_click_after_view', n2, " +
           "'3_purchase_after_click', n3) AS (stage, n_users)",
         "n0")
-      .withColumn("conv", col("n_users").cast("double") / col("n0"))
+      // zero-user guard: DuckDB renders x/0 as NULL where ANSI Spark
+      // raises — mirror the NULL (the sf0 fuzz class)
+      .withColumn("conv", when(col("n0") === 0, lit(null).cast("double"))
+        .otherwise(col("n_users").cast("double") / col("n0")))
       .select("stage", "n_users", "conv")
       .orderBy("stage")
   }
@@ -540,7 +543,11 @@ object Events {
       .agg(when(sum(when(col("event_type") === "purchase", 1L)
         .otherwise(0L)) >= AbConvMin, 1L).otherwise(0L).as("conv"))
       .withColumn("variant", pmod(col("user_id"), lit(2L)))
-    per.groupBy(lit(1).as("g"))
+    // GLOBAL aggregate, not groupBy(lit(1)): grouping by a literal over
+    // an EMPTY input yields zero groups (no row), while the oracle's
+    // no-GROUP-BY aggregate always yields one — the sf0 fuzz class
+    // caught the divergence. A global agg returns one row on any input.
+    per
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c0"),

@@ -153,20 +153,40 @@ object Relational {
         count(lit(1)).as("n_ord"))
       .orderBy("o_orderpriority")
 
-  def aggRollup(s: SparkSession, d: String): DataFrame =
-    ord(s, d)
+  /** ROLLUP (r_name, n_name) — as the two non-empty grouping sets plus
+    * a grand-total row DERIVED from the region-level rows (exact
+    * decimal re-aggregation of a ≤|regions|-row frame, then one union).
+    * Value-identical to `.rollup(...)` on any non-empty input, but also
+    * correct on an EMPTY one: SQL's () grouping set yields one row over
+    * zero input (DuckDB/the standard do; Spark's Expand-based rollup
+    * yields none — the sf0 fuzz class caught the divergence), and the
+    * derived global aggregate always produces its row. */
+  def aggRollup(s: SparkSession, d: String): DataFrame = {
+    val sets = ord(s, d)
       .join(cust(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Sources.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Sources.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg(outD(sum(money(col("o_totalprice")))).as("total"),
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name"))),
+        col("r_name"), col("n_name"))
+      .agg(sum(money(col("o_totalprice"))).as("dec_total"),
         count(lit(1)).as("n"),
         grouping(col("r_name")).cast("int").as("g_r"),
         grouping(col("n_name")).cast("int").as("g_n"))
+    val grand = sets.filter(col("g_n") === 1)
+      .agg(sum(col("dec_total")).as("dec_total"),
+        coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit(null).cast("string").as("r_name"),
+        lit(null).cast("string").as("n_name"), col("dec_total"),
+        col("n"), lit(1).as("g_r"), lit(1).as("g_n"))
+    sets.select(col("r_name"), col("n_name"), col("dec_total"),
+        col("n"), col("g_r"), col("g_n"))
+      .unionByName(grand)
       .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
         coalesce(col("n_name"), lit("ALL")).as("nation_name"),
-        col("total"), col("n"), col("g_r"), col("g_n"))
+        outD(col("dec_total")).as("total"), col("n"), col("g_r"), col("g_n"))
       .orderBy("region_name", "nation_name", "g_r", "g_n")
+  }
 
   // ---- windows / sort / set ops --------------------------------------
 
@@ -233,18 +253,36 @@ object Relational {
 
   // ---- cube / unpivot / lateral --------------------------------------
 
-  /** CUBE grouping sets (all four combinations of the two dims). */
-  def aggCube(s: SparkSession, d: String): DataFrame =
-    ord(s, d)
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(outD(sum(money(col("o_totalprice")))).as("total"),
+  /** CUBE grouping sets (all four combinations of the two dims) — the
+    * three non-empty sets plus a grand-total row derived from the
+    * status-level rows, the [[aggRollup]] construction: value-identical
+    * to `.cube(...)` on non-empty input, and emits the standard's one
+    * () row over an empty one (which Spark's Expand-based cube drops —
+    * the sf0 fuzz class). */
+  def aggCube(s: SparkSession, d: String): DataFrame = {
+    val sets = ord(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(money(col("o_totalprice"))).as("dec_total"),
         count(lit(1)).as("n"),
         grouping(col("o_orderstatus")).cast("int").as("g_s"),
         grouping(col("o_orderpriority")).cast("int").as("g_p"))
+    val grand = sets.filter(col("g_s") === 0 && col("g_p") === 1)
+      .agg(sum(col("dec_total")).as("dec_total"),
+        coalesce(sum(col("n")), lit(0L)).as("n"))
+      .select(lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("string").as("o_orderpriority"), col("dec_total"),
+        col("n"), lit(1).as("g_s"), lit(1).as("g_p"))
+    sets.select(col("o_orderstatus"), col("o_orderpriority"),
+        col("dec_total"), col("n"), col("g_s"), col("g_p"))
+      .unionByName(grand)
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
-        col("total"), col("n"), col("g_s"), col("g_p"))
+        outD(col("dec_total")).as("total"), col("n"), col("g_s"), col("g_p"))
       .orderBy("status", "priority", "g_s", "g_p")
+  }
 
   /** GROUPING SETS — the general form rollup/cube specialize: exactly
     * the declared grouping combinations, here (status, priority) +

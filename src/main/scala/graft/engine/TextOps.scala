@@ -299,6 +299,31 @@ object TextOps {
       Seq("doc_id"), "left_anti")
   }
 
+  /** [[dedupIncremental]] as a declared, oracle-checked query: every
+    * 5th doc_id plays the arriving batch, the rest the already-indexed
+    * corpus (whose signature and shingle-set tables come straight off
+    * the [[Stages]]-materialized [[sharedSignature]] /
+    * [[sharedShingleSets]] parquet — the exact production layout the
+    * operator is built for). Returns the surviving batch docs.
+    *
+    * Uses [[PortableHash.h28]] (the staged tables' family — a family
+    * mismatch would silently dedup nothing, the documented trap). The
+    * oracle derives the same answer from the full-corpus candidate/
+    * Jaccard pair table: a batch doc is dropped iff it has a ≥-threshold
+    * pair with ANY smaller doc_id (corpus or earlier batch — both drop
+    * it) or with a LARGER corpus doc_id (corpus comparison is
+    * symmetric; a larger batch partner is the one dropped instead). */
+  def dedupIncrQuery(s: SparkSession, d: String): DataFrame = {
+    val isBatch = col("doc_id") % 5 === 0
+    val batch = corpus(s, d).filter(isBatch)
+    val cSets = sharedShingleSets(s, d).filter(!isBatch)
+      .select(col("doc_id"), col("s"))
+    val cSig = sharedSignature(s, d).filter(col("doc_id") % 5 =!= 0)
+    dedupIncremental(batch, cSets, cSig, NearDupJaccard, h28)
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   // ---- shared materialized stages ------------------------------------
   // The five LSH/dedup queries share the split→shingle→hash prefix; each
   // stage below is parquet-materialized once per JVM ([[Stages]]) so the
@@ -2167,9 +2192,15 @@ object TextOps {
         sum("n_chars").as("total_chars"),
         sum("n_tok").as("total_tok"),
         countDistinct(col("k")).as("n_uniq_texts"))
-      .withColumn("dup_frac",
-        (col("n_docs") - col("n_uniq_texts")).cast("double") / col("n_docs"))
-      .withColumn("avg_tok", col("total_tok").cast("double") / col("n_docs"))
+      // empty-corpus guard: DuckDB renders x/0 as NULL where ANSI Spark
+      // raises — mirror the NULL (the sf0 fuzz class)
+      .withColumn("dup_frac", when(col("n_docs") === 0,
+          lit(null).cast("double"))
+        .otherwise((col("n_docs") - col("n_uniq_texts")).cast("double") /
+          col("n_docs")))
+      .withColumn("avg_tok", when(col("n_docs") === 0,
+          lit(null).cast("double"))
+        .otherwise(col("total_tok").cast("double") / col("n_docs")))
 
   /** Corpus snapshot diff — the data-versioning report a pipeline runs
     * between crawl drops: per doc_id, `added` (new id), `removed` (id

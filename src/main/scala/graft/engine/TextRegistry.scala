@@ -1436,6 +1436,19 @@ object TextRegistry {
          |   ELSE 0 END AS recall_ppm
          |FROM x CROSS JOIN nc ORDER BY tau""".stripMargin),
 
+    "q_dedup_incr" -> e(TextOps.dedupIncrQuery,
+      s"""WITH $ngramPairCtes,
+         | np AS (SELECT a, b FROM p
+         |  WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | dropped AS (
+         |  SELECT b AS doc_id FROM np WHERE b % 5 = 0
+         |  UNION
+         |  SELECT a AS doc_id FROM np WHERE a % 5 = 0 AND b % 5 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         | AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+         |ORDER BY d.doc_id""".stripMargin),
+
     "q_lang_mix" -> e(TextOps.langMix,
       """WITH u AS (SELECT doc_id, source,
         |   unnest(string_split(text,' ')) AS tok

@@ -182,6 +182,17 @@ class PlanSpec extends SparkSpec {
       "q_quantile_bins window lost its source partitioning")
   }
 
+  test("q_dedup_incr reads the staged corpus index; batch side only is fresh") {
+    // the incremental filter's whole point: the corpus contributes its
+    // materialized signature + shingle-set parquet, never a recompute,
+    // and the candidate join stays (band, sig) equi-join shaped
+    val p = plan("q_dedup_incr")
+    assert(p.contains("minhash_sig-"), "corpus signature stage not read")
+    assert(p.contains("shingle_sets-"), "corpus shingle stage not read")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q_dedup_incr plans a pairwise compare")
+  }
+
   test("sketch queries read the shingle stage, not the raw corpus") {
     // r7: q_bloom_join and q_distinct_sketch used to re-tokenize and
     // re-explode the corpus 3-grams each; both now explode the stored
