@@ -40,9 +40,16 @@ classes: comma-separated subset of
   zero     EVERY table replaced by a zero-row clone (schema preserved)
            — the degenerate-input sweep: empty aggregates, empty
            windows, zero denominators, empty stage materializations.
-           Exclusive: cannot combine with other classes (there is no
-           data left to mutate), and not part of the default set —
-           run explicitly as `... <seed> zero`.
+  zdocs    only documents + embeddings zeroed (rest copied intact)
+  zev      only events zeroed
+  zrel     only orders + lineitem zeroed
+  zdim     only nation/region/customer/supplier/part zeroed
+           The partial-empty variants hit a different surface than
+           `zero`: joins with exactly one empty side, empty broadcast
+           builds against populated probes, empty dims under populated
+           facts. All five are exclusive (cannot combine with other
+           classes — there is no data left to mutate) and not in the
+           default set — run explicitly as `... <seed> zero` etc.
 (default: all non-zero classes). `all` shells out to sbt for
 graft.Verify, then runs check.py. Deterministic for a given
 (src, seed, classes).
@@ -82,24 +89,38 @@ NASTY_TEXT = [
 ]
 
 
-def gen_zero(src, dst):
-    """Zero-row clone of every table, schemas preserved (DuckDB keeps
-    the source parquet schema on an empty COPY). The events table stays
-    µs-typed — the sf0 sweep tests empty-input behavior, not the ns
-    reader path (evns covers that with rows that exercise it)."""
+ZERO_CLASSES = {
+    "zero": set(TABLES),
+    "zdocs": {"documents", "embeddings"},
+    "zev": {"events"},
+    "zrel": {"orders", "lineitem"},
+    "zdim": {"nation", "region", "customer", "supplier", "part"},
+}
+
+
+def gen_zero(src, dst, empty):
+    """Zero-row clones of `empty` tables, the rest copied intact;
+    schemas preserved (DuckDB keeps the source parquet schema on an
+    empty COPY). The events table stays µs-typed — the zero sweeps test
+    empty-input behavior, not the ns reader path (evns covers that with
+    rows that exercise it)."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
-                    f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
-    print(f"fuzz gen: {dst}  (zero-row clones of {len(TABLES)} tables)")
+        if t in empty:
+            con.execute(f"COPY (SELECT * FROM '{src}/{t}.parquet' WHERE 1=0) "
+                        f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)")
+        else:
+            shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
+    print(f"fuzz gen: {dst}  (zero-row clones of {sorted(empty)})")
 
 
 def gen(src, dst, seed=5, classes=ALL_CLASSES):
-    if "zero" in classes:
-        assert classes == {"zero"}, \
-            "zero is exclusive — there is no data left to mutate"
-        gen_zero(src, dst)
+    zc = classes & ZERO_CLASSES.keys()
+    if zc:
+        assert len(classes) == 1, \
+            "zero classes are exclusive — there is no data left to mutate"
+        gen_zero(src, dst, ZERO_CLASSES[next(iter(zc))])
         return
     rng = random.Random(seed)
     os.makedirs(dst, exist_ok=True)
@@ -439,7 +460,8 @@ def main():
     cmd, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     classes = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else ALL_CLASSES
-    assert classes <= ALL_CLASSES | {"zero"}, classes - ALL_CLASSES
+    assert classes <= ALL_CLASSES | ZERO_CLASSES.keys(), \
+        classes - ALL_CLASSES - ZERO_CLASSES.keys()
     if cmd == "gen":
         gen(src, out, seed, classes)
         return 0
