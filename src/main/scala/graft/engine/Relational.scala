@@ -173,6 +173,11 @@ object Relational {
         count(lit(1)).as("n"),
         grouping(col("r_name")).cast("int").as("g_r"),
         grouping(col("n_name")).cast("int").as("g_n"))
+      // dimension-bounded (|regions|·|nations| + |regions| rows) and
+      // read by two union branches: persist so the fact scan + Expand
+      // subtree provably runs once, whatever AQE stage-reuse decides
+      // (harness clearCache() releases it per query)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grand = sets.filter(col("g_n") === 1)
       .agg(sum(col("dec_total")).as("dec_total"),
         coalesce(sum(col("n")), lit(0L)).as("n"))
@@ -269,6 +274,9 @@ object Relational {
         count(lit(1)).as("n"),
         grouping(col("o_orderstatus")).cast("int").as("g_s"),
         grouping(col("o_orderpriority")).cast("int").as("g_p"))
+      // bounded (|statuses|·|priorities| grid) two-consumer frame —
+      // persist for the same single-execution guarantee as aggRollup
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grand = sets.filter(col("g_s") === 0 && col("g_p") === 1)
       .agg(sum(col("dec_total")).as("dec_total"),
         coalesce(sum(col("n")), lit(0L)).as("n"))
