@@ -140,4 +140,28 @@ object PropertySpecs extends Properties("graft") {
         .as[(Long, Long)].collect().sorted.toSeq
       Prop(once == twice)
     }
+
+  /** rankedCum == the single global window it replaces, on arbitrary
+    * inputs (including empty, single-row, heavily tied values, and
+    * sizes straddling partition counts) — the r7 persist/pid-alignment
+    * rework must never change values, only execution shape. The sort
+    * key (id) is unique, per the operator's tie-free contract. */
+  property("rankedCum matches the global-window rank/cumsum reference") =
+    forAll(Gen.choose(0, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-5L, 5L)))) { vs =>
+      import org.apache.spark.sql.functions._
+      val rows = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = rows.toDF("id", "v")
+      val got = graft.engine.Layout
+        .rankedCum(df, Seq(col("id")), col("v"), parts = 4)
+        .select("id", "r", "cum", "n_rows")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      spark.catalog.clearCache() // rankedCum persists its ranged frame
+      val expected = rows.sortBy(_._1).zipWithIndex.map {
+        case ((id, _), i) =>
+          (id, (i + 1).toLong, rows.sortBy(_._1).take(i + 1).map(_._2).sum,
+            rows.size.toLong)
+      }
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
 }
