@@ -885,11 +885,18 @@ object Similarity {
     * Input: a (vec_id, v, nm) frame from [[vectors]]. */
   def dedupEmbedBanded(vs: DataFrame, bands: Int, bits: Int,
       threshold: Double): DataFrame = {
-    val banded = (0 until bands).map { bd =>
-      val bkt = lshBucketFrom(col("v"), (0 until bits).map(j =>
-        (0 until 64).map(i => lshWeight(bd * bits + j, i).toDouble)))
-      vs.select(col("vec_id"), lit(bd).as("band"), bkt.as("bkt"))
-    }.reduce(_ unionByName _)
+    // one explode, not a union of per-band selects — a union duplicates
+    // the upstream subtree per band and the candidate self-join squares
+    // it (the minhashBands lesson); all band buckets are computed in a
+    // single projection over one scan
+    val banded = vs.select(col("vec_id"),
+        explode(array((0 until bands).map { bd =>
+          val bkt = lshBucketFrom(col("v"), (0 until bits).map(j =>
+            (0 until 64).map(i => lshWeight(bd * bits + j, i).toDouble)))
+          struct(lit(bd).as("band"), bkt.as("bkt"))
+        }: _*)).as("z"))
+      .select(col("vec_id"), col("z").getField("band").as("band"),
+        col("z").getField("bkt").as("bkt"))
     val cand = banded.select(col("band"), col("bkt"), col("vec_id").as("a"))
       .join(banded.select(col("band"), col("bkt"), col("vec_id").as("b")),
         Seq("band", "bkt"))

@@ -193,13 +193,20 @@ object TextOps {
     minhashSignatureFromSets(shingleSets(docs), hash)
 
   /** LSH band rows: (doc_id, band, sig) — docs sharing a (band, sig)
-    * bucket are near-dup candidates. */
+    * bucket are near-dup candidates. ONE explode over the signature
+    * frame, not a union of [[Bands]] selects: a union duplicates the
+    * whole upstream subtree per band, so every consumer (and worse,
+    * the candidate self-join, which squares it) would re-run the
+    * signature pipeline [[Bands]]× — q_dedup_incr's pre-fix plan
+    * scanned the corpus 16 times. Same rows either way. */
   def minhashBands(sig: DataFrame): DataFrame =
-    (0 until Bands).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        concat_ws("_", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
-          col(s"h${3 * b + 2}")).as("sig"))
-    }.reduce(_ unionByName _)
+    sig.select(col("doc_id"), explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", col(s"h${3 * b}"), col(s"h${3 * b + 1}"),
+            col(s"h${3 * b + 2}")).as("sig"))
+      }: _*)).as("z"))
+      .select(col("doc_id"), col("z").getField("band").as("band"),
+        col("z").getField("sig").as("sig"))
 
   /** Candidate pairs (a < b) from LSH banding — the scale path: an
     * equi-join on (band, sig), never a cross join. */
@@ -782,10 +789,17 @@ object TextOps {
 
   def simhashNearPairs(sh: DataFrame): DataFrame = {
     val mask = (1 << NearBandBits) - 1
-    val bands = (0 until NearBands).map { b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), NearBandBits * b).bitwiseAND(mask).as("bits"))
-    }.reduce(_ unionByName _)
+    // one explode over the simhash frame (the minhashBands lesson: a
+    // union of per-band selects duplicates the subtree per band, and
+    // the self-join below squares it)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until NearBands).map { b =>
+          struct(lit(b).as("band"), shiftright(col("simhash"),
+            NearBandBits * b).bitwiseAND(mask).as("bits"))
+        }: _*)).as("z"))
+      .select(col("doc_id"), col("simhash"),
+        col("z").getField("band").as("band"),
+        col("z").getField("bits").as("bits"))
     val x = bands.alias("x")
     val y = bands.alias("y")
     x.join(y, col("x.band") === col("y.band") &&
