@@ -264,7 +264,9 @@ object ScaleProbe {
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id"), col("y.doc_id")).count()
         .count()
-      (posts.count(), pairs)
+      val n = posts.count()
+      spark.catalog.clearCache() // cappedPosts persists its postings
+      (n, pairs)
     }
     gtPairs(copies(1)) // warm
     Seq(1, 2, 4).foreach { k =>

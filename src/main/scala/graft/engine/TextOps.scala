@@ -1446,7 +1446,11 @@ object TextOps {
       .select(col("doc_id"), explode(col("hx")).as("h")).distinct()
     val keep = rawPosts.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= LshPrDfCap).select(col("h"))
+    // O(docs·shingles) rows read by four consumers (df filter, nh, both
+    // self-join sides) — persist so the explode+distinct runs once
+    // (harness clearCache() releases it per query)
     rawPosts.join(keep, Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
