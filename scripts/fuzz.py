@@ -101,7 +101,8 @@ ZERO_CLASSES = {
 def gen_zero(src, dst, empty):
     """Zero-row clones of `empty` tables, the rest copied intact;
     schemas preserved (DuckDB keeps the source parquet schema on an
-    empty COPY). The events table stays µs-typed — the zero sweeps test
+    empty COPY). Fully deterministic — the CLI seed argument has no
+    effect on zero classes. The events table stays µs-typed — the zero sweeps test
     empty-input behavior, not the ns reader path (evns covers that with
     rows that exercise it)."""
     os.makedirs(dst, exist_ok=True)
@@ -118,8 +119,11 @@ def gen_zero(src, dst, empty):
 def gen(src, dst, seed=5, classes=ALL_CLASSES):
     zc = classes & ZERO_CLASSES.keys()
     if zc:
-        assert len(classes) == 1, \
-            "zero classes are exclusive — there is no data left to mutate"
+        # hard error, not assert: python -O strips asserts and would
+        # silently generate a wrong corpus instead of failing
+        if len(classes) != 1:
+            raise SystemExit(
+                "zero classes are exclusive — there is no data left to mutate")
         gen_zero(src, dst, ZERO_CLASSES[next(iter(zc))])
         return
     rng = random.Random(seed)
@@ -460,12 +464,14 @@ def main():
     cmd, src, out = sys.argv[1], sys.argv[2], sys.argv[3]
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     classes = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else ALL_CLASSES
-    assert classes <= ALL_CLASSES | ZERO_CLASSES.keys(), \
-        classes - ALL_CLASSES - ZERO_CLASSES.keys()
+    unknown = classes - ALL_CLASSES - ZERO_CLASSES.keys()
+    if unknown:
+        raise SystemExit(f"unknown fuzz classes: {sorted(unknown)}")
     if cmd == "gen":
         gen(src, out, seed, classes)
         return 0
-    assert cmd == "all"
+    if cmd != "all":
+        raise SystemExit(f"unknown command: {cmd!r} (want gen|all)")
     data, vout = f"{out}/data", f"{out}/verify"
     gen(src, data, seed, classes)
     subprocess.run(["sbt", "-batch", f"runMain graft.Verify {data} {vout}"],

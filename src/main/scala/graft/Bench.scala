@@ -43,12 +43,18 @@ object Bench {
     // the corpus) instead of charging a whole stage chain to whichever
     // consumer runs first, while the amortized cost stays disclosed.
     val tStages = System.nanoTime()
+    // If the warm pass throws, stage builds silently shift into the
+    // timed per-query loop — the flag makes that machine-readable in
+    // the JSON line instead of living only in stderr.
+    var stagesWarmFailed = false
     try graft.engine.Warm.stages(spark, sfDir)
     catch { case NonFatal(e) =>
+      stagesWarmFailed = true
       System.err.println(s"[bench] stage warm failed: ${e.getMessage}") }
     val stagesSec = (System.nanoTime() - tStages) / 1e9
     val failed = Seq.newBuilder[String]
-    val results = SparkEntry.queries.flatMap { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                recordFailure: Boolean = true): Option[Double] = {
       val t0 = System.nanoTime()
       // NonFatal only: after an OutOfMemoryError every later timing is
       // garbage — let fatal errors kill the run (rc != 0 tells the
@@ -56,13 +62,36 @@ object Bench {
       // in `failed`, never in the per-query map or the total (its
       // elapsed-until-exception time is not a measurement).
       val ok = try { fn(spark, sfDir).count(); true }
-        catch { case NonFatal(_) => failed += name; false }
+        catch { case NonFatal(_) => if (recordFailure) failed += name; false }
       val t = (System.nanoTime() - t0) / 1e9
       // queries are independent; drop their persisted frames so cache
       // does not accumulate across 60+ queries (GC pauses from the
       // buildup showed up as random 10x spikes on later queries)
       spark.catalog.clearCache()
-      if (ok) Some(name -> t) else None
+      if (ok) Some(t) else None
+    }
+    val firstPass = SparkEntry.queries.flatMap { case (name, fn) =>
+      timeOne(name, fn).map(name -> _)
+    }
+    // Transient machine contention can hand a single sample a 5-10x
+    // stall (round 7: q_session_paths drew 15.1 s in the driver run vs
+    // 2.1 s controlled, faking a +13% headline regression). A one-shot
+    // sample cannot distinguish that from a plan change, so any first-
+    // pass time above max(2 s, 3x the run's median) is re-timed once
+    // and the MIN of the two samples is reported — min, not mean,
+    // because contention only ever adds time. The correction is
+    // disclosed, not hidden: `outliers_retimed` counts the re-runs.
+    val sorted = firstPass.values.toSeq.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val threshold = math.max(2.0, 3.0 * median)
+    val outliers = firstPass.filter(_._2 > threshold).keySet
+    val results = firstPass.map { case (name, t1) =>
+      // A retime failure is not a query failure — the query already
+      // succeeded in pass one; keep the first sample.
+      if (outliers(name))
+        name -> math.min(t1,
+          timeOne(name, SparkEntry.queries(name), recordFailure = false).getOrElse(t1))
+      else name -> t1
     }
     // Deciseconds per query, centiseconds for the total, trailing zeros
     // stripped ("0.50" → "0.5"): run-to-run variance on sub-second
@@ -81,10 +110,15 @@ object Bench {
     // tail window, and absence-of-key reads the same as [].
     val failedJson = if (failed.result().isEmpty) ""
       else s""","failed":${failed.result().map(q).mkString("[", ",", "]")}"""
+    // Both disclosure flags are omitted when zero/false — every byte
+    // counts against the driver's 2000-char tail window.
+    val retimedJson = if (outliers.isEmpty) ""
+      else s""","outliers_retimed":${outliers.size}"""
+    val warmFailedJson = if (!stagesWarmFailed) "" else ""","stages_warm_failed":true"""
     def line(qs: Iterable[(String, Double)]) = {
       val m = qs.map { case (k, v) => q(k) + ":" + num(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","stages_sec":${num(stagesSec, 1)},"queries":$m,"n_queries":${results.size}$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","stages_sec":${num(stagesSec, 1)}$warmFailedJson,"queries":$m,"n_queries":${results.size}$retimedJson$failedJson,"sf":${q(sfDir)}}"""
     }
     // The driver's stdout capture is a 2000-char TAIL window and sbt
     // appends its own trailer: rounds 3 AND 4 both recorded parsed:null

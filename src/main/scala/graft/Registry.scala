@@ -598,8 +598,12 @@ object Registry {
         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT decile, count(*) AS n_cust,
         | CAST(max(cum_cents) AS BIGINT) AS cum_cents,
-        | CAST(max(cum_cents) AS BIGINT) * 1000000 // total_cents
-        |   AS cum_share_ppm
+        |-- HUGEINT widening mirrors the Spark side's decimal(38,0):
+        |-- cents·10⁶ wraps int64 at warehouse scale. The output CAST
+        |-- back to BIGINT is load-bearing (driver hashes int128 as
+        |-- float64).
+        | CAST(CAST(max(cum_cents) AS HUGEINT) * 1000000 // total_cents
+        |   AS BIGINT) AS cum_share_ppm
         |FROM r CROSS JOIN t GROUP BY decile, total_cents
         |ORDER BY decile""".stripMargin),
 
@@ -636,8 +640,9 @@ object Registry {
          | CAST(sum(CASE WHEN is_share THEN units ELSE 0 END) AS BIGINT)
          |   AS nation_units,
          | CAST(sum(units) AS BIGINT) AS total_units,
-         | CAST(sum(CASE WHEN is_share THEN units ELSE 0 END) AS BIGINT)
-         |   * 1000000 // CAST(sum(units) AS BIGINT) AS share_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+         | CAST(CAST(sum(CASE WHEN is_share THEN units ELSE 0 END) AS HUGEINT)
+         |   * 1000000 // CAST(sum(units) AS BIGINT) AS BIGINT) AS share_ppm
          |FROM l JOIN sf ON l_suppkey = s_suppkey
          | JOIN orders ON l_orderkey = o_orderkey
          |WHERE o_custkey IN (SELECT c_custkey FROM ac)
@@ -668,8 +673,10 @@ object Registry {
         | CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)
         |   AS BIGINT) AS promo_units,
         | CAST(sum(units) AS BIGINT) AS total_units,
-        | CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)
-        |   AS BIGINT) * 1000000 // CAST(sum(units) AS BIGINT) AS promo_ppm
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+        | CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN units ELSE 0 END)
+        |   AS HUGEINT) * 1000000 // CAST(sum(units) AS BIGINT) AS BIGINT)
+        |   AS promo_ppm
         |FROM l JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
@@ -681,10 +688,13 @@ object Registry {
         |   count(*) AS n_items
         |  FROM lineitem GROUP BY 1),
         | t AS (SELECT CAST(sum(units) AS BIGINT) AS total_units FROM per)
+        |-- HUGEINT widening (product and threshold cross-multiply)
+        |-- mirrors the Spark decimal(38,0) forms
         |SELECT l_partkey, units, n_items,
-        | units * 1000000 // total_units AS share_ppm
+        | CAST(CAST(units AS HUGEINT) * 1000000 // total_units AS BIGINT)
+        |   AS share_ppm
         |FROM per CROSS JOIN t
-        |WHERE units * 2000 > total_units
+        |WHERE CAST(units AS HUGEINT) * 2000 > total_units
         |ORDER BY units DESC, l_partkey""".stripMargin),
 
     "q_supp_rank" -> e(Relational.suppRank,

@@ -390,6 +390,13 @@ object Events {
       .orderBy("user_id", "n_islands", "max_streak", "active_days")
   }
 
+  /** Span clamp for [[gapFill]]: the per-user grid covers at most this
+    * many days from the user's first active day. Bounds the grid at
+    * users × [[GapFillMaxSpanDays]] rows regardless of how far apart a
+    * user's first and last events sit (two years — generous next to the
+    * corpus's actual spans, hard against a decades-wide outlier). */
+  val GapFillMaxSpanDays = 730L
+
   /** Per-user daily activity grid with forward-fill (LOCF): one row per
     * (user, day) for every day in the user's [first, last] active span —
     * days with no events get `n_obs` 0, a `filled` flag, and `n_fill`
@@ -400,18 +407,23 @@ object Events {
     *
     * All integer epoch-day arithmetic ([[DayUs]] discipline — no
     * date/timezone parity risk). Scale: the grid is users × span-days
-    * rows (bounded by the calendar, not the event count); the daily
+    * rows, and the per-user span is clamped to [[GapFillMaxSpanDays]]
+    * from the first active day (the clamp is mirrored verbatim in the
+    * oracle) — a user whose history covers decades contributes a
+    * bounded grid, and observed days past the clamp are simply outside
+    * the grid (the grid-side left join drops them). The daily
     * aggregate, the span bounds, the grid join and the LOCF window all
-    * share the user_id partitioning — one shuffle. A per-user span of
-    * years with sparse activity inflates the grid linearly; cap the
-    * span upstream if the calendar outgrows the corpus. */
+    * share the user_id partitioning — one shuffle. */
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val daily = ev(s, d)
       .groupBy(col("user_id"), expr(s"us DIV $DayUs").as("day"))
       .agg(count(lit(1)).as("n_obs"))
     val grid = daily.groupBy("user_id")
       .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      // clamp from d0 (not d1): the LOCF invariant "first grid day is
+      // observed" must survive the clamp, and it is d0-anchored
+      .select(col("user_id"), explode(sequence(col("d0"),
+        least(col("d1"), col("d0") + lit(GapFillMaxSpanDays - 1L)))).as("day"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(daily, Seq("user_id", "day"), "left")
@@ -425,29 +437,45 @@ object Events {
       .orderBy("user_id", "day", "n_obs", "n_fill", "filled")
   }
 
+  /** Journey cap for [[seqPattern]]: each user's journey is built from
+    * at most this many of their earliest events. Bounds the per-user
+    * row (collect_list array + journey string) by a constant instead of
+    * that user's event count — a single bot user with 10M events
+    * contributes a 256-char journey, not a 10MB one. The rn-filter is
+    * mirrored verbatim in the oracle (same discipline as
+    * [[SessionPathLen]]). */
+  val SeqPatternMaxEvents = 256
+
   /** Event-sequence pattern matching (the batch MATCH_RECOGNIZE stand-
     * in): each user's events collapse — in (ts, event_id) order — to a
     * compact journey string of event-type initials, and regex predicates
     * over that string answer ordering questions a funnel count can't
     * ("a view EVENTUALLY followed by a purchase", "how many errors en
-    * route"). The per-user string is bounded by the user's own event
-    * count, so rows stay small; one user-keyed aggregation (collect_list
-    * is unordered by contract — the deterministic order comes from
-    * array_sort over (us, event_id, ch) structs, not from arrival).
-    * Scale: one shuffle on user_id; the regex runs per user row, not per
-    * event. A pathological single-user firehose would fatten one row —
-    * cap per-user events upstream if journeys outgrow memory. */
-  def seqPattern(s: SparkSession, d: String): DataFrame =
+    * route"). The journey covers each user's first
+    * [[SeqPatternMaxEvents]] events (enforced by an rn-filter BEFORE the
+    * collect, so the bound holds during aggregation, not after), and
+    * `n_events` counts the capped set. collect_list is unordered by
+    * contract — the deterministic order comes from array_sort over
+    * (us, event_id, ch) structs, not from arrival.
+    * Scale: one shuffle on user_id (the rn window and the groupBy share
+    * the user_id hash partitioning); the regex runs per user row, not
+    * per event; every per-user row is O([[SeqPatternMaxEvents]]). */
+  def seqPattern(s: SparkSession, d: String): DataFrame = {
     // undated events are excluded (a journey position without a
     // timestamp is undefined, and array_sort's struct comparator is out
     // of reach of the registry's null-ordering rewrite); the remaining
     // sort-key fields are coalesced so tied rows compare identically in
     // both engines (Spark struct compare vs DuckDB ORDER BY)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"), col("ch"))
     ev(s, d).filter(col("us").isNotNull)
+      .select(col("user_id"), col("us"),
+        coalesce(col("event_id"), lit(Long.MaxValue)).as("event_id"),
+        coalesce(substring(col("event_type"), 1, 1), lit("")).as("ch"))
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= SeqPatternMaxEvents)
       .select(col("user_id"),
-        struct(col("us"), coalesce(col("event_id"), lit(Long.MaxValue)),
-          coalesce(substring(col("event_type"), 1, 1), lit("")).as("ch"))
-          .as("e"))
+        struct(col("us"), col("event_id"), col("ch")).as("e"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         array_join(transform(array_sort(collect_list(col("e"))),
@@ -458,6 +486,7 @@ object Events {
           length(regexp_replace(col("journey"), "e", ""))).cast(LongType))
       .select("user_id", "n_events", "journey", "converted", "n_err")
       .orderBy("user_id", "n_events", "journey", "converted", "n_err")
+  }
 
   /** Daily-volume spike detector: for each event type, the day whose
     * count deviates most from that type's own daily mean, with the
@@ -984,7 +1013,8 @@ object EventsRegistry {
          |  FROM events GROUP BY 1, 2),
          | sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1
          |  FROM dly GROUP BY 1),
-         | grid AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day
+         | grid AS (SELECT user_id, unnest(generate_series(d0,
+         |   least(d1, d0 + ${Events.GapFillMaxSpanDays - 1L}))) AS day
          |  FROM sp),
          | j AS (SELECT g.user_id, g.day, dly.n_obs FROM grid g
          |  LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day)
@@ -996,14 +1026,16 @@ object EventsRegistry {
          |FROM j ORDER BY user_id, day, n_obs, n_fill, filled""".stripMargin),
 
     "q_seq_pattern" -> e(Events.seqPattern,
-      """WITH e AS (SELECT user_id,
+      s"""WITH e AS (SELECT user_id,
         |   coalesce(event_id, 9223372036854775807) AS event_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |   coalesce(left(event_type, 1), '') AS ch FROM events
         |  WHERE ts IS NOT NULL),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id, ch) AS rn FROM e),
         | j AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |   string_agg(ch, '' ORDER BY us, event_id, ch) AS journey
-        |  FROM e GROUP BY 1)
+        |  FROM r WHERE rn <= ${Events.SeqPatternMaxEvents} GROUP BY 1)
         |SELECT user_id, n_events, journey,
         | regexp_matches(journey, 'v.*p') AS converted,
         | CAST(len(journey) - len(replace(journey, 'e', '')) AS BIGINT)

@@ -1014,8 +1014,12 @@ object Relational {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), max(col("cum_cents")).as("cum_cents"))
       .crossJoin(broadcast(tot))
+      // decimal(38,0) widening: cents·10⁶ = dollars·10⁸ wraps int64
+      // past ~$9.2·10¹⁰ cumulative — real at warehouse population
+      // scale. DIV on a decimal dividend still yields BIGINT, and the
+      // ppm quotient (≤10⁶) is exact, so outputs are unchanged.
       .withColumn("cum_share_ppm",
-        expr("cum_cents * 1000000 DIV total_cents"))
+        expr("CAST(cum_cents AS DECIMAL(38,0)) * 1000000 DIV total_cents"))
       .select(col("decile"), col("n_cust"), col("cum_cents"),
         col("cum_share_ppm"))
       .orderBy("decile")
@@ -1073,11 +1077,13 @@ object Relational {
     * Scale: the supplier-side flag joins broadcast; the single fact
     * shuffle is the orderkey join; the per-year rollup is 7 keys.
     *
-    * int64 envelope (also binds [[promoShare]] and [[partValueConc]]):
-    * the ppm numerator units·10⁶ = dollars·10¹⁰ wraps past ~$9.2·10⁸
-    * per group — a full-population warehouse share. The production
-    * variant widens the two share products to decimal(38,0) (the
-    * q_len_zscore discipline, SCALE.md); test-SF code stays on longs. */
+    * int64 envelope (also binds [[promoShare]], [[partValueConc]] and
+    * [[cumShare]]): the ppm numerator units·10⁶ = dollars·10¹⁰ wraps
+    * past ~$9.2·10⁸ per group — a full-population warehouse share. The
+    * shipped code therefore widens every share product to
+    * decimal(38,0) before the DIV (the q_len_zscore discipline);
+    * quotients stay BIGINT and outputs are unchanged, so no overflow
+    * is possible at any SF. Oracles mirror with HUGEINT. */
   def mktShare(s: SparkSession, d: String): DataFrame = {
     val asiaCust = cust(s, d)
       .join(broadcast(Sources.nation(s, d)
@@ -1102,8 +1108,11 @@ object Relational {
       .agg(sum(when(col("is_share"), col("units")).otherwise(0L))
           .cast("long").as("nation_units"),
         sum(col("units")).cast("long").as("total_units"))
+      // decimal(38,0) widening: units·10⁶ = dollars·10¹⁰ wraps int64
+      // past ~$9.2·10⁸/group; the widened product is exact to 10³⁸ and
+      // DIV returns BIGINT, so outputs are unchanged at any SF.
       .withColumn("share_ppm",
-        expr("nation_units * 1000000 DIV total_units"))
+        expr("CAST(nation_units AS DECIMAL(38,0)) * 1000000 DIV total_units"))
       .orderBy("o_year")
   }
 
@@ -1149,8 +1158,9 @@ object Relational {
       .agg(sum(when(col("is_promo"), col("units")).otherwise(0L))
           .cast("long").as("promo_units"),
         sum(col("units")).cast("long").as("total_units"))
+      // decimal(38,0) widening — same int64 envelope as [[mktShare]]
       .withColumn("promo_ppm",
-        expr("promo_units * 1000000 DIV total_units"))
+        expr("CAST(promo_units AS DECIMAL(38,0)) * 1000000 DIV total_units"))
       .orderBy("ship_month")
   }
 
@@ -1184,8 +1194,11 @@ object Relational {
     val tot = per.agg(sum(col("units")).cast("long").as("total_units"))
     per
       .crossJoin(broadcast(tot))
-      .filter(col("units") * 2000 > col("total_units"))
-      .withColumn("share_ppm", expr("units * 1000000 DIV total_units"))
+      // decimal(38,0) widening on both the threshold cross-multiply
+      // and the ppm product — same int64 envelope as [[mktShare]]
+      .filter(expr("CAST(units AS DECIMAL(38,0)) * 2000 > total_units"))
+      .withColumn("share_ppm",
+        expr("CAST(units AS DECIMAL(38,0)) * 1000000 DIV total_units"))
       .select(col("l_partkey"), col("units"), col("n_items"),
         col("share_ppm"))
       .orderBy(col("units").desc, col("l_partkey"))

@@ -1602,9 +1602,10 @@ object TextOps {
     * tokenize per corpus); the source frame is |sources|-sized, so the
     * distinct-count and every division run on a broadcast-scale table.
     * All integer/floor-ppm. At real token volumes target·10⁶ nears
-    * int64 — the production variant widens those two products to
-    * decimal(38,0) (the q_len_zscore discipline); test-SF code stays
-    * on longs. */
+    * int64, so both rate/yield products are widened to decimal(38,0)
+    * before the DIV (the q_len_zscore discipline) — quotients stay
+    * BIGINT and outputs are unchanged; the oracle mirrors with
+    * HUGEINT. */
   def mixTokens(s: SparkSession, d: String): DataFrame = {
     val perSrc = sharedDocToks(s, d)
       .join(corpus(s, d).select(col("doc_id"), col("source")),
@@ -1618,10 +1619,15 @@ object TextOps {
     perSrc.crossJoin(broadcast(nSrc))
       .withColumn("target_tok",
         expr(s"$MixTokenBudget DIV n_sources"))
+      // decimal(38,0) widening: target_tok·10⁶ and src_tok·rate wrap
+      // int64 past ~9.2·10¹² tokens (per source / per budget share) —
+      // reachable at a 100 TB corpus. Widened products are exact;
+      // DIV returns BIGINT, so outputs are unchanged.
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("target_tok * 1000000 DIV src_tok")))
+        least(lit(1000000L),
+          expr("CAST(target_tok AS DECIMAL(38,0)) * 1000000 DIV src_tok")))
       .withColumn("expected_tok",
-        expr("src_tok * rate_ppm DIV 1000000"))
+        expr("CAST(src_tok AS DECIMAL(38,0)) * rate_ppm DIV 1000000"))
       .select(col("source"), col("src_tok"), col("target_tok"),
         col("rate_ppm"), col("expected_tok"))
       .orderBy("source")

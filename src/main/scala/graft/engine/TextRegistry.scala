@@ -1480,10 +1480,15 @@ object TextRegistry {
          | x AS (SELECT source, src_tok,
          |   ${TextOps.MixTokenBudget} // n_sources AS target_tok
          |  FROM ps CROSS JOIN ns)
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) products;
+         |-- the BIGINT output casts are load-bearing (int128 hashes as
+         |-- float64 in the driver comparator)
          |SELECT source, src_tok, target_tok,
-         | least(1000000, target_tok * 1000000 // src_tok) AS rate_ppm,
-         | src_tok * least(1000000, target_tok * 1000000 // src_tok)
-         |   // 1000000 AS expected_tok
+         | CAST(least(1000000, CAST(target_tok AS HUGEINT) * 1000000
+         |   // src_tok) AS BIGINT) AS rate_ppm,
+         | CAST(CAST(src_tok AS HUGEINT) * least(1000000,
+         |   CAST(target_tok AS HUGEINT) * 1000000 // src_tok)
+         |   // 1000000 AS BIGINT) AS expected_tok
          |FROM x ORDER BY source""".stripMargin),
 
     "q_tok_zipf" -> e(TextOps.tokZipf,

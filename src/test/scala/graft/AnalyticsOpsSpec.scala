@@ -34,6 +34,25 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, 2L, "pv", false, 0L)))
   }
 
+  test("seqPattern: hot user's journey is capped at SeqPatternMaxEvents") {
+    val n = Events.SeqPatternMaxEvents + 44
+    // hot user 1: n sequential views, then a purchase AFTER the cap —
+    // the journey must stop at the cap and the late purchase must NOT
+    // flip `converted`; cold user 2 is untouched by the cap
+    val hot = (1 to n).map { i =>
+      (i.toLong, new Timestamp(86400000L + i * 60000L), 1L, "view", 1.0, "{}")
+    } :+ ((n + 1).toLong, new Timestamp(86400000L + (n + 1) * 60000L),
+      1L, "purchase", 1.0, "{}")
+    val dir = eventsDir(hot :+ ((9000L, ts(1, 1), 2L, "view", 1.0, "{}")))
+    val got = Events.seqPattern(spark, dir)
+      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+    val u1 = got.find(_._1 == 1L).get
+    assert(u1._2 == Events.SeqPatternMaxEvents.toLong)
+    assert(u1._3 == "v" * Events.SeqPatternMaxEvents)
+    assert(!u1._4, "purchase beyond the cap must not count as converted")
+    assert(got.find(_._1 == 2L).get._2 == 1L)
+  }
+
   test("seqPattern: same-timestamp ties break by event_id") {
     val t = ts(1, 1)
     val dir = eventsDir(Seq(

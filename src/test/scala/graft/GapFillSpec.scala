@@ -52,6 +52,24 @@ class GapFillSpec extends SparkSpec {
     assert(got.filter(_._1 == 1L).map(_._5) == Seq(false, true, false))
   }
 
+  test("gapFill: decades-wide span is clamped to GapFillMaxSpanDays") {
+    val span = Events.GapFillMaxSpanDays
+    // user 1 active on day 0 and ~4 years later — without the clamp the
+    // grid would be ~1461 rows; with it, exactly GapFillMaxSpanDays.
+    // The far-future observed day falls outside the clamped grid.
+    val farMs = (span + 730L) * 86400000L
+    val dir = eventsDir(Seq(
+      (1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
+      (2L, new Timestamp(farMs), 1L, "view", 1.0, "{}")))
+    val got = Events.gapFill(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got.length == span.toInt,
+      s"grid must clamp to $span rows, got ${got.length}")
+    assert(got.map(_._2).max == span - 1, "grid ends at d0 + span - 1")
+    // first day observed, every later day filled from it
+    assert(got.count(!_._5) == 1 && got.forall(_._4 == 1L))
+  }
+
   test("hardNegatives: nearest different-label vectors, never same label") {
     val dir = java.nio.file.Files.createTempDirectory("hardneg").toString
     // 64-dim one-hot-ish vectors: queries 0..15 all label 0 except 1;
