@@ -15,6 +15,22 @@ object Bench {
     case c => c.toString
   } + "\""
 
+  /** Queries whose first-pass time exceeds max(2 s, 3× the run's
+    * median) — candidates for one re-timed sample. Transient machine
+    * contention can hand a single sample a 5-10× stall (round 7:
+    * q_session_paths drew 15.1 s in the driver run vs 2.1 s
+    * controlled, faking a +13% headline regression); a one-shot sample
+    * cannot distinguish that from a plan change, so outliers are
+    * re-run once and the MIN of the two samples is reported — min, not
+    * mean, because contention only ever adds time. The correction is
+    * disclosed, not hidden: `outliers_retimed` counts the re-runs. */
+  private[graft] def outlierSet(times: Map[String, Double]): Set[String] = {
+    val sorted = times.values.toSeq.sorted
+    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
+    val threshold = math.max(2.0, 3.0 * median)
+    times.filter(_._2 > threshold).keySet
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32] with shuffle.partitions=32 (capped at
@@ -73,18 +89,7 @@ object Bench {
     val firstPass = SparkEntry.queries.flatMap { case (name, fn) =>
       timeOne(name, fn).map(name -> _)
     }
-    // Transient machine contention can hand a single sample a 5-10x
-    // stall (round 7: q_session_paths drew 15.1 s in the driver run vs
-    // 2.1 s controlled, faking a +13% headline regression). A one-shot
-    // sample cannot distinguish that from a plan change, so any first-
-    // pass time above max(2 s, 3x the run's median) is re-timed once
-    // and the MIN of the two samples is reported — min, not mean,
-    // because contention only ever adds time. The correction is
-    // disclosed, not hidden: `outliers_retimed` counts the re-runs.
-    val sorted = firstPass.values.toSeq.sorted
-    val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val threshold = math.max(2.0, 3.0 * median)
-    val outliers = firstPass.filter(_._2 > threshold).keySet
+    val outliers = outlierSet(firstPass)
     val results = firstPass.map { case (name, t1) =>
       // A retime failure is not a query failure — the query already
       // succeeded in pass one; keep the first sample.

@@ -17,7 +17,7 @@ object DevScans {
       val n = try {
         val p = fn(spark, dir).queryExecution.sparkPlan.toString
         "Scan parquet".r.findAllIn(p).size
-      } catch { case e: Throwable => -1 }
+      } catch { case scala.util.control.NonFatal(_) => -1 }
       name -> n
     }
     counts.sortBy(-_._2).foreach { case (n, c) =>

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-engine deterministic hashing for the dedup/fingerprint operators.
@@ -46,6 +46,35 @@ object PortableHash {
   /** The j-th MinHash-family hash of an h28 value. */
   def minhashJ(x: Column, j: Int): Column =
     (x * lit(A(j)) + lit(B(j))) % lit(P)
+
+  /** Behavioral fingerprint of a hash family: the family evaluated on
+    * two fixed probe strings. Two `Column => Column` functions that
+    * compute the same hash fingerprint identically; [[h28]] vs
+    * [[fast28]] (or any custom family) diverge — which is exactly the
+    * mismatch [[graft.engine.TextOps.dedupIncremental]] must reject
+    * (different families never band-collide → silent no-op dedup).
+    *
+    * Evaluated through a one-row local DataFrame (the functions-API
+    * Column tree may contain unresolved functions, so a driver-side
+    * `Expression.eval` is not available) and memoized per expression
+    * tree, so each family pays the one-row job once per JVM. */
+  def familyFingerprint(s: SparkSession, hash: Column => Column): String = {
+    val probes = Seq("graft:family:probe:0", "graft:family:probe:1")
+    // identical families build identical trees — a sound memo key
+    // (same tree ⇒ same deterministic eval); distinct-but-equivalent
+    // formulations just pay the tiny job once each
+    val key = probes.map(p => hash(lit(p)).toString).mkString("|")
+    familyFpCache.computeIfAbsent(key, _ => {
+      val row = s.range(1)
+        .select(probes.zipWithIndex.map { case (p, i) =>
+          hash(lit(p)).cast("string").as(s"f$i") }: _*)
+        .head()
+      probes.indices.map(row.getString).mkString(",")
+    })
+  }
+
+  private val familyFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** DuckDB SQL computing the same h28 value for expression `e`
     * (DuckDB has no hex→int conv; expand digit arithmetic). */

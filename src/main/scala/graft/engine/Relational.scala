@@ -160,7 +160,11 @@ object Relational {
     * correct on an EMPTY one: SQL's () grouping set yields one row over
     * zero input (DuckDB/the standard do; Spark's Expand-based rollup
     * yields none — the sf0 fuzz class caught the divergence), and the
-    * derived global aggregate always produces its row. */
+    * derived global aggregate always produces its row.
+    *
+    * Cache courtesy: the grouping-set frame is persisted (CacheManager
+    * never auto-drops plans) — the harnesses clearCache() per query; a
+    * long-lived session should clearCache()/unpersist between calls. */
   def aggRollup(s: SparkSession, d: String): DataFrame = {
     val sets = ord(s, d)
       .join(cust(s, d), col("o_custkey") === col("c_custkey"))
@@ -263,7 +267,8 @@ object Relational {
     * status-level rows, the [[aggRollup]] construction: value-identical
     * to `.cube(...)` on non-empty input, and emits the standard's one
     * () row over an empty one (which Spark's Expand-based cube drops —
-    * the sf0 fuzz class). */
+    * the sf0 fuzz class). Cache courtesy as in [[aggRollup]]: the
+    * grouping-set frame stays persisted until clearCache()/unpersist. */
   def aggCube(s: SparkSession, d: String): DataFrame = {
     val sets = ord(s, d)
       .groupingSets(

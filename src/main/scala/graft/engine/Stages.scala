@@ -288,4 +288,17 @@ object Stages {
     * map never resurrects stale data — files are left for the temp-dir
     * reaper (or the persistent root's own lifecycle policy). */
   def reset(): Unit = done.clear()
+
+  /** Stage names this JVM has resolved since the last [[reset]] —
+    * the WarmSpec completeness guard diffs this across "warm, then
+    * construct every declared plan" to catch a stage accessor that was
+    * added without a [[Warm.stages]] entry (its build cost would
+    * silently land on the first bench consumer instead of
+    * `stages_sec`). */
+  private[graft] def resolvedStageNames: Set[String] = {
+    val it = done.keys()
+    val out = Set.newBuilder[String]
+    while (it.hasMoreElements) out += it.nextElement().split('|').head
+    out.result()
+  }
 }

@@ -178,9 +178,31 @@ object TextOps {
       hash: Column => Column = fast28): DataFrame = {
     val hx = sets.filter(size(col("s")) > 0)
       .select(col("doc_id"), transform(col("s"), sh => hash(sh)).as("hx"))
-    withSignatureFromHx(hx)
-      .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*)
+    stampFamily(withSignatureFromHx(hx)
+      .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*),
+      PortableHash.familyFingerprint(sets.sparkSession, hash))
   }
+
+  /** Schema-metadata key carrying a signature table's hash-family
+    * fingerprint ([[PortableHash.familyFingerprint]]). Field metadata
+    * survives the parquet round-trip through [[Stages]], so a staged
+    * corpus index keeps its stamp across JVMs — which is what lets
+    * [[dedupIncremental]] reject a mismatched `hash` argument
+    * structurally instead of by scaladoc caveat. */
+  val FamilyStampKey = "graft.hash_family_fp"
+
+  /** Stamp `h0` with the family fingerprint (the signature columns are
+    * the values a family mismatch corrupts). */
+  private def stampFamily(sig: DataFrame, fp: String): DataFrame =
+    sig.withColumn("h0", col("h0").as("h0",
+      new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(FamilyStampKey, fp).build()))
+
+  /** The stamped family fingerprint of a signature frame, if present. */
+  private def stampedFamily(sig: DataFrame): Option[String] =
+    sig.schema.fields.find(_.name == "h0")
+      .filter(_.metadata.contains(FamilyStampKey))
+      .map(_.metadata.getString(FamilyStampKey))
 
   /** MinHash signature straight from documents. `hash` selects the
     * family: [[PortableHash.fast28]] (xxhash64, production throughput —
@@ -275,10 +297,25 @@ object TextOps {
     * families never band-collide → silent no-op dedup): [[PortableHash.
     * fast28]] pairs with the [[minhashSignature]] library default;
     * pass [[PortableHash.h28]] when indexing against the oracle-staged
-    * [[sharedSignature]] tables. */
+    * [[sharedSignature]] tables. ENFORCED structurally: every signature
+    * frame the library builds carries its family fingerprint as schema
+    * metadata (surviving the staged-parquet round-trip), and a stamped
+    * `corpusSig` whose family differs from `hash` throws here instead
+    * of silently returning the whole batch. Only a hand-built,
+    * unstamped signature frame skips the check. */
   def dedupIncremental(newDocs: DataFrame, corpusSets: DataFrame,
       corpusSig: DataFrame, threshold: Double = 0.8,
       hash: Column => Column = fast28): DataFrame = {
+    stampedFamily(corpusSig).foreach { fp =>
+      val argFp = PortableHash.familyFingerprint(newDocs.sparkSession, hash)
+      require(fp == argFp,
+        s"hash-family mismatch: corpusSig is stamped with family " +
+          s"fingerprint [$fp] but the `hash` argument computes [$argFp]. " +
+          "Mismatched families never band-collide, so dedup would " +
+          "silently drop nothing — pass the family the corpus index was " +
+          "built with (PortableHash.h28 for the staged oracle tables, " +
+          "fast28 for the library default).")
+    }
     // deliberately NOT persisted: the batch tables are re-derived by the
     // few joins below, but the batch is small by definition, and this
     // function's use case — one call per arriving batch on a long-lived
@@ -313,8 +350,9 @@ object TextOps {
     * [[sharedShingleSets]] parquet — the exact production layout the
     * operator is built for). Returns the surviving batch docs.
     *
-    * Uses [[PortableHash.h28]] (the staged tables' family — a family
-    * mismatch would silently dedup nothing, the documented trap). The
+    * Uses [[PortableHash.h28]] (the staged tables' family — a mismatch
+    * would throw on the stage's fingerprint stamp, see
+    * [[dedupIncremental]]). The
     * oracle derives the same answer from the full-corpus candidate/
     * Jaccard pair table: a batch doc is dropped iff it has a ≥-threshold
     * pair with ANY smaller doc_id (corpus or earlier batch — both drop
@@ -354,8 +392,13 @@ object TextOps {
     * [[withSignatureFromHx]] over the STORED hash array. */
   def sharedSignature(s: SparkSession, d: String): DataFrame =
     Stages.materialize(s, "minhash_sig", d) {
-      withSignatureFromHx(sharedShingleSets(s, d).filter(size(col("s")) > 0))
-        .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*)
+      // stamped INSIDE the materialize block so the family fingerprint
+      // is written into (and read back from) the staged parquet —
+      // sharedShingleSets stores h28 hashes, so the stage is h28-family
+      stampFamily(
+        withSignatureFromHx(sharedShingleSets(s, d).filter(size(col("s")) > 0))
+          .select(col("doc_id") +: (0 until NumHashes).map(j => col(s"h$j")): _*),
+        PortableHash.familyFingerprint(s, h28))
     }
 
   /** LSH candidate pairs `(a, b, n_eq, jacc)` — signature agreement
@@ -1435,7 +1478,14 @@ object TextOps {
     *
     * One pass over the pair table: thresholds are exploded onto it
     * (×5), then a 5-key aggregate; the candidate total is a one-row
-    * broadcast. */
+    * broadcast.
+    *
+    * Cache courtesy (the [[graft.engine.Layout.rankedCum]] note): the
+    * ground-truth postings are persisted and registered with the
+    * session CacheManager, which never auto-drops plans — the
+    * harnesses' per-query `spark.catalog.clearCache()` releases them,
+    * but a long-lived session calling this as a library entry point
+    * should clearCache()/unpersist between calls. */
   /** df-capped ground-truth postings `(doc_id, h)` from a shingle-set
     * frame carrying an `hx` hash array: distinct per-doc hashes minus
     * every hash with document frequency > [[LshPrDfCap]]. The shared

@@ -166,6 +166,35 @@ class StagesSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedupIncremental rejects a hash-family mismatch via the signature stamp") {
+    import spark.implicits._
+    def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, doc(0, 50)), (2L, doc(100, 50))).toDF("doc_id", "text")
+    val cSets = TextOps.shingleSets(corpus)
+    val cSigH28 = TextOps.minhashSignatureFromSets(cSets,
+      graft.engine.PortableHash.h28)
+    // an exact corpus dup that a silent family mismatch would let through
+    val batch = Seq((101L, doc(0, 50))).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.dedupIncremental(batch, cSets, cSigH28) // default fast28
+    }
+    assert(e.getMessage.contains("hash-family mismatch"))
+    // the stamp survives the production layout: parquet round-trip (the
+    // Stages shape) keeps the field metadata, so the mismatch still
+    // throws on a re-read frame — and the MATCHING family still works
+    val dir = java.nio.file.Files.createTempDirectory("famstamp").toString
+    cSigH28.write.parquet(s"$dir/sig")
+    val reread = spark.read.parquet(s"$dir/sig")
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.dedupIncremental(batch, cSets, reread)
+    }
+    assert(e2.getMessage.contains("hash-family mismatch"))
+    val kept = TextOps.dedupIncremental(batch, cSets, reread,
+        hash = graft.engine.PortableHash.h28)
+      .select("doc_id").as[Long].collect()
+    assert(kept.isEmpty, "matching family must still dedup the exact dup")
+  }
+
   test("shared shingle/signature/pair stages equal the unshared pipeline") {
     // same family both sides (h28, what the staged tables pin): this
     // test isolates shared-vs-unshared, not the hash family
