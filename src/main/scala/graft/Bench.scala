@@ -23,13 +23,20 @@ object Bench {
     * cannot distinguish that from a plan change, so outliers are
     * re-run once and the MIN of the two samples is reported — min, not
     * mean, because contention only ever adds time. The correction is
-    * disclosed, not hidden: `outliers_retimed` counts the re-runs. */
+    * disclosed, not hidden: `outliers_retimed` counts the re-runs.
+    * Capped at the [[MaxRetimes]] slowest so a pathologically
+    * contended first pass (dozens over threshold) cannot double the
+    * bench's wall clock — the cap only limits extra sampling, never
+    * drops a measurement. */
   private[graft] def outlierSet(times: Map[String, Double]): Set[String] = {
     val sorted = times.values.toSeq.sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
     val threshold = math.max(2.0, 3.0 * median)
-    times.filter(_._2 > threshold).keySet
+    times.filter(_._2 > threshold).toSeq
+      .sortBy(-_._2).take(MaxRetimes).map(_._1).toSet
   }
+
+  private[graft] val MaxRetimes = 16
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

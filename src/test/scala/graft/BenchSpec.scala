@@ -27,4 +27,14 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.outlierSet((1 to 9).map(i => s"q$i" -> 1.9).toMap).isEmpty)
     assert(Bench.outlierSet(Map.empty).isEmpty)
   }
+
+  test("a pathologically contended pass re-times only the MaxRetimes slowest") {
+    // 60 fast + 60 stalled: cap keeps the extra sampling bounded, and
+    // the retimed set is the slowest of the stalled, not arbitrary
+    val times = (1 to 60).map(i => s"f$i" -> 0.3).toMap ++
+      (1 to 60).map(i => s"s$i" -> (10.0 + i)).toMap
+    val got = Bench.outlierSet(times)
+    assert(got.size == Bench.MaxRetimes)
+    assert(got == (61 - Bench.MaxRetimes to 60).map(i => s"s$i").toSet)
+  }
 }
