@@ -258,7 +258,10 @@ object Events {
         sum(when(col("tp").isNotNull &&
             col("tp") - col("tv") <= col("window_h") * 3600000000L, 1L)
           .otherwise(0L)).as("n_converted"))
-      .withColumn("conv_ppm", expr("n_converted * 1000000 DIV n_viewers"))
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8):
+      // count-scaled numerators never long-multiply
+      .withColumn("conv_ppm",
+        expr("CAST(n_converted AS DECIMAL(38,0)) * 1000000 DIV n_viewers"))
       .orderBy("window_h")
   }
 
@@ -358,7 +361,10 @@ object Events {
       .agg(count(lit(1)).as("n"))
     val tot = tc.groupBy("from_type").agg(sum("n").as("tot"))
     tc.join(broadcast(tot), Seq("from_type"))
-      .withColumn("ppm", expr("n * 1000000 DIV tot"))
+      // decimal(38,0) ppm-widening: transition counts track total
+      // event volume (~10^13 at 100 TB) where count*10^6 wraps int64
+      .withColumn("ppm",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
       .select("from_type", "to_type", "n", "ppm")
       .orderBy("from_type", "to_type", "n", "ppm")
   }
@@ -585,10 +591,11 @@ object Events {
       // empty-variant guards (a one-user corpus puts everyone in one
       // arm): rate 0 and z 0 rather than a division error, identically
       // in both engines
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8)
       .withColumn("p0_ppm", expr(
-        "CASE WHEN n0 = 0 THEN 0 ELSE c0 * 1000000 DIV n0 END"))
+        "CASE WHEN n0 = 0 THEN 0 ELSE CAST(c0 AS DECIMAL(38,0)) * 1000000 DIV n0 END"))
       .withColumn("p1_ppm", expr(
-        "CASE WHEN n1 = 0 THEN 0 ELSE c1 * 1000000 DIV n1 END"))
+        "CASE WHEN n1 = 0 THEN 0 ELSE CAST(c1 AS DECIMAL(38,0)) * 1000000 DIV n1 END"))
       // identical associativity in the oracle: pooled p, then
       // (p1-p0)/sqrt(p(1-p)(1/n0+1/n1)), floored to micro-units;
       // degenerate all-or-none conversion → 0 (variance undefined)
@@ -719,9 +726,10 @@ object Events {
         sum(col("has_view")).as("n_view"),
         sum(when(col("has_view") === 1 && col("has_buy") === 0, 1)
           .otherwise(0)).as("n_abandoned"))
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8)
       .withColumn("abandon_ppm",
-        expr("CASE WHEN n_view > 0 THEN n_abandoned * 1000000 DIV n_view " +
-          "ELSE NULL END"))
+        expr("CASE WHEN n_view > 0 THEN CAST(n_abandoned AS DECIMAL(38,0))" +
+          " * 1000000 DIV n_view ELSE NULL END"))
       .orderBy("user_id")
 
   /** DAU/WAU stickiness per day: daily actives, trailing-7-day actives,
@@ -752,7 +760,9 @@ object Events {
       .groupBy(col("day2").as("day"))
       .agg(countDistinct(col("user_id")).as("wau"))
     dau.join(wau, Seq("day"))
-      .withColumn("stickiness_ppm", expr("dau * 1000000 DIV wau"))
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8)
+      .withColumn("stickiness_ppm",
+        expr("CAST(dau AS DECIMAL(38,0)) * 1000000 DIV wau"))
       .orderBy("day")
   }
 
@@ -801,7 +811,10 @@ object Events {
       .agg(count(lit(1)).as("n"))
     val tot = c.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
     c.join(broadcast(tot), Seq("event_type"))
-      .withColumn("share_ppm", expr("n * 1000000 DIV tot"))
+      // decimal(38,0) ppm-widening: per-type event counts reach the
+      // int64 product envelope at 100 TB event volume
+      .withColumn("share_ppm",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
       .select(col("event_type"), col("hod"), col("n"), col("share_ppm"))
       .orderBy("event_type", "hod")
   }
@@ -889,7 +902,9 @@ object EventsRegistry {
         |    AS window_h) ws
         |  GROUP BY 1)
         |SELECT window_h, n_viewers, n_converted,
-        | n_converted * 1000000 // n_viewers AS conv_ppm
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+        | CAST(CAST(n_converted AS HUGEINT) * 1000000 // n_viewers
+        |   AS BIGINT) AS conv_ppm
         |FROM x ORDER BY window_h""".stripMargin),
 
     "q_retention" -> e(Events.retention,
@@ -979,7 +994,7 @@ object EventsRegistry {
         |-- the driver comparator as float64 ("3.0" != "3" — hash-red with
         |-- rows/schema green). Root cause of the r4-r5 q_event_trans reds.
         |SELECT from_type, to_type, n,
-        | CAST(n * 1000000 // tot AS BIGINT) AS ppm
+        | CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS ppm
         |FROM tc JOIN ft USING (from_type)
         |ORDER BY from_type, to_type, n, ppm""".stripMargin),
 
@@ -1056,8 +1071,11 @@ object EventsRegistry {
         |   CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
         |  FROM per)
         |SELECT n0, c0, n1, c1,
-        | CASE WHEN n0 = 0 THEN 0 ELSE c0 * 1000000 // n0 END AS p0_ppm,
-        | CASE WHEN n1 = 0 THEN 0 ELSE c1 * 1000000 // n1 END AS p1_ppm,
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) products
+        | CASE WHEN n0 = 0 THEN 0 ELSE CAST(CAST(c0 AS HUGEINT) * 1000000
+        |   // n0 AS BIGINT) END AS p0_ppm,
+        | CASE WHEN n1 = 0 THEN 0 ELSE CAST(CAST(c1 AS HUGEINT) * 1000000
+        |   // n1 AS BIGINT) END AS p1_ppm,
         | CASE WHEN n0 = 0 OR n1 = 0 OR c0 + c1 = 0
         |   OR c0 + c1 = n0 + n1 THEN 0 ELSE
         |  CAST(floor(((CAST(c1 AS DOUBLE)/n1 - CAST(c0 AS DOUBLE)/n0) /
@@ -1158,8 +1176,9 @@ object EventsRegistry {
          |     THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
          |  FROM p GROUP BY 1)
          |SELECT user_id, n_sessions, n_view, n_abandoned,
-         | CASE WHEN n_view > 0 THEN n_abandoned * 1000000 // n_view
-         |   ELSE NULL END AS abandon_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+         | CASE WHEN n_view > 0 THEN CAST(CAST(n_abandoned AS HUGEINT)
+         |   * 1000000 // n_view AS BIGINT) ELSE NULL END AS abandon_ppm
          |FROM u ORDER BY 1""".stripMargin),
 
     "q_dau_stickiness" -> e(Events.dauStickiness,
@@ -1173,7 +1192,10 @@ object EventsRegistry {
          |   FROM ud)),
          | wau AS (SELECT day2 AS day, count(DISTINCT user_id) AS wau
          |  FROM ex GROUP BY 1)
-         |SELECT day, dau, wau, dau * 1000000 // wau AS stickiness_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+         |SELECT day, dau, wau,
+         | CAST(CAST(dau AS HUGEINT) * 1000000 // wau AS BIGINT)
+         |   AS stickiness_ppm
          |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin),
 
     "q_error_burst" -> e(Events.errorBurst,
@@ -1197,7 +1219,10 @@ object EventsRegistry {
          | c AS (SELECT event_type, hod, count(*) AS n FROM e GROUP BY 1, 2),
          | t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
          |  FROM c GROUP BY 1)
-         |SELECT c.event_type, c.hod, c.n, c.n * 1000000 // t.tot AS share_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+         |SELECT c.event_type, c.hod, c.n,
+         | CAST(CAST(c.n AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+         |   AS share_ppm
          |FROM c JOIN t USING (event_type) ORDER BY 1, 2""".stripMargin),
   )
 }

@@ -1403,8 +1403,12 @@ object TextOps {
       .orderBy(col("lift_ppm").desc, col("tok"))
     st.join(stot, Seq("source")).join(ct, Seq("tok"))
       .crossJoin(broadcast(ctot))
-      .withColumn("src_ppm", expr("n * 1000000 DIV tot"))
-      .withColumn("corpus_ppm", expr("cn * 1000000 DIV ctot"))
+      // decimal(38,0) ppm-widening: n/cn are TOKEN counts (~10^14 at
+      // 100 TB) — count*10^6 wraps int64 long before that
+      .withColumn("src_ppm",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
+      .withColumn("corpus_ppm",
+        expr("CAST(cn AS DECIMAL(38,0)) * 1000000 DIV ctot"))
       .withColumn("lift_ppm", col("src_ppm") - col("corpus_ppm"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= TopicTermsK)
@@ -1530,12 +1534,17 @@ object TextOps {
             col("inter") * 100 >= col("tau") * col("uni"), 1L)
           .otherwise(0L)).as("n_cand_true"))
       .crossJoin(broadcast(nCand))
+      // decimal(38,0) widening: these are PAIR counts — at 100 TB the
+      // capped ground truth still reaches ~cap·Σdf/2 ≫ 9.2·10¹² pairs,
+      // where count·10⁶ wraps int64. Quotients stay BIGINT.
       .withColumn("precision_ppm",
         when(col("n_cand") > 0,
-          expr("n_cand_true * 1000000 DIV n_cand")).otherwise(0L))
+          expr("CAST(n_cand_true AS DECIMAL(38,0)) * 1000000 DIV n_cand"))
+          .otherwise(0L))
       .withColumn("recall_ppm",
         when(col("n_true") > 0,
-          expr("n_cand_true * 1000000 DIV n_true")).otherwise(0L))
+          expr("CAST(n_cand_true AS DECIMAL(38,0)) * 1000000 DIV n_true"))
+          .otherwise(0L))
       .select(col("tau"), col("n_true"), col("n_cand_true"), col("n_cand"),
         col("precision_ppm"), col("recall_ppm"))
       .orderBy("tau")
@@ -1710,7 +1719,9 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("total",
         sum(col("n_docs")).over(Window.partitionBy(col("source"))))
-      .withColumn("share_ppm", expr("n_docs * 1000000 DIV total"))
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8)
+      .withColumn("share_ppm",
+        expr("CAST(n_docs AS DECIMAL(38,0)) * 1000000 DIV total"))
       .select(col("source"), col("pred_lang"), col("n_docs"),
         col("share_ppm"))
       .orderBy("source", "pred_lang")
@@ -1739,10 +1750,14 @@ object TextOps {
         sum(col("sp")).as("n_space"), sum(col("ot")).as("n_other"))
       .withColumn("tot",
         col("n_alpha") + col("n_digit") + col("n_space") + col("n_other"))
+      // decimal(38,0) widening: per-source CHARACTER counts reach
+      // ~10¹⁴ at a 100 TB corpus — count·10⁶ wraps int64
       .withColumn("alpha_ppm",
-        when(col("tot") > 0, expr("n_alpha * 1000000 DIV tot")))
+        when(col("tot") > 0,
+          expr("CAST(n_alpha AS DECIMAL(38,0)) * 1000000 DIV tot")))
       .withColumn("other_ppm",
-        when(col("tot") > 0, expr("n_other * 1000000 DIV tot")))
+        when(col("tot") > 0,
+          expr("CAST(n_other AS DECIMAL(38,0)) * 1000000 DIV tot")))
       .select("source", "n_alpha", "n_digit", "n_space", "n_other",
         "alpha_ppm", "other_ppm")
       .orderBy("source")
@@ -1775,7 +1790,10 @@ object TextOps {
     bc.join(broadcast(top), Seq("head"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= BigramLmK)
-      .withColumn("cond_ppm", expr("n * 1000000 DIV htot"))
+      // decimal(38,0) widening: a hot head's bigram count tracks total
+      // corpus tokens (~10¹⁴ at 100 TB) — count·10⁶ wraps int64
+      .withColumn("cond_ppm",
+        expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV htot"))
       .select("head", "rk", "nxt", "n", "htot", "cond_ppm")
       .orderBy("head", "rk")
   }
@@ -2016,7 +2034,12 @@ object TextOps {
       .crossJoin(broadcast(pooled.agg(sum("c1").cast(LongType).as("n1"),
         sum("c2").cast(LongType).as("n2"))))
       .select(col("v"), col("n1"), col("n2"),
-        abs(expr("f1 * 1000000 DIV n1") - expr("f2 * 1000000 DIV n2"))
+        // decimal(38,0) widening: f1/f2 are CUMULATIVE token
+        // frequencies, up to the corpus total (~10¹⁴ at 100 TB) —
+        // count·10⁶ wraps int64. The DuckDB oracle's window sums are
+        // already HUGEINT, so only the Spark side needed widening.
+        abs(expr("CAST(f1 AS DECIMAL(38,0)) * 1000000 DIV n1") -
+            expr("CAST(f2 AS DECIMAL(38,0)) * 1000000 DIV n2"))
           .as("d_ppm"))
       .orderBy(col("d_ppm").desc, col("v"))
       .limit(1)

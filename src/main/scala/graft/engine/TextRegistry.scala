@@ -881,7 +881,10 @@ object TextRegistry {
          |  FROM dt GROUP BY 1),
          | ctot AS (SELECT CAST(sum(lc) AS BIGINT) AS ctot FROM dt),
          | j AS (SELECT st.source, st.tok,
-         |   n * 1000000 // tot AS src_ppm, cn * 1000000 // ctot AS corpus_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) products
+         |   CAST(CAST(n AS HUGEINT) * 1000000 // tot AS BIGINT) AS src_ppm,
+         |   CAST(CAST(cn AS HUGEINT) * 1000000 // ctot AS BIGINT)
+         |     AS corpus_ppm
          |  FROM st JOIN stot USING (source) JOIN ct USING (tok)
          |  CROSS JOIN ctot),
          | r AS (SELECT source, tok, src_ppm, corpus_ppm,
@@ -928,8 +931,11 @@ object TextRegistry {
         | t AS (SELECT *, n_alpha + n_digit + n_space + n_other AS tot
         |  FROM g)
         |SELECT source, n_alpha, n_digit, n_space, n_other,
-        | CASE WHEN tot > 0 THEN n_alpha * 1000000 // tot END AS alpha_ppm,
-        | CASE WHEN tot > 0 THEN n_other * 1000000 // tot END AS other_ppm
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) products
+        | CASE WHEN tot > 0 THEN CAST(CAST(n_alpha AS HUGEINT) * 1000000
+        |   // tot AS BIGINT) END AS alpha_ppm,
+        | CASE WHEN tot > 0 THEN CAST(CAST(n_other AS HUGEINT) * 1000000
+        |   // tot AS BIGINT) END AS other_ppm
         |FROM t ORDER BY source""".stripMargin),
 
     "q_bigram_lm" -> e(TextOps.bigramLm,
@@ -950,7 +956,8 @@ object TextRegistry {
          |     ORDER BY n DESC, nxt) AS rk
          |  FROM bc JOIN top ON bc.head = top.head)
          |SELECT head, CAST(rk AS BIGINT) AS rk, nxt, n, htot,
-         | n * 1000000 // htot AS cond_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+         | CAST(CAST(n AS HUGEINT) * 1000000 // htot AS BIGINT) AS cond_ppm
          |FROM r WHERE rk <= ${TextOps.BigramLmK}
          |ORDER BY head, rk""".stripMargin),
 
@@ -1430,10 +1437,11 @@ object TextRegistry {
          |    AS BIGINT) AS tau) ts
          |  GROUP BY tau)
          |SELECT tau, n_true, n_cand_true, n_cand,
-         | CASE WHEN n_cand > 0 THEN n_cand_true * 1000000 // n_cand
-         |   ELSE 0 END AS precision_ppm,
-         | CASE WHEN n_true > 0 THEN n_cand_true * 1000000 // n_true
-         |   ELSE 0 END AS recall_ppm
+         |-- HUGEINT widening mirrors the Spark decimal(38,0) products
+         | CASE WHEN n_cand > 0 THEN CAST(CAST(n_cand_true AS HUGEINT)
+         |   * 1000000 // n_cand AS BIGINT) ELSE 0 END AS precision_ppm,
+         | CASE WHEN n_true > 0 THEN CAST(CAST(n_cand_true AS HUGEINT)
+         |   * 1000000 // n_true AS BIGINT) ELSE 0 END AS recall_ppm
          |FROM x CROSS JOIN nc ORDER BY tau""".stripMargin),
 
     "q_dedup_incr" -> e(TextOps.dedupIncrQuery,
@@ -1467,7 +1475,9 @@ object TextRegistry {
         |   CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS total
         |  FROM c)
         |SELECT source, pred_lang, n_docs,
-        | n_docs * 1000000 // total AS share_ppm
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+        | CAST(CAST(n_docs AS HUGEINT) * 1000000 // total AS BIGINT)
+        |   AS share_ppm
         |FROM w ORDER BY 1, 2""".stripMargin),
 
     "q_mix_tokens" -> e(TextOps.mixTokens,

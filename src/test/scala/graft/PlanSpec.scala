@@ -56,6 +56,14 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_domain_cap").contains("WindowGroupLimit"))
   }
 
+  test("q_seq_pattern's journey cap prunes map-side before the shuffle") {
+    // the SeqPatternMaxEvents rn-filter must plan as WindowGroupLimit:
+    // a hot user's event firehose is cut to 256 rows BEFORE the
+    // user_id exchange, so the shuffle payload is O(users·cap) — losing
+    // this in a refactor would silently move the cap post-shuffle
+    assert(plan("q_seq_pattern").contains("WindowGroupLimit"))
+  }
+
   test("q_inverted_index caps posting heads map-side; q_cooccur broadcasts the vocab slice") {
     val inv = plan("q_inverted_index")
     // the rank≤cap filter must push below the shuffle so stopword-like
