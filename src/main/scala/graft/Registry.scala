@@ -861,10 +861,13 @@ object Registry {
         |   CAST(sum(y*y) AS BIGINT) AS syy
         |  FROM grid JOIN lags USING (day) GROUP BY 1)
         |SELECT k, m, sx, sy, sxy, sxx, syy,
-        | CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
-        |  ELSE CAST(m*sxy - sx*sy AS DOUBLE) /
-        |   sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
-        |      * CAST(m*syy - sy*sy AS DOUBLE)) END AS r
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) differences
+        | CASE WHEN m*CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT)*sx = 0
+        |   OR m*CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT)*sy = 0 THEN NULL
+        |  ELSE CAST(m*CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
+        |   sqrt(CAST(m*CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT)*sx AS DOUBLE)
+        |      * CAST(m*CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT)*sy AS DOUBLE))
+        |  END AS r
         |FROM agg ORDER BY k""".stripMargin),
 
     "q_dq_dims" -> eRawDims(Relational.dqDims, {

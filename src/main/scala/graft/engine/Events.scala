@@ -499,7 +499,10 @@ object Events {
     * deviation as a |z|-score in micro-units — the telemetry anomaly
     * screen that catches a logging regression or an ingest gap before
     * it poisons downstream counts. Variance from exact integer sums
-    * (n·Σc² − (Σc)² — the zero check is exact, never a float ≈0);
+    * (n·Σc² − (Σc)² — the zero check is exact, never a float ≈0; the
+    * moments are decimal(38,0)-widened since c is a per-day EVENT
+    * count and c² wraps int64 past ~3·10⁹/day — oracle mirrors with
+    * HUGEINT);
     * the z arithmetic is one fixed double expression mirrored by the
     * oracle; degenerate series (one day, or constant volume) pin to 0.
     *
@@ -510,14 +513,20 @@ object Events {
     val daily = ev(s, d)
       .groupBy(col("event_type"), expr(s"us DIV $DayUs").as("day"))
       .agg(count(lit(1)).as("c"))
+    // decimal(38,0) second moments: c is a per-day EVENT count — c²
+    // wraps int64 past ~3·10⁹ events/day and Σc² long before a 100 TB
+    // telemetry table stops growing; the exact zero check below would
+    // then test wrapped garbage. scc is internal only (never output);
+    // the oracle mirrors with HUGEINT.
     val st = daily.groupBy("event_type")
       .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),
-        sum(col("c") * col("c")).as("scc"))
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"))
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("z6").desc, col("day"))
     daily.join(broadcast(st), Seq("event_type"))
       .withColumn("z6", expr(
-        "CASE WHEN nd < 2 OR nd * scc - sc * sc = 0 THEN 0 ELSE " +
+        "CASE WHEN nd < 2 OR nd * scc - CAST(sc AS DECIMAL(38,0)) * sc = 0" +
+          " THEN 0 ELSE " +
           "CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) / " +
           "sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)" +
           " / (nd - 1))) * 1000000.0) AS BIGINT) END"))
@@ -1089,11 +1098,16 @@ object EventsRegistry {
          |   epoch_us(CAST(ts AS TIMESTAMP)) // ${Events.DayUs} AS day,
          |   CAST(count(*) AS BIGINT) AS c
          |  FROM events GROUP BY 1, 2),
+         |-- HUGEINT second moments mirror the Spark decimal(38,0) scc:
+         |-- c² wraps int64 past ~3·10⁹ events/day (scc is internal,
+         |-- never an output column, so int128 is safe here)
          | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
-         |   CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c*c) AS BIGINT) AS scc
+         |   CAST(sum(c) AS BIGINT) AS sc,
+         |   sum(CAST(c AS HUGEINT) * c) AS scc
          |  FROM daily GROUP BY 1),
          | z AS (SELECT d.event_type, d.day, d.c,
-         |   CASE WHEN nd < 2 OR nd * scc - sc * sc = 0 THEN 0 ELSE
+         |   CASE WHEN nd < 2
+         |     OR nd * scc - CAST(sc AS HUGEINT) * sc = 0 THEN 0 ELSE
          |    CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) /
          |     sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)
          |      / (nd - 1))) * 1000000.0) AS BIGINT) END AS z6

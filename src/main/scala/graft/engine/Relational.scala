@@ -1507,8 +1507,10 @@ object Relational {
     * (m, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums, and r is one
     * num/den computation on identical operands (sqrt of identical
     * doubles is correctly rounded in both engines). int64 envelope:
-    * m·Σx² needs days·(days·c²) ≲ 2⁶³ — at 10⁹ orders/day widen the
-    * sums to decimal(38,0) (the mktShare discipline; SCALE.md).
+    * the r arithmetic is decimal(38,0)-widened (oracle HUGEINT), so
+    * the correlation is exact as long as the REPORTED moment columns
+    * fit int64 — those wrap only past Σc² > 9.2·10¹⁸ (~3·10⁹ orders
+    * on a single day), the report schema's own documented bound.
     *
     * Scale: the daily aggregate collapses the fact table map-side; the
     * grid is calendar-sized; each lag is a grid-sized self-join on
@@ -1535,12 +1537,16 @@ object Relational {
         sum(col("c") * col("c")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       // the two variance terms are tested for zero SEPARATELY — their
-      // int64 product would overflow long before the inputs do
+      // int64 product would overflow long before the inputs do — and
+      // the m·Σ/Σ·Σ differences are decimal(38,0)-widened (oracle:
+      // HUGEINT): they wrap int64 ~m× earlier than the output sums,
+      // whose own envelope the scaladoc documents
       .withColumn("r", expr(
-        """CASE WHEN m*sxx - sx*sx = 0 OR m*syy - sy*sy = 0 THEN NULL
-          |ELSE CAST(m*sxy - sx*sy AS DOUBLE) /
-          |  sqrt(CAST(m*sxx - sx*sx AS DOUBLE) *
-          |       CAST(m*syy - sy*sy AS DOUBLE)) END""".stripMargin))
+        """CASE WHEN m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx = 0
+          |  OR m*CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0))*sy = 0 THEN NULL
+          |ELSE CAST(m*CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sy AS DOUBLE) /
+          |  sqrt(CAST(m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx AS DOUBLE) *
+          |       CAST(m*CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0))*sy AS DOUBLE)) END""".stripMargin))
       .select(col("k"), col("m"), col("sx"), col("sy"), col("sxy"),
         col("sxx"), col("syy"), col("r"))
       .orderBy("k")

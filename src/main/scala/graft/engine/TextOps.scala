@@ -2651,8 +2651,12 @@ object TextOps {
       .agg(count(lit(1)).as("n_inter"))
     broadcast(grid).join(inter, Seq("src_a", "src_b"), "left")
       .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      // decimal(38,0) ppm-widening (repo invariant, SCALE.md r8):
+      // vocab counts grow with the corpus (Heaps-sublinearly, but
+      // still count-scaled)
       .withColumn("jacc_ppm",
-        expr("n_inter * 1000000 DIV (n_a + n_b - n_inter)"))
+        expr("CAST(n_inter AS DECIMAL(38,0)) * 1000000" +
+          " DIV (n_a + n_b - n_inter)"))
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("n_inter"), col("jacc_ppm"))
       .orderBy("src_a", "src_b")
@@ -2675,14 +2679,19 @@ object TextOps {
   def lenZscore(s: SparkSession, d: String): DataFrame = {
     val t = corpus(s, d).select(col("doc_id"), col("source"),
       size(tokens(col("text"))).cast(LongType).as("n_tok"))
+    // decimal(38,0) moments (s1/s2/dd/varn are internal, never output):
+    // Σtok ~10¹⁴ at 100 TB makes s1² ~10²⁸ and Σtok² ~10²⁰ — far past
+    // int64 — while dd² ≤ ~10³⁰ and n·s2 ≤ ~10³² stay exact in
+    // decimal(38,0). The oracle mirrors with HUGEINT.
     val g = t.groupBy(col("source")).agg(count(lit(1)).as("n"),
       sum(col("n_tok")).as("s1"),
-      sum(col("n_tok") * col("n_tok")).as("s2"))
+      sum(expr("CAST(n_tok AS DECIMAL(38,0)) * n_tok")).as("s2"))
     t.join(broadcast(g), Seq("source"))
-      .withColumn("dd", col("n_tok") * col("n") - col("s1"))
-      .withColumn("varn", col("n") * col("s2") - col("s1") * col("s1"))
+      .withColumn("dd", expr("CAST(n_tok AS DECIMAL(38,0)) * n - s1"))
+      .withColumn("varn",
+        expr("n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
       .filter(col("varn") > 0 &&
-        lit(4) * col("dd") * col("dd") >= lit(9) * col("varn"))
+        expr("4 * dd * dd") >= expr("9 * varn"))
       .select(col("doc_id"), col("source"), col("n_tok"),
         (col("dd").cast("double") / sqrt(col("varn").cast("double")))
           .as("z"))

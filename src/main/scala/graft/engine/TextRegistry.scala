@@ -1323,8 +1323,10 @@ object TextRegistry {
         |     ON a.tok = b.tok AND a.source < b.source GROUP BY 1, 2)
         |SELECT g.src_a, g.src_b, g.n_a, g.n_b,
         | CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
-        | coalesce(i.n_inter, 0) * 1000000
-        |   // (g.n_a + g.n_b - coalesce(i.n_inter, 0)) AS jacc_ppm
+        |-- HUGEINT widening mirrors the Spark decimal(38,0) product
+        | CAST(CAST(coalesce(i.n_inter, 0) AS HUGEINT) * 1000000
+        |   // (g.n_a + g.n_b - coalesce(i.n_inter, 0)) AS BIGINT)
+        |   AS jacc_ppm
         |FROM grid g LEFT JOIN i USING (src_a, src_b)
         |ORDER BY src_a, src_b""".stripMargin),
 
@@ -1332,11 +1334,14 @@ object TextRegistry {
       """WITH t AS (SELECT doc_id, source,
         |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
         |  FROM documents),
+        |-- HUGEINT moments mirror the Spark decimal(38,0) widening
+        |-- (s1/s2/dd/varn are internal CTE columns, never outputs)
         | g AS (SELECT source, count(*) AS n,
         |   CAST(sum(n_tok) AS BIGINT) AS s1,
-        |   CAST(sum(n_tok*n_tok) AS BIGINT) AS s2 FROM t GROUP BY 1),
+        |   sum(CAST(n_tok AS HUGEINT)*n_tok) AS s2 FROM t GROUP BY 1),
         | j AS (SELECT t.doc_id, t.source, t.n_tok,
-        |   t.n_tok*g.n - g.s1 AS dd, g.n*g.s2 - g.s1*g.s1 AS varn
+        |   CAST(t.n_tok AS HUGEINT)*g.n - g.s1 AS dd,
+        |   g.n*g.s2 - CAST(g.s1 AS HUGEINT)*g.s1 AS varn
         |  FROM t JOIN g USING (source))
         |SELECT doc_id, source, n_tok,
         | CAST(dd AS DOUBLE)/sqrt(CAST(varn AS DOUBLE)) AS z
