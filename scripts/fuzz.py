@@ -25,6 +25,12 @@ classes: comma-separated subset of
            Sources.events — a floor-division variant FAILS this class)
            and same-µs ns-level near-ties whose ns order disagrees
            with event_id order (the tie-break portability class)
+  evhot    bound-binding skew: one user with > SeqPatternMaxEvents
+           events (the seq-pattern journey cap must truncate
+           identically in both engines, including a conversion event
+           landing BEYOND the cap) and one user whose first/last
+           events sit > GapFillMaxSpanDays apart (the gap-fill grid
+           clamp must bind identically)
   vecdup   embeddings: replayed / id-colliding / degenerate vectors
   reldup   orders/lineitem: replayed rows, key collisions with divergent
            payloads, null keys/dates — the classes a regenerated
@@ -58,7 +64,7 @@ import os, random, shutil, subprocess, sys
 import duckdb
 
 ALL_CLASSES = {"docdup", "nasty", "nullid", "evdup", "evnull", "evns",
-               "vecdup", "reldup", "dimdup", "money"}
+               "evhot", "vecdup", "reldup", "dimdup", "money"}
 
 # money payloads a hostile upstream could emit into a DOUBLE column:
 # non-finite and out of DECIMAL(10,2) range. Deliberately NOT fuzzed:
@@ -358,6 +364,31 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             q = list(ebase[j % len(ebase)])
             q[j_eid] = q[j_eid] + 4_000_000 + j
             q[j_val] = v
+            eex.append(tuple(q))
+    if "evhot" in classes and ebase:
+        import datetime
+        uids = sorted(r[j_uid] for r in evs if r[j_uid] is not None)
+        hot = uids[0] if uids else 1
+        t0 = datetime.datetime(2024, 3, 1)
+        # one user crossing the 256-event journey cap, with the only
+        # purchase AFTER it: a cap divergence between the engines flips
+        # n_events, the journey string AND the converted flag
+        for i in range(300):
+            q = list(ebase[i % len(ebase)])
+            q[j_eid] = 8_000_000 + i
+            q[j_ts] = t0 + datetime.timedelta(minutes=i)
+            q[j_uid] = hot
+            q[j_et] = "purchase" if i == 299 else "view"
+            eex.append(tuple(q))
+        # one fresh user spanning ~1500 days: the 730-day gap-fill grid
+        # clamp must cut the grid at the same day in both engines
+        wide = (uids[-1] if uids else 0) + 777
+        for i, days in enumerate((0, 1500)):
+            q = list(ebase[i])
+            q[j_eid] = 8_100_000 + i
+            q[j_ts] = t0 + datetime.timedelta(days=days)
+            q[j_uid] = wide
+            q[j_et] = "view"
             eex.append(tuple(q))
     con.execute(
         f"CREATE OR REPLACE TABLE fev AS SELECT * FROM '{src}/events.parquet'")
