@@ -141,6 +141,53 @@ object PropertySpecs extends Properties("graft") {
       Prop(once == twice)
     }
 
+  /** seqPattern == a literal Scala reference of its documented
+    * semantics — per user: drop null-ts events, sort by (us,
+    * event_id coalesced to MaxValue, type-initial coalesced to ""),
+    * keep the first SeqPatternMaxEvents, then journey/regex/count.
+    * Cases are sized to land on BOTH sides of the cap (a hot user up
+    * to ~1.2× the cap), so the truncation itself is exercised, not
+    * just the no-op regime. Ties on (us, event_id) with different
+    * types are generated too — but with event_id unique per row the
+    * (us, event_id) key is total, matching the determinism contract. */
+  property("seqPattern matches the capped sort-collapse reference") =
+    forAll(
+      Gen.choose(0, graft.engine.Events.SeqPatternMaxEvents + 50),
+      Gen.choose(2L, 3L),
+      Gen.listOfN(25, Gen.zip(Gen.choose(0, 10), // coarse us: forces ties
+        Gen.oneOf(Some("view"), Some("purchase"), Some("error"), None)))) {
+      (hotN, coldUid, coldEvs) =>
+      val base = 1700000000000L // ms
+      // hot user 1: hotN dated view events + one final purchase
+      val hot = (0 until hotN).map { i =>
+        (i.toLong, Some(base + i * 60000L), 1L, Some("view"))
+      } :+ ((hotN.toLong, Some(base + hotN * 60000L), 1L, Some("purchase")))
+      // cold user: few events, tied timestamps, null types, one null ts
+      val cold = coldEvs.zipWithIndex.map { case ((m, et), i) =>
+        ((1000 + i).toLong, Some(base + m * 60000L), coldUid, et)
+      } :+ ((2000L, Option.empty[Long], coldUid, Some("view")))
+      val all = hot ++ cold
+      val dir = java.nio.file.Files.createTempDirectory("seqprop").toString
+      all.map { case (eid, ts, uid, et) =>
+        (eid, ts.map(new java.sql.Timestamp(_)).orNull, uid, et.orNull,
+          1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val expected = all.filter(_._2.isDefined).groupBy(_._3).map {
+        case (uid, evs) =>
+          val kept = evs.map { case (eid, ts, _, et) =>
+            (ts.get * 1000L, eid, et.map(_.take(1)).getOrElse(""))
+          }.sortBy(identity).take(graft.engine.Events.SeqPatternMaxEvents)
+          val j = kept.map(_._3).mkString
+          (uid, (kept.size.toLong, j,
+            "v.*p".r.findFirstIn(j).isDefined, j.count(_ == 'e').toLong))
+      }
+      val got = graft.engine.Events.seqPattern(spark, dir)
+        .as[(Long, Long, String, Boolean, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+      Prop(got == expected) :| s"got=$got expected=$expected"
+    }
+
   /** rankedCum == the single global window it replaces, on arbitrary
     * inputs (including empty, single-row, heavily tied values, and
     * sizes straddling partition counts) — the r7 persist/pid-alignment
