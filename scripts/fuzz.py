@@ -368,24 +368,33 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
     if "evhot" in classes and ebase:
         import datetime
         uids = sorted(r[j_uid] for r in evs if r[j_uid] is not None)
-        hot = uids[0] if uids else 1
+        # FRESH uids for both synthetic users: reusing an existing uid
+        # would let that user\'s real events shift the cap boundary and
+        # could put a pre-existing purchase INSIDE the first 256 slots,
+        # silently defusing the converted-flag discriminator below.
+        # Fresh event_ids too, offset from the corpus max — absolute ids
+        # would collide with real rows at large SFs and perturb the
+        # tie-break/dedup classes this class composes with.
+        hot = (uids[-1] if uids else 0) + 555
+        wide = (uids[-1] if uids else 0) + 777
+        eid0 = max((r[j_eid] for r in evs if r[j_eid] is not None),
+                   default=0) + 8_000_000
         t0 = datetime.datetime(2024, 3, 1)
         # one user crossing the 256-event journey cap, with the only
         # purchase AFTER it: a cap divergence between the engines flips
         # n_events, the journey string AND the converted flag
         for i in range(300):
             q = list(ebase[i % len(ebase)])
-            q[j_eid] = 8_000_000 + i
+            q[j_eid] = eid0 + i
             q[j_ts] = t0 + datetime.timedelta(minutes=i)
             q[j_uid] = hot
             q[j_et] = "purchase" if i == 299 else "view"
             eex.append(tuple(q))
         # one fresh user spanning ~1500 days: the 730-day gap-fill grid
         # clamp must cut the grid at the same day in both engines
-        wide = (uids[-1] if uids else 0) + 777
         for i, days in enumerate((0, 1500)):
-            q = list(ebase[i])
-            q[j_eid] = 8_100_000 + i
+            q = list(ebase[i % len(ebase)])
+            q[j_eid] = eid0 + 1_000 + i
             q[j_ts] = t0 + datetime.timedelta(days=days)
             q[j_uid] = wide
             q[j_et] = "view"

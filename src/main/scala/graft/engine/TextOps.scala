@@ -204,6 +204,25 @@ object TextOps {
       .filter(_.metadata.contains(FamilyStampKey))
       .map(_.metadata.getString(FamilyStampKey))
 
+  /** Shared family-mismatch guard for every consumer that pairs a
+    * `hash` argument with a prebuilt signature frame (the batch
+    * [[dedupIncremental]] AND the streaming twin,
+    * [[graft.streaming.StreamOps.dedupStreamAgainstCorpus]]): a
+    * stamped `corpusSig` whose family differs from `hash` throws;
+    * only a hand-built, unstamped frame skips the check. */
+  private[graft] def requireFamilyMatch(corpusSig: DataFrame,
+      hash: Column => Column): Unit =
+    stampedFamily(corpusSig).foreach { fp =>
+      val argFp = PortableHash.familyFingerprint(corpusSig.sparkSession, hash)
+      require(fp == argFp,
+        s"hash-family mismatch: corpusSig is stamped with family " +
+          s"fingerprint [$fp] but the `hash` argument computes [$argFp]. " +
+          "Mismatched families never band-collide, so dedup would " +
+          "silently drop nothing — pass the family the corpus index was " +
+          "built with (PortableHash.h28 for the staged oracle tables, " +
+          "fast28 for the library default).")
+    }
+
   /** MinHash signature straight from documents. `hash` selects the
     * family: [[PortableHash.fast28]] (xxhash64, production throughput —
     * the library default) or [[PortableHash.h28]] (MD5-derived, used by
@@ -306,16 +325,7 @@ object TextOps {
   def dedupIncremental(newDocs: DataFrame, corpusSets: DataFrame,
       corpusSig: DataFrame, threshold: Double = 0.8,
       hash: Column => Column = fast28): DataFrame = {
-    stampedFamily(corpusSig).foreach { fp =>
-      val argFp = PortableHash.familyFingerprint(newDocs.sparkSession, hash)
-      require(fp == argFp,
-        s"hash-family mismatch: corpusSig is stamped with family " +
-          s"fingerprint [$fp] but the `hash` argument computes [$argFp]. " +
-          "Mismatched families never band-collide, so dedup would " +
-          "silently drop nothing — pass the family the corpus index was " +
-          "built with (PortableHash.h28 for the staged oracle tables, " +
-          "fast28 for the library default).")
-    }
+    requireFamilyMatch(corpusSig, hash)
     // deliberately NOT persisted: the batch tables are re-derived by the
     // few joins below, but the batch is small by definition, and this
     // function's use case — one call per arriving batch on a long-lived

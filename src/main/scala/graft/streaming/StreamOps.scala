@@ -186,7 +186,9 @@ object StreamOps {
     // `hash` MUST be the family corpusSig was built with (families never
     // band-collide across each other → silent no-op dedup): fast28 pairs
     // with the minhashSignature library default; pass h28 for the
-    // oracle-staged sharedSignature tables.
+    // oracle-staged sharedSignature tables. Enforced structurally, like
+    // the batch twin: a stamped corpusSig with a different family throws.
+    graft.engine.TextOps.requireFamilyMatch(corpusSig, hash)
     import graft.engine.TextOps.{tokens, shingles3, withSignatureFromHx, Bands, NumHashes}
     val withSig = withSignatureFromHx(docs
       .withColumn("toks", tokens(col("text")))

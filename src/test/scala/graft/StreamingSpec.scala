@@ -226,6 +226,21 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(202L, 204L), s"got ${kept.toSeq}")
   }
 
+  test("dedupStreamAgainstCorpus rejects a hash-family mismatch like its batch twin") {
+    implicit val sq = spark.sqlContext
+    def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, doc(0, 50))).toDF("doc_id", "text")
+    val cSets = graft.engine.TextOps.shingleSets(corpus)
+    val cSigH28 = graft.engine.TextOps.minhashSignatureFromSets(cSets,
+      graft.engine.PortableHash.h28)
+    val mem = MemoryStream[(Long, String)]
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.dedupStreamAgainstCorpus(
+        mem.toDF().toDF("doc_id", "text"), cSets, cSigH28) // default fast28
+    }
+    assert(e.getMessage.contains("hash-family mismatch"))
+  }
+
   test("cleanSpanStream drops chunks whose digest is in the frozen index") {
     implicit val sq = spark.sqlContext
     def doc(lo: Int, n: Int): String = (lo until lo + n).map(i => s"w$i").mkString(" ")
