@@ -367,7 +367,8 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             eex.append(tuple(q))
     if "evhot" in classes and ebase:
         import datetime
-        uids = sorted(r[j_uid] for r in evs if r[j_uid] is not None)
+        max_uid = max((r[j_uid] for r in evs
+                       if r[j_uid] is not None), default=0)
         # FRESH uids for both synthetic users: reusing an existing uid
         # would let that user\'s real events shift the cap boundary and
         # could put a pre-existing purchase INSIDE the first 256 slots,
@@ -375,8 +376,8 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
         # Fresh event_ids too, offset from the corpus max — absolute ids
         # would collide with real rows at large SFs and perturb the
         # tie-break/dedup classes this class composes with.
-        hot = (uids[-1] if uids else 0) + 555
-        wide = (uids[-1] if uids else 0) + 777
+        hot = max_uid + 555
+        wide = max_uid + 777
         eid0 = max((r[j_eid] for r in evs if r[j_eid] is not None),
                    default=0) + 8_000_000
         t0 = datetime.datetime(2024, 3, 1)

@@ -96,14 +96,25 @@ object Bench {
     val firstPass = SparkEntry.queries.flatMap { case (name, fn) =>
       timeOne(name, fn).map(name -> _)
     }
-    val outliers = outlierSet(firstPass)
+    // No retiming when the warm pass failed: the first consumer of an
+    // unbuilt stage legitimately pays the build, and min-of-two would
+    // erase that cost from EVERY reported number (it's in neither
+    // stages_sec nor the per-query time) — better an honest slow
+    // sample plus the stages_warm_failed flag than a silently
+    // faster-than-real total.
+    val outliers =
+      if (stagesWarmFailed) Set.empty[String] else outlierSet(firstPass)
+    // outliers_retimed discloses retimes that actually produced a
+    // second sample — a retime whose re-run throws keeps the first
+    // sample (the query already succeeded in pass one) and is NOT
+    // counted, so the JSON never claims a min-of-two it doesn't have.
+    var retimed = 0
     val results = firstPass.map { case (name, t1) =>
-      // A retime failure is not a query failure — the query already
-      // succeeded in pass one; keep the first sample.
-      if (outliers(name))
-        name -> math.min(t1,
-          timeOne(name, SparkEntry.queries(name), recordFailure = false).getOrElse(t1))
-      else name -> t1
+      if (outliers(name)) {
+        val second = timeOne(name, SparkEntry.queries(name), recordFailure = false)
+        if (second.isDefined) retimed += 1
+        name -> math.min(t1, second.getOrElse(t1))
+      } else name -> t1
     }
     // Deciseconds per query, centiseconds for the total, trailing zeros
     // stripped ("0.50" → "0.5"): run-to-run variance on sub-second
@@ -124,8 +135,8 @@ object Bench {
       else s""","failed":${failed.result().map(q).mkString("[", ",", "]")}"""
     // Both disclosure flags are omitted when zero/false — every byte
     // counts against the driver's 2000-char tail window.
-    val retimedJson = if (outliers.isEmpty) ""
-      else s""","outliers_retimed":${outliers.size}"""
+    val retimedJson = if (retimed == 0) ""
+      else s""","outliers_retimed":$retimed"""
     val warmFailedJson = if (!stagesWarmFailed) "" else ""","stages_warm_failed":true"""
     def line(qs: Iterable[(String, Double)]) = {
       val m = qs.map { case (k, v) => q(k) + ":" + num(v, 1) }

@@ -599,7 +599,7 @@ object Registry {
         |SELECT decile, count(*) AS n_cust,
         | CAST(max(cum_cents) AS BIGINT) AS cum_cents,
         |-- HUGEINT widening mirrors the Spark side's decimal(38,0):
-        |-- cents·10⁶ wraps int64 at warehouse scale. The output CAST
+        |-- cents·10⁶ overflows int64 at warehouse scale. The output CAST
         |-- back to BIGINT is load-bearing (driver hashes int128 as
         |-- float64).
         | CAST(CAST(max(cum_cents) AS HUGEINT) * 1000000 // total_cents

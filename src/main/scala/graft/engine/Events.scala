@@ -362,7 +362,7 @@ object Events {
     val tot = tc.groupBy("from_type").agg(sum("n").as("tot"))
     tc.join(broadcast(tot), Seq("from_type"))
       // decimal(38,0) ppm-widening: transition counts track total
-      // event volume (~10^13 at 100 TB) where count*10^6 wraps int64
+      // event volume (~10^13 at 100 TB) where count*10^6 overflows int64
       .withColumn("ppm",
         expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
       .select("from_type", "to_type", "n", "ppm")
@@ -501,7 +501,7 @@ object Events {
     * it poisons downstream counts. Variance from exact integer sums
     * (n·Σc² − (Σc)² — the zero check is exact, never a float ≈0; the
     * moments are decimal(38,0)-widened since c is a per-day EVENT
-    * count and c² wraps int64 past ~3·10⁹/day — oracle mirrors with
+    * count and c² overflows int64 past ~3·10⁹/day (ANSI throws) — oracle mirrors with
     * HUGEINT);
     * the z arithmetic is one fixed double expression mirrored by the
     * oracle; degenerate series (one day, or constant volume) pin to 0.
@@ -514,7 +514,7 @@ object Events {
       .groupBy(col("event_type"), expr(s"us DIV $DayUs").as("day"))
       .agg(count(lit(1)).as("c"))
     // decimal(38,0) second moments: c is a per-day EVENT count — c²
-    // wraps int64 past ~3·10⁹ events/day and Σc² long before a 100 TB
+    // overflows int64 past ~3·10⁹ events/day and Σc² long before a 100 TB
     // telemetry table stops growing; the exact zero check below would
     // then test wrapped garbage. scc is internal only (never output);
     // the oracle mirrors with HUGEINT.
@@ -1099,7 +1099,7 @@ object EventsRegistry {
          |   CAST(count(*) AS BIGINT) AS c
          |  FROM events GROUP BY 1, 2),
          |-- HUGEINT second moments mirror the Spark decimal(38,0) scc:
-         |-- c² wraps int64 past ~3·10⁹ events/day (scc is internal,
+         |-- c² overflows int64 past ~3·10⁹ events/day (scc is internal,
          |-- never an output column, so int128 is safe here)
          | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
          |   CAST(sum(c) AS BIGINT) AS sc,

@@ -1019,7 +1019,7 @@ object Relational {
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_cust"), max(col("cum_cents")).as("cum_cents"))
       .crossJoin(broadcast(tot))
-      // decimal(38,0) widening: cents·10⁶ = dollars·10⁸ wraps int64
+      // decimal(38,0) widening: cents·10⁶ = dollars·10⁸ overflows int64
       // past ~$9.2·10¹⁰ cumulative — real at warehouse population
       // scale. DIV on a decimal dividend still yields BIGINT, and the
       // ppm quotient (≤10⁶) is exact, so outputs are unchanged.
@@ -1083,8 +1083,8 @@ object Relational {
     * shuffle is the orderkey join; the per-year rollup is 7 keys.
     *
     * int64 envelope (also binds [[promoShare]], [[partValueConc]] and
-    * [[cumShare]]): the ppm numerator units·10⁶ = dollars·10¹⁰ wraps
-    * past ~$9.2·10⁸ per group — a full-population warehouse share. The
+    * [[cumShare]]): the ppm numerator units·10⁶ = dollars·10¹⁰ overflows
+    * int64 past ~$9.2·10⁸ per group — a full-population warehouse share. The
     * shipped code therefore widens every share product to
     * decimal(38,0) before the DIV (the q_len_zscore discipline);
     * quotients stay BIGINT and outputs are unchanged, so no overflow
@@ -1113,7 +1113,7 @@ object Relational {
       .agg(sum(when(col("is_share"), col("units")).otherwise(0L))
           .cast("long").as("nation_units"),
         sum(col("units")).cast("long").as("total_units"))
-      // decimal(38,0) widening: units·10⁶ = dollars·10¹⁰ wraps int64
+      // decimal(38,0) widening: units·10⁶ = dollars·10¹⁰ overflows int64
       // past ~$9.2·10⁸/group; the widened product is exact to 10³⁸ and
       // DIV returns BIGINT, so outputs are unchanged at any SF.
       .withColumn("share_ppm",
@@ -1539,7 +1539,7 @@ object Relational {
       // the two variance terms are tested for zero SEPARATELY — their
       // int64 product would overflow long before the inputs do — and
       // the m·Σ/Σ·Σ differences are decimal(38,0)-widened (oracle:
-      // HUGEINT): they wrap int64 ~m× earlier than the output sums,
+      // HUGEINT): they overflow int64 ~m× earlier than the output sums,
       // whose own envelope the scaladoc documents
       .withColumn("r", expr(
         """CASE WHEN m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx = 0

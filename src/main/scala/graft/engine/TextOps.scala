@@ -1414,7 +1414,7 @@ object TextOps {
     st.join(stot, Seq("source")).join(ct, Seq("tok"))
       .crossJoin(broadcast(ctot))
       // decimal(38,0) ppm-widening: n/cn are TOKEN counts (~10^14 at
-      // 100 TB) — count*10^6 wraps int64 long before that
+      // 100 TB) — count*10^6 overflows int64 long before that
       .withColumn("src_ppm",
         expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV tot"))
       .withColumn("corpus_ppm",
@@ -1546,7 +1546,7 @@ object TextOps {
       .crossJoin(broadcast(nCand))
       // decimal(38,0) widening: these are PAIR counts — at 100 TB the
       // capped ground truth still reaches ~cap·Σdf/2 ≫ 9.2·10¹² pairs,
-      // where count·10⁶ wraps int64. Quotients stay BIGINT.
+      // where count·10⁶ overflows int64. Quotients stay BIGINT.
       .withColumn("precision_ppm",
         when(col("n_cand") > 0,
           expr("CAST(n_cand_true AS DECIMAL(38,0)) * 1000000 DIV n_cand"))
@@ -1761,7 +1761,7 @@ object TextOps {
       .withColumn("tot",
         col("n_alpha") + col("n_digit") + col("n_space") + col("n_other"))
       // decimal(38,0) widening: per-source CHARACTER counts reach
-      // ~10¹⁴ at a 100 TB corpus — count·10⁶ wraps int64
+      // ~10¹⁴ at a 100 TB corpus — count·10⁶ overflows int64
       .withColumn("alpha_ppm",
         when(col("tot") > 0,
           expr("CAST(n_alpha AS DECIMAL(38,0)) * 1000000 DIV tot")))
@@ -1801,7 +1801,7 @@ object TextOps {
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= BigramLmK)
       // decimal(38,0) widening: a hot head's bigram count tracks total
-      // corpus tokens (~10¹⁴ at 100 TB) — count·10⁶ wraps int64
+      // corpus tokens (~10¹⁴ at 100 TB) — count·10⁶ overflows int64
       .withColumn("cond_ppm",
         expr("CAST(n AS DECIMAL(38,0)) * 1000000 DIV htot"))
       .select("head", "rk", "nxt", "n", "htot", "cond_ppm")
@@ -2046,7 +2046,7 @@ object TextOps {
       .select(col("v"), col("n1"), col("n2"),
         // decimal(38,0) widening: f1/f2 are CUMULATIVE token
         // frequencies, up to the corpus total (~10¹⁴ at 100 TB) —
-        // count·10⁶ wraps int64. The DuckDB oracle's window sums are
+        // count·10⁶ overflows int64. The DuckDB oracle's window sums are
         // already HUGEINT, so only the Spark side needed widening.
         abs(expr("CAST(f1 AS DECIMAL(38,0)) * 1000000 DIV n1") -
             expr("CAST(f2 AS DECIMAL(38,0)) * 1000000 DIV n2"))
