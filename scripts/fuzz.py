@@ -370,7 +370,7 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
         max_uid = max((r[j_uid] for r in evs
                        if r[j_uid] is not None), default=0)
         # FRESH uids for both synthetic users: reusing an existing uid
-        # would let that user\'s real events shift the cap boundary and
+        # would let that user's real events shift the cap boundary and
         # could put a pre-existing purchase INSIDE the first 256 slots,
         # silently defusing the converted-flag discriminator below.
         # Fresh event_ids too, offset from the corpus max — absolute ids

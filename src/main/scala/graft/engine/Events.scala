@@ -515,8 +515,8 @@ object Events {
       .agg(count(lit(1)).as("c"))
     // decimal(38,0) second moments: c is a per-day EVENT count — c²
     // overflows int64 past ~3·10⁹ events/day and Σc² long before a 100 TB
-    // telemetry table stops growing; the exact zero check below would
-    // then test wrapped garbage. scc is internal only (never output);
+    // telemetry table stops growing; unwidened, the shipped ANSI
+    // session would throw at the c*c product before any zero check. scc is internal only (never output);
     // the oracle mirrors with HUGEINT.
     val st = daily.groupBy("event_type")
       .agg(count(lit(1)).as("nd"), sum(col("c")).as("sc"),

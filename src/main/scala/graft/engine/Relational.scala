@@ -1509,8 +1509,9 @@ object Relational {
     * doubles is correctly rounded in both engines). int64 envelope:
     * the r arithmetic is decimal(38,0)-widened (oracle HUGEINT), so
     * the correlation is exact as long as the REPORTED moment columns
-    * fit int64 — those wrap only past Σc² > 9.2·10¹⁸ (~3·10⁹ orders
-    * on a single day), the report schema's own documented bound.
+    * fit int64 — those overflow (ANSI: throw) only past
+    * Σc² > 9.2·10¹⁸ (~3·10⁹ orders on a single day), the report
+    * schema's own documented bound.
     *
     * Scale: the daily aggregate collapses the fact table map-side; the
     * grid is calendar-sized; each lag is a grid-sized self-join on
