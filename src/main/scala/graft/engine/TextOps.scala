@@ -1494,12 +1494,11 @@ object TextOps {
     * (×5), then a 5-key aggregate; the candidate total is a one-row
     * broadcast.
     *
-    * Cache courtesy (the [[graft.engine.Layout.rankedCum]] note): the
-    * ground-truth postings are persisted and registered with the
-    * session CacheManager, which never auto-drops plans — the
-    * harnesses' per-query `spark.catalog.clearCache()` releases them,
-    * but a long-lived session calling this as a library entry point
-    * should clearCache()/unpersist between calls. */
+    * The ground-truth postings read the parquet-staged
+    * [[sharedCappedPosts]] (no session-cache entry, no per-call
+    * rebuild): the explode+distinct+df-filter pays once per corpus in
+    * the warm pass, and all four posting consumers (df filter, nh,
+    * both self-join sides) rescan columnar files. */
   /** df-capped ground-truth postings `(doc_id, h)` from a shingle-set
     * frame carrying an `hx` hash array: distinct per-doc hashes minus
     * every hash with document frequency > [[LshPrDfCap]]. The shared
@@ -1512,13 +1511,32 @@ object TextOps {
       .filter(col("df") <= LshPrDfCap).select(col("h"))
     // O(docs·shingles) rows read by four consumers (df filter, nh, both
     // self-join sides) — persist so the explode+distinct runs once
-    // (harness clearCache() releases it per query)
+    // (harness clearCache() releases it per query). The DECLARED query
+    // path reads [[sharedCappedPosts]] instead (parquet-staged, no
+    // persist); this direct form serves ad-hoc frames (ScaleProbe).
     rawPosts.join(keep, Seq("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** [[cappedPosts]] of the shared shingle stage, parquet-materialized
+    * ([[Stages]]): the postings are deterministic per corpus, so the
+    * explode+distinct+df-filter pays once per corpus (disclosed in the
+    * bench's stages_sec) and the four downstream reads become columnar
+    * rescans — the same checkpoint-beside-the-corpus shape as the
+    * signature/pair stages. Built WITHOUT the persist (the parquet IS
+    * the reuse), so library callers accrue no pinned cache entry. */
+  def sharedCappedPosts(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "capped_posts", d) {
+      val sets = sharedShingleSets(s, d)
+      val rawPosts = sets
+        .select(col("doc_id"), explode(col("hx")).as("h")).distinct()
+      val keep = rawPosts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= LshPrDfCap).select(col("h"))
+      rawPosts.join(keep, Seq("h"))
+    }
+
   def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
-    val posts = cappedPosts(sharedShingleSets(s, d))
+    val posts = sharedCappedPosts(s, d)
     val nh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
     val gtPairs = posts.alias("x")
       .join(posts.alias("y"),

@@ -24,6 +24,7 @@ object Warm {
     TextOps.corpus(s, d); TextOps.sharedDocToks(s, d)
     TextOps.sharedShingleSets(s, d); TextOps.sharedSignature(s, d)
     TextOps.sharedCandPairs(s, d); TextOps.sharedSimhashShingle(s, d)
+    TextOps.sharedCappedPosts(s, d)
     TextOps.sharedHeapsPerDoc(s, d); TextOps.sharedDocGrams(s, d)
     Similarity.canonEmb(s, d); Similarity.sharedDimStats(s, d)
     Relational.warmStages(s, d)
