@@ -844,7 +844,7 @@ object Registry {
         |ORDER BY cust, n_orders, n_events, spend""".stripMargin),
 
     "q_autocorr" -> e(Relational.autocorr,
-      """WITH daily AS (SELECT CAST(date_diff('day', DATE '1990-01-01',
+      s"""WITH daily AS (SELECT CAST(date_diff('day', DATE '1990-01-01',
         |    CAST(o_orderdate AS DATE)) AS BIGINT) AS day, count(*) AS c
         |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
         | span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
@@ -859,16 +859,29 @@ object Registry {
         |   CAST(sum(c*y) AS BIGINT) AS sxy,
         |   CAST(sum(c*c) AS BIGINT) AS sxx,
         |   CAST(sum(y*y) AS BIGINT) AS syy
-        |  FROM grid JOIN lags USING (day) GROUP BY 1)
+        |  FROM grid JOIN lags USING (day) GROUP BY 1),
+        | wd AS (SELECT *,
+        |   m*CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT)*sx AS vx,
+        |   m*CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT)*sy AS vy,
+        |   m*CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT)*sy AS cv
+        |  FROM agg),
+        |-- HUGEINT widening mirrors the Spark decimal(38,0)
+        |-- differences; r_micro = ⌊cv·10⁶/(⌊√vx⌋·⌊√vy⌋)⌋ via
+        |-- PortableMath's exact isqrt — no output rides the
+        |-- HUGEINT→DOUBLE cast
+        | es AS (SELECT *,
+        |   ${graft.engine.PortableMath.isqrtEstimate("vx", "HUGEINT")} AS rx0,
+        |   ${graft.engine.PortableMath.isqrtEstimate("vy", "HUGEINT")} AS ry0
+        |  FROM wd),
+        | rr AS (SELECT *,
+        |   ${graft.engine.PortableMath.isqrtAdjust("rx0", "vx")} AS rx,
+        |   ${graft.engine.PortableMath.isqrtAdjust("ry0", "vy")} AS ry
+        |  FROM es)
         |SELECT k, m, sx, sy, sxy, sxx, syy,
-        |-- HUGEINT widening mirrors the Spark decimal(38,0) differences
-        | CASE WHEN m*CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT)*sx = 0
-        |   OR m*CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT)*sy = 0 THEN NULL
-        |  ELSE CAST(m*CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT)*sy AS DOUBLE) /
-        |   sqrt(CAST(m*CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT)*sx AS DOUBLE)
-        |      * CAST(m*CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT)*sy AS DOUBLE))
-        |  END AS r
-        |FROM agg ORDER BY k""".stripMargin),
+        | CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |  ELSE CAST((cv * 1000000) // (rx * ry) AS BIGINT)
+        |  END AS r_micro
+        |FROM rr ORDER BY k""".stripMargin),
 
     "q_dq_dims" -> eRawDims(Relational.dqDims, {
       def one(t: String, pk: String, fk: Option[String]) = {

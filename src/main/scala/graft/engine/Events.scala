@@ -417,7 +417,10 @@ object Events {
     * from the first active day (the clamp is mirrored verbatim in the
     * oracle) — a user whose history covers decades contributes a
     * bounded grid, and observed days past the clamp are simply outside
-    * the grid (the grid-side left join drops them). The daily
+    * the grid (the grid-side left join drops them — and because that
+    * loss is invisible in per-row values, every row carries a
+    * `clamped` flag so a consumer can tell a complete history from a
+    * truncated one from the output alone). The daily
     * aggregate, the span bounds, the grid join and the LOCF window all
     * share the user_id partitioning — one shuffle. */
   def gapFill(s: SparkSession, d: String): DataFrame = {
@@ -429,7 +432,13 @@ object Events {
       // clamp from d0 (not d1): the LOCF invariant "first grid day is
       // observed" must survive the clamp, and it is d0-anchored
       .select(col("user_id"), explode(sequence(col("d0"),
-        least(col("d1"), col("d0") + lit(GapFillMaxSpanDays - 1L)))).as("day"))
+        least(col("d1"), col("d0") + lit(GapFillMaxSpanDays - 1L)))).as("day"),
+        // truncation signal (visible in the OUTPUT, not only the
+        // scaladoc): true on all of a user's rows iff observed activity
+        // exists beyond the clamped grid, where the grid-side left join
+        // drops it — so Σn_obs over a clamped user's rows is a floor,
+        // not the event total
+        (col("d1") > col("d0") + lit(GapFillMaxSpanDays - 1L)).as("clamped"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(daily, Seq("user_id", "day"), "left")
@@ -439,16 +448,16 @@ object Events {
       .withColumn("filled", col("n_obs").isNull)
       .select(col("user_id"), col("day"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        col("n_fill"), col("filled"))
-      .orderBy("user_id", "day", "n_obs", "n_fill", "filled")
+        col("n_fill"), col("filled"), col("clamped"))
+      .orderBy("user_id", "day", "n_obs", "n_fill", "filled", "clamped")
   }
 
-  /** Journey cap for [[seqPattern]]: each user's journey is built from
-    * at most this many of their earliest events. Bounds the per-user
-    * row (collect_list array + journey string) by a constant instead of
-    * that user's event count — a single bot user with 10M events
-    * contributes a 256-char journey, not a 10MB one. The rn-filter is
-    * mirrored verbatim in the oracle (same discipline as
+  /** Default journey cap for [[seqPattern]]: each user's journey is
+    * built from at most this many of their earliest events. Bounds the
+    * per-user row (collect_list array + journey string) by a constant
+    * instead of that user's event count — a single bot user with 10M
+    * events contributes a 256-char journey, not a 10MB one. The
+    * rn-filter is mirrored verbatim in the oracle (same discipline as
     * [[SessionPathLen]]). */
   val SeqPatternMaxEvents = 256
 
@@ -457,16 +466,28 @@ object Events {
     * compact journey string of event-type initials, and regex predicates
     * over that string answer ordering questions a funnel count can't
     * ("a view EVENTUALLY followed by a purchase", "how many errors en
-    * route"). The journey covers each user's first
-    * [[SeqPatternMaxEvents]] events (enforced by an rn-filter BEFORE the
-    * collect, so the bound holds during aggregation, not after), and
-    * `n_events` counts the capped set. collect_list is unordered by
-    * contract — the deterministic order comes from array_sort over
+    * route"). The journey covers each user's first `maxEvents` events
+    * (default [[SeqPatternMaxEvents]]; enforced by an rn-filter BEFORE
+    * the collect, so the bound holds during aggregation, not after),
+    * and `n_events` counts the capped set. Because a capped journey is
+    * semantically different from a complete one (a late purchase no
+    * longer flips `converted`, and `n_events` is the capped count),
+    * every row carries a `capped` flag: the window scans to rn =
+    * maxEvents+1 — one probe row past the cap, which keeps the
+    * map-side WindowGroupLimit plan — and the probe row feeds ONLY the
+    * flag, never the journey or the counts. collect_list is unordered
+    * by contract — the deterministic order comes from array_sort over
     * (us, event_id, ch) structs, not from arrival.
     * Scale: one shuffle on user_id (the rn window and the groupBy share
     * the user_id hash partitioning); the regex runs per user row, not
-    * per event; every per-user row is O([[SeqPatternMaxEvents]]). */
-  def seqPattern(s: SparkSession, d: String): DataFrame = {
+    * per event; every per-user row is O(maxEvents). */
+  def seqPattern(s: SparkSession, d: String): DataFrame =
+    seqPattern(s, d, SeqPatternMaxEvents)
+
+  /** [[seqPattern]] with an explicit journey cap (the declared query
+    * uses the [[SeqPatternMaxEvents]] default). */
+  def seqPattern(s: SparkSession, d: String, maxEvents: Int): DataFrame = {
+    require(maxEvents > 0, s"maxEvents must be positive, got $maxEvents")
     // undated events are excluded (a journey position without a
     // timestamp is undefined, and array_sort's struct comparator is out
     // of reach of the registry's null-ordering rewrite); the remaining
@@ -479,19 +500,24 @@ object Events {
         coalesce(col("event_id"), lit(Long.MaxValue)).as("event_id"),
         coalesce(substring(col("event_type"), 1, 1), lit("")).as("ch"))
       .withColumn("rn", row_number().over(byUser))
-      .filter(col("rn") <= SeqPatternMaxEvents)
-      .select(col("user_id"),
+      .filter(col("rn") <= maxEvents + 1)
+      .select(col("user_id"), col("rn"),
         struct(col("us"), col("event_id"), col("ch")).as("e"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        array_join(transform(array_sort(collect_list(col("e"))),
-          x => x.getField("ch")), "").as("journey"))
+      .agg(sum(when(col("rn") <= maxEvents, 1L).otherwise(0L))
+          .as("n_events"),
+        array_join(transform(array_sort(
+          collect_list(when(col("rn") <= maxEvents, col("e")))),
+          x => x.getField("ch")), "").as("journey"),
+        (max(col("rn")) > maxEvents).as("capped"))
       .withColumn("converted", col("journey").rlike("v.*p"))
       .withColumn("n_err",
         (length(col("journey")) -
           length(regexp_replace(col("journey"), "e", ""))).cast(LongType))
-      .select("user_id", "n_events", "journey", "converted", "n_err")
-      .orderBy("user_id", "n_events", "journey", "converted", "n_err")
+      .select("user_id", "n_events", "journey", "converted", "n_err",
+        "capped")
+      .orderBy("user_id", "n_events", "journey", "converted", "n_err",
+        "capped")
   }
 
   /** Daily-volume spike detector: for each event type, the day whose
@@ -503,8 +529,15 @@ object Events {
     * moments are decimal(38,0)-widened since c is a per-day EVENT
     * count and c² overflows int64 past ~3·10⁹/day (ANSI throws) — oracle mirrors with
     * HUGEINT);
-    * the z arithmetic is one fixed double expression mirrored by the
-    * oracle; degenerate series (one day, or constant volume) pin to 0.
+    * z6 ≈ ⌊10⁶·|c−μ|/σ_sample⌋ is PURE INTEGER arithmetic: w6 =
+    * ⌊⌊dd²·10⁶/varn⌋·(nd−1)/nd⌋ = ⌊z6²·10⁶⌋ (dd = c·nd − sc; the two
+    * DIV quotients always fit int64 since z²_pop ≤ nd), then z6 =
+    * exact-isqrt(w6·10⁶) via [[graft.engine.PortableMath]] — no output
+    * rides an engine's int128→double cast (the boundary that made the
+    * previous double-path z6 1-ulp-divergent past int64 moments).
+    * Envelope: dd²·10⁶ within decimal(38,0) → |c·nd − sc| < 4·10¹⁵
+    * (13× headroom over 3·10⁹/day × 10⁵ days), loud overflow beyond.
+    * Degenerate series (one day, or constant volume) pin to 0.
     *
     * Scale: the day×type aggregate is calendar-bounded; the per-type
     * moment table is broadcast back onto it; the argmax is a
@@ -524,12 +557,19 @@ object Events {
     val w = Window.partitionBy(col("event_type"))
       .orderBy(col("z6").desc, col("day"))
     daily.join(broadcast(st), Seq("event_type"))
-      .withColumn("z6", expr(
-        "CASE WHEN nd < 2 OR nd * scc - CAST(sc AS DECIMAL(38,0)) * sc = 0" +
-          " THEN 0 ELSE " +
-          "CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) / " +
-          "sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)" +
-          " / (nd - 1))) * 1000000.0) AS BIGINT) END"))
+      .withColumn("dd", expr("CAST(c AS DECIMAL(38,0)) * nd - sc"))
+      .withColumn("varn",
+        expr("nd * scc - CAST(sc AS DECIMAL(38,0)) * sc"))
+      // w6 = ⌊z6²·10⁶⌋ (≤ nd·10⁶, int64-safe); the ×10⁶ re-widen makes
+      // the exact isqrt land on micro-z6
+      .withColumn("w6", expr(
+        "CASE WHEN nd < 2 OR varn = 0 THEN 0 ELSE " +
+          "(((dd * dd * 1000000) DIV varn) * (nd - 1)) DIV nd END"))
+      .withColumn("t6", expr("CAST(w6 AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("r0",
+        expr(PortableMath.isqrtEstimate("t6", "DECIMAL(38,0)")))
+      .withColumn("z6",
+        expr(s"CAST(${PortableMath.isqrtAdjust("r0", "t6")} AS BIGINT)"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("event_type"), col("day").as("spike_day"),
@@ -1038,16 +1078,18 @@ object EventsRegistry {
          | sp AS (SELECT user_id, min(day) AS d0, max(day) AS d1
          |  FROM dly GROUP BY 1),
          | grid AS (SELECT user_id, unnest(generate_series(d0,
-         |   least(d1, d0 + ${Events.GapFillMaxSpanDays - 1L}))) AS day
+         |   least(d1, d0 + ${Events.GapFillMaxSpanDays - 1L}))) AS day,
+         |   d1 > d0 + ${Events.GapFillMaxSpanDays - 1L} AS clamped
          |  FROM sp),
-         | j AS (SELECT g.user_id, g.day, dly.n_obs FROM grid g
+         | j AS (SELECT g.user_id, g.day, g.clamped, dly.n_obs FROM grid g
          |  LEFT JOIN dly ON g.user_id = dly.user_id AND g.day = dly.day)
          |SELECT user_id, day, COALESCE(n_obs, 0) AS n_obs,
          | last_value(n_obs IGNORE NULLS) OVER (PARTITION BY user_id
          |   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |   AS n_fill,
-         | (n_obs IS NULL) AS filled
-         |FROM j ORDER BY user_id, day, n_obs, n_fill, filled""".stripMargin),
+         | (n_obs IS NULL) AS filled, clamped
+         |FROM j
+         |ORDER BY user_id, day, n_obs, n_fill, filled, clamped""".stripMargin),
 
     "q_seq_pattern" -> e(Events.seqPattern,
       s"""WITH e AS (SELECT user_id,
@@ -1057,15 +1099,22 @@ object EventsRegistry {
         |  WHERE ts IS NOT NULL),
         | r AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY us, event_id, ch) AS rn FROM e),
-        | j AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |   string_agg(ch, '' ORDER BY us, event_id, ch) AS journey
-        |  FROM r WHERE rn <= ${Events.SeqPatternMaxEvents} GROUP BY 1)
+        |-- scan one probe row past the cap: it feeds ONLY the capped
+        |-- flag (aggregate filters skip it for the journey and counts)
+        | j AS (SELECT user_id,
+        |   CAST(sum(CASE WHEN rn <= ${Events.SeqPatternMaxEvents}
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |   string_agg(CASE WHEN rn <= ${Events.SeqPatternMaxEvents}
+        |     THEN ch END, '' ORDER BY us, event_id, ch) AS journey,
+        |   max(rn) > ${Events.SeqPatternMaxEvents} AS capped
+        |  FROM r WHERE rn <= ${Events.SeqPatternMaxEvents + 1} GROUP BY 1)
         |SELECT user_id, n_events, journey,
         | regexp_matches(journey, 'v.*p') AS converted,
         | CAST(len(journey) - len(replace(journey, 'e', '')) AS BIGINT)
-        |   AS n_err
+        |   AS n_err, capped
         |FROM j
-        |ORDER BY user_id, n_events, journey, converted, n_err""".stripMargin),
+        |ORDER BY user_id, n_events, journey, converted, n_err,
+        | capped""".stripMargin),
 
     "q_ab_test" -> e(Events.abTest,
       s"""WITH per AS (SELECT user_id,
@@ -1105,13 +1154,22 @@ object EventsRegistry {
          |   CAST(sum(c) AS BIGINT) AS sc,
          |   sum(CAST(c AS HUGEINT) * c) AS scc
          |  FROM daily GROUP BY 1),
-         | z AS (SELECT d.event_type, d.day, d.c,
-         |   CASE WHEN nd < 2
-         |     OR nd * scc - CAST(sc AS HUGEINT) * sc = 0 THEN 0 ELSE
-         |    CAST(floor((abs(c - CAST(sc AS DOUBLE)/nd) /
-         |     sqrt((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE)/nd)
-         |      / (nd - 1))) * 1000000.0) AS BIGINT) END AS z6
+         | dv AS (SELECT d.event_type, d.day, d.c, st.nd,
+         |   CAST(d.c AS HUGEINT) * st.nd - st.sc AS dd,
+         |   st.nd * st.scc - CAST(st.sc AS HUGEINT) * st.sc AS varn
          |  FROM daily d JOIN st USING (event_type)),
+         |-- w6 = ⌊z6²·10⁶⌋ then exact isqrt (PortableMath mirror): the
+         |-- declared z6 never rides the HUGEINT→DOUBLE cast
+         | w AS (SELECT event_type, day, c,
+         |   CASE WHEN nd < 2 OR varn = 0 THEN 0 ELSE
+         |    CAST((CAST((dd * dd * 1000000) // varn AS BIGINT)
+         |      * (nd - 1)) // nd AS BIGINT) END AS w6 FROM dv),
+         | q AS (SELECT *, CAST(w6 AS HUGEINT) * 1000000 AS t6 FROM w),
+         | es AS (SELECT *,
+         |   ${PortableMath.isqrtEstimate("t6", "HUGEINT")} AS r0 FROM q),
+         | z AS (SELECT event_type, day, c,
+         |   CAST(${PortableMath.isqrtAdjust("r0", "t6")} AS BIGINT)
+         |     AS z6 FROM es),
          | r AS (SELECT event_type, day, c, z6, row_number() OVER (
          |    PARTITION BY event_type ORDER BY z6 DESC, day) AS rn FROM z)
          |SELECT event_type, day AS spike_day, c AS c_spike, z6

@@ -1504,14 +1504,15 @@ object Relational {
     * day is a real zero-volume day, not missing data.
     *
     * Determinism: counts are exact integers; per lag the Pearson terms
-    * (m, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums, and r is one
-    * num/den computation on identical operands (sqrt of identical
-    * doubles is correctly rounded in both engines). int64 envelope:
-    * the r arithmetic is decimal(38,0)-widened (oracle HUGEINT), so
-    * the correlation is exact as long as the REPORTED moment columns
-    * fit int64 — those overflow (ANSI: throw) only past
-    * Σc² > 9.2·10¹⁸ (~3·10⁹ orders on a single day), the report
-    * schema's own documented bound.
+    * (m, Σx, Σy, Σxy, Σx², Σy²) are exact int64 sums, and r_micro ≈
+    * ⌊10⁶·r⌋ is pure integer arithmetic over the decimal(38,0)-widened
+    * differences (oracle HUGEINT) plus [[graft.engine.PortableMath]]'s
+    * exact isqrt — no declared output rides an engine's int128→double
+    * cast. int64 envelope: the REPORTED moment columns overflow (ANSI:
+    * throw) only past Σc² > 9.2·10¹⁸ (~3·10⁹ orders on a single day),
+    * the report schema's own documented bound; internally |cv|·10⁶
+    * must fit decimal(38,0) (|cv| < 10³² — generous against
+    * Cauchy-Schwarz).
     *
     * Scale: the daily aggregate collapses the fact table map-side; the
     * grid is calendar-sized; each lag is a grid-sized self-join on
@@ -1541,15 +1542,32 @@ object Relational {
       // int64 product would overflow long before the inputs do — and
       // the m·Σ/Σ·Σ differences are decimal(38,0)-widened (oracle:
       // HUGEINT): they overflow int64 ~m× earlier than the output sums,
-      // whose own envelope the scaladoc documents
-      .withColumn("r", expr(
-        """CASE WHEN m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx = 0
-          |  OR m*CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0))*sy = 0 THEN NULL
-          |ELSE CAST(m*CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sy AS DOUBLE) /
-          |  sqrt(CAST(m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx AS DOUBLE) *
-          |       CAST(m*CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0))*sy AS DOUBLE)) END""".stripMargin))
+      // whose own envelope the scaladoc documents. r_micro =
+      // ⌊cv·10⁶ / (⌊√vx⌋·⌊√vy⌋)⌋ — pure integer arithmetic over the
+      // exact widened moments plus PortableMath's exact isqrt, so the
+      // declared output never rides an engine's int128→double cast
+      // (truncation toward zero in both engines for negative cv; the
+      // isqrt floors understate each denominator by < 1/√v relative,
+      // sub-micro at any non-degenerate daily variance). Envelope:
+      // |cv|·10⁶ within decimal(38,0) → |cv| < 10³², generous against
+      // Cauchy-Schwarz |cv| ≤ √(vx·vy).
+      .withColumn("vx", expr(
+        "m*CAST(sxx AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sx"))
+      .withColumn("vy", expr(
+        "m*CAST(syy AS DECIMAL(38,0)) - CAST(sy AS DECIMAL(38,0))*sy"))
+      .withColumn("cv", expr(
+        "m*CAST(sxy AS DECIMAL(38,0)) - CAST(sx AS DECIMAL(38,0))*sy"))
+      .withColumn("rx0",
+        expr(PortableMath.isqrtEstimate("vx", "DECIMAL(38,0)")))
+      .withColumn("ry0",
+        expr(PortableMath.isqrtEstimate("vy", "DECIMAL(38,0)")))
+      .withColumn("rx", expr(PortableMath.isqrtAdjust("rx0", "vx")))
+      .withColumn("ry", expr(PortableMath.isqrtAdjust("ry0", "vy")))
+      .withColumn("r_micro", expr(
+        "CASE WHEN vx = 0 OR vy = 0 THEN NULL" +
+          " ELSE CAST((cv * 1000000) DIV (rx * ry) AS BIGINT) END"))
       .select(col("k"), col("m"), col("sx"), col("sy"), col("sxy"),
-        col("sxx"), col("syy"), col("r"))
+        col("sxx"), col("syy"), col("r_micro"))
       .orderBy("k")
   }
 

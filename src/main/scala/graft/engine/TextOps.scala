@@ -209,18 +209,35 @@ object TextOps {
     * [[dedupIncremental]] AND the streaming twin,
     * [[graft.streaming.StreamOps.dedupStreamAgainstCorpus]]): a
     * stamped `corpusSig` whose family differs from `hash` throws;
-    * only a hand-built, unstamped frame skips the check. */
+    * only a hand-built, unstamped frame skips the check — and since
+    * that unguarded path still carries the silent-no-op trap (a
+    * mismatched family never band-collides), pairing an unstamped
+    * frame with a NON-DEFAULT `hash` logs a one-line warning so the
+    * skipped check is at least visible. */
   private[graft] def requireFamilyMatch(corpusSig: DataFrame,
       hash: Column => Column): Unit =
-    stampedFamily(corpusSig).foreach { fp =>
-      val argFp = PortableHash.familyFingerprint(corpusSig.sparkSession, hash)
-      require(fp == argFp,
-        s"hash-family mismatch: corpusSig is stamped with family " +
-          s"fingerprint [$fp] but the `hash` argument computes [$argFp]. " +
-          "Mismatched families never band-collide, so dedup would " +
-          "silently drop nothing — pass the family the corpus index was " +
-          "built with (PortableHash.h28 for the staged oracle tables, " +
-          "fast28 for the library default).")
+    stampedFamily(corpusSig) match {
+      case Some(fp) =>
+        val argFp =
+          PortableHash.familyFingerprint(corpusSig.sparkSession, hash)
+        require(fp == argFp,
+          s"hash-family mismatch: corpusSig is stamped with family " +
+            s"fingerprint [$fp] but the `hash` argument computes [$argFp]. " +
+            "Mismatched families never band-collide, so dedup would " +
+            "silently drop nothing — pass the family the corpus index was " +
+            "built with (PortableHash.h28 for the staged oracle tables, " +
+            "fast28 for the library default).")
+      case None =>
+        val s = corpusSig.sparkSession
+        if (PortableHash.familyFingerprint(s, hash) !=
+            PortableHash.familyFingerprint(s, fast28)) {
+          System.err.println("[dedup] corpusSig carries no hash-family " +
+            "stamp but a non-default `hash` was passed — the family " +
+            "match CANNOT be verified. If the frame was built with a " +
+            "different family, dedup will silently drop nothing; " +
+            "rebuild the index via minhashSignature (which stamps it) " +
+            "to make this check structural.")
+        }
     }
 
   /** MinHash signature straight from documents. `hash` selects the
@@ -2697,9 +2714,15 @@ object TextOps {
     * Determinism: the filter is the PURE-INTEGER inequality
     * 4·(n·x − s1)² ≥ 9·(n·s2 − s1²) — algebraically |z| ≥ 1.5 with z
     * = (x − μ)/σ — over exact integer moment sums, so no double ever
-    * decides membership; the reported z is a fixed three-step
-    * cast/sqrt/divide over those same exact integers (each step
-    * correctly rounded, hence bit-identical cross-engine).
+    * decides membership; the reported z_micro = sign·⌊10³·√(⌊dd²·10⁶ /
+    * varn⌋·10⁶)⌋ ≈ ⌊10⁶·|z|⌋ (within 1 micro-unit for |z| ≥ 1.5) is
+    * pure integer arithmetic plus [[PortableMath]]'s exact isqrt — no
+    * declared output ever rides an engine's int128→double cast (the
+    * boundary that made the previous DOUBLE z 1-ulp-divergent on >int64
+    * moments). Envelope: dd²·10⁶ must fit decimal(38,0), i.e. |dd| =
+    * n·|x−μ| < 4·10¹⁵ — loud ANSI/HUGEINT overflow beyond, never a
+    * wrong row; t6 = z²·10¹² ≤ n·10¹² stays far under the isqrt
+    * 2¹⁰⁶ exactness bound.
     *
     * Scale: one source-keyed moment aggregate (map-side partial) and a
     * broadcast join back — single corpus pass, no sort until the
@@ -2720,9 +2743,17 @@ object TextOps {
         expr("n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1"))
       .filter(col("varn") > 0 &&
         expr("4 * dd * dd") >= expr("9 * varn"))
-      .select(col("doc_id"), col("source"), col("n_tok"),
-        (col("dd").cast("double") / sqrt(col("varn").cast("double")))
-          .as("z"))
+      // z²·10⁶ exactly (≤ n·10⁶ since z² ≤ n — DIV quotient always
+      // fits int64), re-widened ×10⁶ so the exact isqrt lands on
+      // micro-z
+      .withColumn("t6", expr(
+        "CAST((dd * dd * 1000000) DIV varn AS DECIMAL(38,0)) * 1000000"))
+      .withColumn("r0",
+        expr(PortableMath.isqrtEstimate("t6", "DECIMAL(38,0)")))
+      .withColumn("z_micro", expr(
+        "CAST((CASE WHEN dd < 0 THEN -1 ELSE 1 END) * " +
+          PortableMath.isqrtAdjust("r0", "t6") + " AS BIGINT)"))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("z_micro"))
       .orderBy("doc_id", "source")
   }
 

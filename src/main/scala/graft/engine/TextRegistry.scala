@@ -1331,22 +1331,30 @@ object TextRegistry {
         |ORDER BY src_a, src_b""".stripMargin),
 
     "q_len_zscore" -> e(TextOps.lenZscore,
-      """WITH t AS (SELECT doc_id, source,
+      s"""WITH t AS (SELECT doc_id, source,
         |   CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
         |  FROM documents),
         |-- HUGEINT moments mirror the Spark decimal(38,0) widening
-        |-- (s1/s2/dd/varn are internal CTE columns, never outputs)
+        |-- (s1/s2/dd/varn are internal CTE columns, never outputs);
+        |-- z_micro is PortableMath's exact-isqrt fixed point — no
+        |-- output rides the HUGEINT→DOUBLE cast
         | g AS (SELECT source, count(*) AS n,
         |   CAST(sum(n_tok) AS BIGINT) AS s1,
         |   sum(CAST(n_tok AS HUGEINT)*n_tok) AS s2 FROM t GROUP BY 1),
         | j AS (SELECT t.doc_id, t.source, t.n_tok,
         |   CAST(t.n_tok AS HUGEINT)*g.n - g.s1 AS dd,
         |   g.n*g.s2 - CAST(g.s1 AS HUGEINT)*g.s1 AS varn
-        |  FROM t JOIN g USING (source))
+        |  FROM t JOIN g USING (source)),
+        | f AS (SELECT * FROM j WHERE varn > 0 AND 4*dd*dd >= 9*varn),
+        | q AS (SELECT doc_id, source, n_tok, dd,
+        |   CAST((dd * dd * 1000000) // varn AS HUGEINT) * 1000000
+        |     AS t6 FROM f),
+        | es AS (SELECT *,
+        |   ${PortableMath.isqrtEstimate("t6", "HUGEINT")} AS r0 FROM q)
         |SELECT doc_id, source, n_tok,
-        | CAST(dd AS DOUBLE)/sqrt(CAST(varn AS DOUBLE)) AS z
-        |FROM j WHERE varn > 0 AND 4*dd*dd >= 9*varn
-        |ORDER BY doc_id, source""".stripMargin),
+        | CAST((CASE WHEN dd < 0 THEN -1 ELSE 1 END) *
+        |   ${PortableMath.isqrtAdjust("r0", "t6")} AS BIGINT) AS z_micro
+        |FROM es ORDER BY doc_id, source""".stripMargin),
 
     "q_centroid_margin" -> e((s, d) => Similarity.centroidMargin(s, d),
       s"""WITH ee AS (SELECT vec_id, label,

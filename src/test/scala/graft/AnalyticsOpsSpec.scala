@@ -28,10 +28,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       (4L, ts(1, 1), 2L, "purchase", 1.0, "{}"),
       (5L, ts(1, 2), 2L, "view", 1.0, "{}")))
     val got = Events.seqPattern(spark, dir)
-      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+      .as[(Long, Long, String, Boolean, Long, Boolean)].collect().toSeq
     assert(got == Seq(
-      (1L, 3L, "vep", true, 1L),
-      (2L, 2L, "pv", false, 0L)))
+      (1L, 3L, "vep", true, 1L, false),
+      (2L, 2L, "pv", false, 0L, false)))
   }
 
   test("seqPattern: hot user's journey is capped at SeqPatternMaxEvents") {
@@ -45,12 +45,15 @@ class AnalyticsOpsSpec extends SparkSpec {
       1L, "purchase", 1.0, "{}")
     val dir = eventsDir(hot :+ ((9000L, ts(1, 1), 2L, "view", 1.0, "{}")))
     val got = Events.seqPattern(spark, dir)
-      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+      .as[(Long, Long, String, Boolean, Long, Boolean)].collect().toSeq
     val u1 = got.find(_._1 == 1L).get
     assert(u1._2 == Events.SeqPatternMaxEvents.toLong)
     assert(u1._3 == "v" * Events.SeqPatternMaxEvents)
     assert(!u1._4, "purchase beyond the cap must not count as converted")
-    assert(got.find(_._1 == 2L).get._2 == 1L)
+    assert(u1._6, "truncated journey must carry the capped flag")
+    val u2 = got.find(_._1 == 2L).get
+    assert(u2._2 == 1L)
+    assert(!u2._6, "complete journey must not be flagged capped")
   }
 
   test("seqPattern: same-timestamp ties break by event_id") {
@@ -59,9 +62,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       (2L, t, 1L, "purchase", 1.0, "{}"),
       (1L, t, 1L, "view", 1.0, "{}")))
     val got = Events.seqPattern(spark, dir)
-      .as[(Long, Long, String, Boolean, Long)].collect().toSeq
+      .as[(Long, Long, String, Boolean, Long, Boolean)].collect().toSeq
     assert(got.head._3 == "vp")
     assert(got.head._4)
+    assert(!got.head._6)
   }
 
   test("abTest: hand-computed z on a constructed split") {

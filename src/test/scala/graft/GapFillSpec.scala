@@ -25,19 +25,21 @@ class GapFillSpec extends SparkSpec {
       (2L, ts(1, 2), 1L, "view", 1.0, "{}"),
       (3L, ts(4, 3), 1L, "buy", 2.0, "{}")))
     val got = Events.gapFill(spark, dir)
-      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
     val days = got.map(_._2)
     assert(days == days.sorted && days.length == 4)
     // (n_obs, n_fill, filled) per day in order
     assert(got.map(t => (t._3, t._4, t._5)) == Seq(
       (2L, 2L, false), (0L, 2L, true), (0L, 2L, true), (1L, 1L, false)))
+    assert(got.forall(!_._6), "unclamped span must not be flagged")
   }
 
   test("gapFill: single-day user emits one unfilled row") {
     val dir = eventsDir(Seq((1L, ts(7), 9L, "view", 1.0, "{}")))
     val got = Events.gapFill(spark, dir)
-      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
-    assert(got.map(t => (t._1, t._3, t._4, t._5)) == Seq((9L, 1L, 1L, false)))
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    assert(got.map(t => (t._1, t._3, t._4, t._5, t._6)) ==
+      Seq((9L, 1L, 1L, false, false)))
   }
 
   test("gapFill: users fill independently") {
@@ -46,7 +48,7 @@ class GapFillSpec extends SparkSpec {
       (2L, ts(3), 1L, "view", 1.0, "{}"),
       (3L, ts(2), 2L, "view", 1.0, "{}")))
     val got = Events.gapFill(spark, dir)
-      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
     assert(got.count(_._1 == 1L) == 3) // days 1..3
     assert(got.count(_._1 == 2L) == 1) // day 2 only
     assert(got.filter(_._1 == 1L).map(_._5) == Seq(false, true, false))
@@ -62,12 +64,14 @@ class GapFillSpec extends SparkSpec {
       (1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
       (2L, new Timestamp(farMs), 1L, "view", 1.0, "{}")))
     val got = Events.gapFill(spark, dir)
-      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
     assert(got.length == span.toInt,
       s"grid must clamp to $span rows, got ${got.length}")
     assert(got.map(_._2).max == span - 1, "grid ends at d0 + span - 1")
     // first day observed, every later day filled from it
     assert(got.count(!_._5) == 1 && got.forall(_._4 == 1L))
+    assert(got.forall(_._6),
+      "every row of a truncated user must carry the clamped flag")
   }
 
   test("hardNegatives: nearest different-label vectors, never same label") {

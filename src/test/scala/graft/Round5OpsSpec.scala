@@ -146,13 +146,15 @@ class Round5OpsSpec extends SparkSpec {
     // s2=1700 → varn = 9·1700 − 110² = 3200. For x=30: dd=160,
     // 4·dd²=102400 ≥ 9·varn=28800 → outlier, z = 160/√3200 ≈ 2.828.
     // For x=10: dd=−20, 4·400=1600 < 28800 → kept out.
+    // z_micro: dd²·10⁶ DIV varn = 2.56·10¹⁰ DIV 3200 = 8·10⁶ (z² = 8
+    // exactly), isqrt(8·10¹²) = ⌊2828427.12⌋ = 2828427.
     val ten = (1 to 10).map(_ => "t").mkString(" ")
     val thirty = (1 to 30).map(_ => "t").mkString(" ")
     val rows = (1L to 8L).map(i => (i, ten, "s")) :+ (9L, thirty, "s")
     val dir = docsDir(rows)
     val got = TextOps.lenZscore(spark, dir)
-      .as[(Long, String, Long, Double)].collect().toSeq
-    assert(got == Seq((9L, "s", 30L, 160.0 / math.sqrt(3200.0))))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq((9L, "s", 30L, 2828427L)))
   }
 
   test("reorderGaps: weekly buckets of per-customer order gaps") {
