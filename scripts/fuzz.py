@@ -25,7 +25,10 @@ classes: comma-separated subset of
            Sources.events — a floor-division variant FAILS this class)
            and same-µs ns-level near-ties whose ns order disagrees
            with event_id order (the tie-break portability class)
-  evhot    bound-binding skew: one user with > SeqPatternMaxEvents
+  evhot    bound-binding skew + cap-boundary ties: one user with >
+           SeqPatternMaxEvents, one all-events-one-timestamp user
+           straddling rn=256/257, one exactly-at-cap user, gap-fill
+           activity at exactly d0+729 and d0+730, plus the original
            events (the seq-pattern journey cap must truncate
            identically in both engines, including a conversion event
            landing BEYOND the cap) and one user whose first/last
@@ -400,6 +403,43 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             q[j_uid] = wide
             q[j_et] = "view"
             eex.append(tuple(q))
+        # cap-boundary ties (r8 verdict #5): a user whose 260 events ALL
+        # share one timestamp — rn is decided purely by the event_id
+        # tie-break, and the rn<=256 cut plus the rn=257 capped-flag
+        # probe row must pick the SAME events in both engines. The only
+        # purchase sits at rn=257: one event past the cap, so converted
+        # stays false while capped flips true.
+        tie = max_uid + 888
+        for i in range(260):
+            q = list(ebase[i % len(ebase)])
+            q[j_eid] = eid0 + 2_000 + i
+            q[j_ts] = t0
+            q[j_uid] = tie
+            q[j_et] = "purchase" if i == 256 else "view"
+            eex.append(tuple(q))
+        # exactly-at-cap user: 256 events with the purchase AT rn=256 —
+        # converted must be true and capped false (no probe row exists)
+        edge = max_uid + 889
+        for i in range(256):
+            q = list(ebase[i % len(ebase)])
+            q[j_eid] = eid0 + 3_000 + i
+            q[j_ts] = t0 + datetime.timedelta(seconds=i)
+            q[j_uid] = edge
+            q[j_et] = "purchase" if i == 255 else "view"
+            eex.append(tuple(q))
+        # gap-fill clamp off-by-one edges: activity at exactly d0+729
+        # (last grid day — clamped false) vs exactly d0+730 (first day
+        # OUTSIDE — grid still 730 days, clamped true, the observed day
+        # dropped); both engines must cut at the same day
+        for k, last_day in enumerate((729, 730)):
+            u = max_uid + 1_111 + k
+            for i, days in enumerate((0, last_day)):
+                q = list(ebase[(i + k) % len(ebase)])
+                q[j_eid] = eid0 + 4_000 + 10 * k + i
+                q[j_ts] = t0 + datetime.timedelta(days=days)
+                q[j_uid] = u
+                q[j_et] = "view"
+                eex.append(tuple(q))
     con.execute(
         f"CREATE OR REPLACE TABLE fev AS SELECT * FROM '{src}/events.parquet'")
     if eex:

@@ -138,10 +138,24 @@ object Bench {
     val retimedJson = if (retimed == 0) ""
       else s""","outliers_retimed":$retimed"""
     val warmFailedJson = if (!stagesWarmFailed) "" else ""","stages_warm_failed":true"""
-    def line(qs: Iterable[(String, Double)]) = {
+    // t_max_sample: the largest PRE-retime sample, so a reader can see
+    // the contention magnitude the retiming absorbed without diffing
+    // passes (~20 bytes against the tail window — always emitted, it
+    // is the honesty counterweight to min-of-two).
+    val tMax = if (firstPass.nonEmpty) firstPass.values.max else 0.0
+    val tMaxJson = s""","t_max_sample":${num(tMax, 1)}"""
+    // first_pass: BOTH samples for every retimed query (file artifact
+    // only — BENCH_LAST.json has no tail window), so the systematic
+    // downward bias of best-of-two on exactly the slowest queries is
+    // fully auditable per query, not just countable.
+    val firstPassJson = if (outliers.isEmpty) ""
+      else s""","first_pass":${outliers.toSeq.sorted
+        .map(n => q(n) + ":" + num(firstPass(n), 1))
+        .mkString("{", ",", "}")}"""
+    def line(qs: Iterable[(String, Double)], extra: String = "") = {
       val m = qs.map { case (k, v) => q(k) + ":" + num(v, 1) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","stages_sec":${num(stagesSec, 1)}$warmFailedJson,"queries":$m,"n_queries":${results.size}$retimedJson$failedJson,"sf":${q(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","stages_sec":${num(stagesSec, 1)}$warmFailedJson$tMaxJson,"queries":$m,"n_queries":${results.size}$retimedJson$extra$failedJson,"sf":${q(sfDir)}}"""
     }
     // The driver's stdout capture is a 2000-char TAIL window and sbt
     // appends its own trailer: rounds 3 AND 4 both recorded parsed:null
@@ -152,7 +166,7 @@ object Bench {
     // the BENCH_LAST.json file artifact, which is committed per round
     // and has no size window.
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
-      (line(results) + "\n").getBytes("UTF-8"))
+      (line(results, firstPassJson) + "\n").getBytes("UTF-8"))
     catch { case NonFatal(_) => () }
     // Stop Spark BEFORE printing the contract line so no executor/
     // shutdown logging can land after it, then emit the short line 3×

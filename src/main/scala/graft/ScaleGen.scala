@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool: synthesize a k× replica of a testdata SF directory so the
+  * FULL inventory (all declared queries + bench) can run at ~10× the
+  * largest driver SF — whole-inventory scale evidence, not per-leg
+  * probes (SCALE_SF1.md). Usage:
+  * `sbt "runMain graft.ScaleGen <srcSfDir> <dstDir> <k>"`.
+  *
+  * Replication preserves the properties the queries' scale arguments
+  * rest on, using the same constant-density constructions as
+  * [[ScaleProbe]]:
+  *   - documents: per-copy Caesar shift (translate is injective — each
+  *     copy keeps the base corpus's near-dup structure, copies are
+  *     textually disjoint, so dup DENSITY stays constant; n_chars stays
+  *     valid because translate preserves length);
+  *   - embeddings: per-copy cyclic dimension rotation (norm-preserving,
+  *     cosine-invariant within a copy, decorrelated across copies);
+  *   - facts (orders/lineitem/events/customer/supplier/part): key
+  *     offsets per copy, consistent across referencing tables (copy i's
+  *     orders point at copy i's customers; events share the customer
+  *     user-key offset so user-keyed joins stay aligned) — per-key
+  *     group sizes stay constant, key cardinality grows k×, exactly how
+  *     a real corpus grows;
+  *   - region/nation: copied once (fixed dimensions at any SF).
+  *
+  * Output layout matches /root/testdata: one PLAIN parquet file per
+  * table named `<table>.parquet` (written via coalesce(1) then moved),
+  * so both Sources and the DuckDB oracle harness read it unchanged. */
+object ScaleGen {
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Offsets chosen far above any base-key range at the source SFs and
+    * far below any widening envelope. */
+  private val DocOff = 10000000L       // documents/embeddings
+  private val UserOff = 100000000L     // customer/supplier/part/users
+  private val OrderOff = 1000000000L   // orders/lineitem/events ids
+
+  private def copiesOf(df: DataFrame, k: Int)(
+      one: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until k).map(i => one(df, i)).reduce(_ unionByName _)
+
+  def replicate(s: SparkSession, src: String, table: String,
+      k: Int): DataFrame = {
+    val base = s.read.parquet(s"$src/$table.parquet")
+    table match {
+      case "region" | "nation" => base
+      case "customer" => copiesOf(base, k)((d, i) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(i * UserOff)))
+      case "supplier" => copiesOf(base, k)((d, i) =>
+        d.withColumn("s_suppkey", col("s_suppkey") + lit(i * UserOff)))
+      case "part" => copiesOf(base, k)((d, i) =>
+        d.withColumn("p_partkey", col("p_partkey") + lit(i * UserOff)))
+      case "orders" => copiesOf(base, k)((d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * OrderOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * UserOff)))
+      case "lineitem" => copiesOf(base, k)((d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * OrderOff))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * UserOff))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * UserOff)))
+      case "events" => copiesOf(base, k)((d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * OrderOff))
+        // UserOff is even, so the user_id%2 A/B variant split survives
+        .withColumn("user_id", col("user_id") + lit(i * UserOff)))
+      case "documents" => copiesOf(base, k) { (d, i) =>
+        val shifted = Alpha.drop(i % 26) + Alpha.take(i % 26)
+        d.withColumn("doc_id", col("doc_id") + lit(i * DocOff))
+          .withColumn("text", translate(col("text"), Alpha, shifted))
+      }
+      case "embeddings" => copiesOf(base, k) { (d, i) =>
+        val r = i % 64
+        val rot = if (r == 0) col("embedding")
+          else concat(slice(col("embedding"), r + 1, 64 - r),
+            slice(col("embedding"), 1, r))
+        d.withColumn("vec_id", col("vec_id") + lit(i * DocOff))
+          .withColumn("embedding", rot)
+      }
+      case other => throw new IllegalArgumentException(
+        s"no replication rule for table $other")
+    }
+  }
+
+  /** Write `df` as the single plain file `<dst>/<table>.parquet`
+    * (coalesce-to-one then move the part file out of the Spark output
+    * directory), matching the testdata layout both Sources and the
+    * DuckDB harness expect. */
+  private def writeOne(df: DataFrame, dst: String, table: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = s"$dst/.tmp_$table"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains(".crc"))
+    require(part.length == 1, s"expected one part file, got ${part.toSeq}")
+    Files.move(Paths.get(part.head), Paths.get(s"$dst/$table.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the now-empty Spark output dir
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.deleteIfExists(p))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <dstDir> <k>")
+    val (src, dst, k) = (args(0), args(1), args(2).toInt)
+    require(k >= 1 && k <= 100, s"k out of range: $k")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = replicate(spark, src, t, k)
+      writeOne(df, dst, t)
+      println(s"[scalegen] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+    spark.stop()
+  }
+}

@@ -42,7 +42,9 @@ object Stages {
     * harness invocations (Verify, then Bench, then tests — each a
     * fresh JVM) reuse them instead of paying full rebuilds; safe
     * because stage paths are content-keyed (regenerated input ⇒ new
-    * fingerprint ⇒ new path, stale entries simply go unreferenced).
+    * fingerprint ⇒ new path, stale entries simply go unreferenced —
+    * and [[reapUnreferenced]] is the lifecycle policy that collects
+    * them on a long-lived root).
     * On a cluster set `-Dgraft.stages.dir=s3://…/stages` (any
     * Hadoop-FS URI Spark can write) so stages land beside the corpus
     * and are shared across drivers. */
@@ -286,7 +288,7 @@ object Stages {
   /** Drop the memo map (test isolation). Safe because stage paths are
     * content-keyed: rebuilt inputs produce new paths, so clearing the
     * map never resurrects stale data — files are left for the temp-dir
-    * reaper (or the persistent root's own lifecycle policy). */
+    * reaper (or a [[reapUnreferenced]] pass on a persistent root). */
   def reset(): Unit = done.clear()
 
   /** Stage names this JVM has resolved since the last [[reset]] —
@@ -300,5 +302,71 @@ object Stages {
     val out = Set.newBuilder[String]
     while (it.hasMoreElements) out += it.nextElement().split('|').head
     out.result()
+  }
+
+  /** Published stage UNITS (`<stage>-<contenthash>` pointer basenames)
+    * this JVM currently references — the live set for
+    * [[reapUnreferenced]]. Derived from the memoized attempt paths by
+    * stripping the `-attempt-<uuid>` suffix. A caller building a GC
+    * pass first warms every stage it serves ([[graft.Warm.stages]]),
+    * then hands this set to the reaper — anything published under the
+    * root that no current definition resolves to is a superseded code
+    * version's leftover. */
+  def liveStageUnits: Set[String] = {
+    val it = done.elements()
+    val out = Set.newBuilder[String]
+    while (it.hasMoreElements) {
+      val name = new org.apache.hadoop.fs.Path(it.nextElement()).getName
+      val cut = name.lastIndexOf("-attempt-")
+      out += (if (cut >= 0) name.substring(0, cut) else name)
+    }
+    out.result()
+  }
+
+  /** Garbage-collect published stage units under `root` that are (a)
+    * NOT in `liveUnits` and (b) older than `minAgeDays` — the
+    * lifecycle policy for a long-lived persistent root, where stage
+    * paths from superseded code versions or regenerated corpora
+    * otherwise accumulate without bound (paths are content-keyed, so
+    * stale entries simply go unreferenced rather than being
+    * overwritten). For each dead unit the POINTER is deleted first —
+    * no new reader can resolve a half-deleted unit; by protocol a
+    * pointerless attempt dir is already invisible — then every
+    * `<unit>-attempt-*` directory. Age is the NEWEST mtime across the
+    * unit's pointer and attempts, and the horizon should dwarf any
+    * running job's lifetime (default mirrors [[ReapAgeMs]]'s
+    * leak-over-break bias): a reader that resolved the pointer before
+    * the reap and is still mid-scan is the one race this cannot see,
+    * and the age gate is what makes it implausible. Best-effort per
+    * unit (a concurrent reaper may have raced us); returns the reaped
+    * unit names. */
+  def reapUnreferenced(s: SparkSession, root: String,
+      liveUnits: Set[String], minAgeDays: Int = 7): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    val entries = fs.listStatus(rootPath)
+    val horizon =
+      System.currentTimeMillis() - minAgeDays.toLong * 24 * 3600 * 1000
+    val reaped = Seq.newBuilder[String]
+    entries.iterator
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".ptr"))
+      .foreach { ptrSt =>
+        val unit = ptrSt.getPath.getName.dropRight(4)
+        if (!liveUnits.contains(unit)) {
+          val attempts = entries.filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"$unit-attempt-"))
+          val newest = (ptrSt.getModificationTime +:
+            attempts.map(_.getModificationTime).toSeq).max
+          if (newest <= horizon) {
+            try {
+              fs.delete(ptrSt.getPath, false)
+              attempts.foreach(a => fs.delete(a.getPath, true))
+              reaped += unit
+            } catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+    reaped.result()
   }
 }

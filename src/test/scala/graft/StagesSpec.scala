@@ -212,6 +212,58 @@ class StagesSpec extends SparkSpec {
     spark.catalog.clearCache() // jaccardPairs persists its two tables
   }
 
+  test("reapUnreferenced: superseded unit reaped; live and too-young survive") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("reap-spec").toString
+    val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    // three published units in the on-disk layout materialize writes:
+    // <unit>.ptr naming <unit>-attempt-<uuid>, plus a loser attempt
+    def publishUnit(unit: String, ageOld: Boolean): Unit = {
+      val attempt = s"$root/$unit-attempt-deadbeef"
+      val loser = s"$root/$unit-attempt-cafebabe"
+      Seq(attempt, loser).foreach { d =>
+        Files.createDirectories(Paths.get(d))
+        Files.write(Paths.get(d, "part-0.parquet"), Array[Byte](1, 2))
+      }
+      Files.write(Paths.get(s"$root/$unit.ptr"),
+        (attempt + "\n#end").getBytes("UTF-8"))
+      if (ageOld) Seq(s"$root/$unit.ptr", attempt, loser).foreach { f =>
+        Files.setLastModifiedTime(Paths.get(f), FileTime.fromMillis(oldMs))
+      }
+    }
+    publishUnit("live_stage-aaaaaaaaaaaa", ageOld = true)
+    publishUnit("dead_stage-bbbbbbbbbbbb", ageOld = true)
+    publishUnit("young_stage-cccccccccccc", ageOld = false)
+    val reaped = Stages.reapUnreferenced(spark, root,
+      liveUnits = Set("live_stage-aaaaaaaaaaaa"), minAgeDays = 7)
+    assert(reaped == Seq("dead_stage-bbbbbbbbbbbb"))
+    def exists(p: String) = Files.exists(Paths.get(p))
+    // dead: pointer and BOTH attempts gone
+    assert(!exists(s"$root/dead_stage-bbbbbbbbbbbb.ptr"))
+    assert(!exists(s"$root/dead_stage-bbbbbbbbbbbb-attempt-deadbeef"))
+    assert(!exists(s"$root/dead_stage-bbbbbbbbbbbb-attempt-cafebabe"))
+    // live (old but referenced) and young (unreferenced but recent) intact
+    for (u <- Seq("live_stage-aaaaaaaaaaaa", "young_stage-cccccccccccc")) {
+      assert(exists(s"$root/$u.ptr"), s"$u pointer must survive")
+      assert(exists(s"$root/$u-attempt-deadbeef"), s"$u attempt must survive")
+    }
+    // a second pass is a no-op (idempotent)
+    assert(Stages.reapUnreferenced(spark, root,
+      Set("live_stage-aaaaaaaaaaaa"), 7).isEmpty)
+  }
+
+  test("liveStageUnits names every unit this JVM resolved") {
+    Stages.materialize(spark, "spec_live_units", "/tmp/spec-in") {
+      spark.range(2).toDF("id")
+    }
+    val units = Stages.liveStageUnits
+    assert(units.exists(_.startsWith("spec_live_units-")),
+      s"resolved unit missing from live set: $units")
+    assert(units.forall(!_.contains("-attempt-")),
+      "live units must be pointer basenames, not attempt paths")
+  }
+
   test("fast28 (library default) and h28 (oracle parity) make the same dedup decisions") {
     // The two families produce different signatures, but the surviving
     // near-dup PAIRS must agree: banding only proposes candidates and
