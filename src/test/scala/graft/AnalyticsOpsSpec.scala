@@ -56,6 +56,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!u2._6, "complete journey must not be flagged capped")
   }
 
+  test("seqPattern: one-timestamp pile-up straddling the cap cuts by event_id") {
+    val cap = Events.SeqPatternMaxEvents
+    val t = ts(1, 1)
+    // cap+4 events ALL on one timestamp: rn is decided purely by the
+    // event_id tie-break. The only purchase sits at event_id cap+1 —
+    // rn=cap+1, exactly the probe row — so converted stays false,
+    // n_events stays cap, and capped flips true.
+    val rows = (1 to cap + 4).map { i =>
+      (i.toLong, t, 1L, if (i == cap + 1) "purchase" else "view", 1.0, "{}")
+    }
+    val got = Events.seqPattern(spark, eventsDir(rows))
+      .as[(Long, Long, String, Boolean, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, cap.toLong, "v" * cap, false, 0L, true)))
+  }
+
+  test("seqPattern: purchase exactly AT the cap converts; no flag at exactly cap events") {
+    val cap = Events.SeqPatternMaxEvents
+    val rows = (1 to cap).map { i =>
+      (i.toLong, new Timestamp(86400000L + i * 1000L), 1L,
+        if (i == cap) "purchase" else "view", 1.0, "{}")
+    }
+    val got = Events.seqPattern(spark, eventsDir(rows))
+      .as[(Long, Long, String, Boolean, Long, Boolean)].collect().toSeq
+    assert(got == Seq((1L, cap.toLong, "v" * (cap - 1) + "p", true, 0L, false)))
+  }
+
   test("seqPattern: same-timestamp ties break by event_id") {
     val t = ts(1, 1)
     val dir = eventsDir(Seq(

@@ -74,6 +74,31 @@ class GapFillSpec extends SparkSpec {
       "every row of a truncated user must carry the clamped flag")
   }
 
+  test("gapFill: clamp off-by-one edges — d0+729 inside, d0+730 outside") {
+    val span = Events.GapFillMaxSpanDays // 730: grid covers d0..d0+729
+    // user 1: activity at exactly d0 and d0+729 — the LAST grid day.
+    // Full grid, nothing dropped, clamped must be FALSE.
+    // user 2: activity at exactly d0 and d0+730 — one past the edge.
+    // Same 730-day grid, the far day is dropped, clamped TRUE on
+    // every row and no row carries its observation.
+    val dir = eventsDir(Seq(
+      (1L, new Timestamp(0L), 1L, "view", 1.0, "{}"),
+      (2L, new Timestamp((span - 1) * 86400000L), 1L, "view", 1.0, "{}"),
+      (3L, new Timestamp(0L), 2L, "view", 1.0, "{}"),
+      (4L, new Timestamp(span * 86400000L), 2L, "view", 1.0, "{}")))
+    val got = Events.gapFill(spark, dir)
+      .as[(Long, Long, Long, Long, Boolean, Boolean)].collect().toSeq
+    val u1 = got.filter(_._1 == 1L)
+    val u2 = got.filter(_._1 == 2L)
+    assert(u1.length == span.toInt && u2.length == span.toInt)
+    assert(u1.forall(!_._6), "d0+729 activity is inside the grid: not clamped")
+    assert(u1.count(_._3 > 0) == 2, "both observations inside the grid")
+    assert(u1.map(_._2).max == span - 1)
+    assert(u2.forall(_._6), "d0+730 activity is outside: every row flagged")
+    assert(u2.count(_._3 > 0) == 1, "the far observation is dropped")
+    assert(u2.map(_._2).max == span - 1, "grid still ends at d0+729")
+  }
+
   test("hardNegatives: nearest different-label vectors, never same label") {
     val dir = java.nio.file.Files.createTempDirectory("hardneg").toString
     // 64-dim one-hot-ish vectors: queries 0..15 all label 0 except 1;

@@ -175,16 +175,19 @@ object PropertySpecs extends Properties("graft") {
         .write.parquet(s"$dir/events.parquet")
       val expected = all.filter(_._2.isDefined).groupBy(_._3).map {
         case (uid, evs) =>
-          val kept = evs.map { case (eid, ts, _, et) =>
+          val cap = graft.engine.Events.SeqPatternMaxEvents
+          val dated = evs.map { case (eid, ts, _, et) =>
             (ts.get * 1000L, eid, et.map(_.take(1)).getOrElse(""))
-          }.sortBy(identity).take(graft.engine.Events.SeqPatternMaxEvents)
+          }.sortBy(identity)
+          val kept = dated.take(cap)
           val j = kept.map(_._3).mkString
           (uid, (kept.size.toLong, j,
-            "v.*p".r.findFirstIn(j).isDefined, j.count(_ == 'e').toLong))
+            "v.*p".r.findFirstIn(j).isDefined, j.count(_ == 'e').toLong,
+            dated.size > cap))
       }
       val got = graft.engine.Events.seqPattern(spark, dir)
-        .as[(Long, Long, String, Boolean, Long)].collect()
-        .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+        .as[(Long, Long, String, Boolean, Long, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
       Prop(got == expected) :| s"got=$got expected=$expected"
     }
 
