@@ -42,6 +42,11 @@ def int128_cols(rel):
 
 def main(outdir, sfdir):
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp directory, so a heavy oracle
+    # (the recursive-CTE components at 10x SF) aborts with OOM instead
+    # of spilling; give it a spill dir and a bounded budget.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))

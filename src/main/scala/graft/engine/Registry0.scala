@@ -184,6 +184,57 @@ object Registry0 {
       s"CASE WHEN isnan(${m.group(1)}) THEN NULL " +
         s"ELSE try_cast(${m.group(1)} AS ${m.group(2)}) END")
 
+  /** Rewrite every scalar `CAST(expr AS DOUBLE)` to
+    * `CAST(CAST(expr AS VARCHAR) AS DOUBLE)` — the SINGLE-ROUNDING
+    * double projection. Measured (r9, sf1 sweep): DuckDB 1.0's direct
+    * DECIMAL→DOUBLE cast is double-rounded once the unscaled units
+    * exceed 2⁵³ (~25% of sampled wide mantissas land 1 ulp off the
+    * correctly-rounded value Spark's BigDecimal.doubleValue produces —
+    * q_agg_group's sum_charge crossed the line at 10× SF), and
+    * HUGEINT→DOUBLE has the same defect above 2⁶³. The VARCHAR hop is
+    * exact-digits → strtod (DuckDB's fast_float parse is correctly
+    * rounded; probed over 6000 wide decimals: 0 mismatches, and
+    * DOUBLE→VARCHAR is shortest-roundtrip so double inputs are a
+    * no-op). Balanced-paren scan, not a regex: the cast argument is an
+    * arbitrary expression. `AS DOUBLE[]` (array type) is left alone by
+    * the suffix match. */
+  def portableDoubleOut(sql: String): String = {
+    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (upper.startsWith("CAST", i) &&
+          (i == 0 || !Character.isLetterOrDigit(sql(i - 1)) && sql(i - 1) != '_')) {
+        var j = i + 4
+        while (j < sql.length && Character.isWhitespace(sql(j))) j += 1
+        if (j < sql.length && sql(j) == '(') {
+          var depth = 1
+          var k = j + 1
+          while (k < sql.length && depth > 0) {
+            if (sql(k) == '(') depth += 1
+            else if (sql(k) == ')') depth -= 1
+            k += 1
+          }
+          // inner = text between CAST( and its matching ) — recurse so
+          // nested casts inside the argument are rewritten too
+          val inner = sql.substring(j + 1, k - 1)
+          val innerUpper = inner.toUpperCase(java.util.Locale.ROOT).stripTrailing()
+          val m = "\\s+AS\\s+DOUBLE$".r
+          m.findFirstMatchIn(innerUpper) match {
+            case Some(mm) =>
+              val arg = inner.substring(0, mm.start)
+              out.append("CAST(CAST(").append(portableDoubleOut(arg))
+                .append(" AS VARCHAR) AS DOUBLE)")
+            case None =>
+              out.append("CAST(").append(portableDoubleOut(inner)).append(')')
+          }
+          i = k
+        } else { out.append(sql(i)); i += 1 }
+      } else { out.append(sql(i)); i += 1 }
+    }
+    out.toString
+  }
+
   def canonDocs(sql: String): String =
     injectCte(sql, "documents", "docs", DocsCte)
 
@@ -194,9 +245,16 @@ object Registry0 {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
+  // portableDoubleOut runs FIRST, on the RAW oracle text: the injected
+  // doc/vec/dim CTEs are shared constants whose one scalar float→double
+  // cast (VecsCte's norm lambda) must stay a direct widening — a
+  // float's shortest VARCHAR repr parses to a DIFFERENT double than
+  // exact widening, so the hop is only valid on decimal/integer/double
+  // arguments, which is all the raw oracle strings contain.
   def e(fn: (SparkSession, String) => DataFrame, sql: String): Entry =
     Entry((s, d) => portableOrder(fn(s, d)),
-      Some(canonDims(canonVecs(canonDocs(portableCasts(sql))))))
+      Some(canonDims(canonVecs(canonDocs(portableCasts(
+        portableDoubleOut(sql)))))))
 
   /** Entry whose oracle reads the RAW dimension tables — for audits
     * that measure exactly what the canonical views repair (injecting
@@ -205,7 +263,7 @@ object Registry0 {
   def eRawDims(fn: (SparkSession, String) => DataFrame,
       sql: String): Entry =
     Entry((s, d) => portableOrder(fn(s, d)),
-      Some(canonVecs(canonDocs(portableCasts(sql)))))
+      Some(canonVecs(canonDocs(portableCasts(portableDoubleOut(sql))))))
 
   /** Entry with no SQL-expressible oracle (driver records rows-only). */
   def noOracle(fn: (SparkSession, String) => DataFrame): Entry =

@@ -39,14 +39,19 @@ object Types {
   /** Final cast for aggregate outputs.
     *
     * Decimal arithmetic stays INTERNAL (exact, order-free sums); the
-    * declared query OUTPUT is always DOUBLE. Decimal→double conversion is
-    * correctly rounded in both engines (Spark via BigDecimal.doubleValue;
-    * DuckDB divides the exact unscaled integer by the exactly-
-    * representable power of ten), so on identical exact decimals the
-    * output bits are identical — while DECIMAL *output* columns hash
-    * differently under the driver's canonicalization (the round-1 lesson:
-    * 16 value-exact queries were hash-red purely from DECIMAL(38,_)
-    * output types). Every oracle mirrors with CAST(... AS DOUBLE). */
+    * declared query OUTPUT is always DOUBLE. Spark's decimal→double is
+    * correctly rounded (BigDecimal.doubleValue). DuckDB's direct
+    * DECIMAL→DOUBLE is NOT once the unscaled units exceed 2⁵³ — it
+    * double-rounds (int→double then the scale divide; measured in the
+    * r9 sf1 sweep when q_agg_group's sum_charge crossed the line) — so
+    * every oracle mirror routes the projection through VARCHAR
+    * (exact digits → correctly-rounded strtod; the automatic
+    * Registry0.portableDoubleOut rewrite), making both engines a
+    * SINGLE correctly-rounded conversion of the same exact decimal.
+    * DECIMAL *output* columns would hash differently under the
+    * driver's canonicalization (the round-1 lesson: 16 value-exact
+    * queries were hash-red purely from DECIMAL(38,_) output types),
+    * hence DOUBLE outputs, exactly projected. */
   def outD(c: Column): Column = c.cast(DoubleType)
 
   /** Caller-requested dtype coercion, the documented intent of
