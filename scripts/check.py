@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: run DuckDB oracle SQL
 against the same parquet tables and compare with the Spark Verify dump.
 
-Usage: python3 scripts/check.py <verify_out_dir> <sf_dir>
+Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [q1,q2,...]
 """
 import sys, json, glob, decimal
 import duckdb
@@ -40,66 +40,85 @@ def int128_cols(rel):
             if str(t) in ("HUGEINT", "UHUGEINT")
             or str(t).startswith("DECIMAL(38")]
 
-def main(outdir, sfdir):
+def connect(sfdir):
     con = duckdb.connect()
     # An in-memory DuckDB has NO temp directory, so a heavy oracle
     # (the recursive-CTE components at 10x SF) aborts with OOM instead
-    # of spilling; give it a spill dir and a bounded budget.
+    # of spilling; give it a spill dir and a bounded budget. Few
+    # threads: per-eval memory scales with threads, and the recursive
+    # components oracles re-evaluate the whole shingle pipeline per
+    # iteration (DuckDB 1.0 can't safely materialize a CTE referenced
+    # from a recursive term — it returns a wrong fixpoint, measured),
+    # so several evaluations' buffers coexist.
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='48GB'")
+    con.execute("SET memory_limit='96GB'")
+    con.execute("SET threads=4")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    return con
+
+def check_one(con, outdir, name, sql):
+    """Returns True iff the query matches its oracle (prints verdict)."""
+    try:
+        want = con.sql(sql)
+        huge = int128_cols(want)
+        if huge:
+            print(f"FAIL {name}: int128-typed oracle columns {huge} "
+                  "(driver hashes these as float64 — CAST AS BIGINT)")
+            return False
+        wvals = fetch(want)
+    except Exception as ex:
+        print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
+        return False
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        return False
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        gvals = fetch(got)
+    except Exception as ex:
+        print(f"FAIL {name}: spark read error: {str(ex)[:200]}")
+        return False
+    if sorted(want.columns) != sorted(got.columns):
+        print(f"FAIL {name}: cols oracle={sorted(want.columns)} spark={sorted(got.columns)}")
+        return False
+    if len(wvals) != len(gvals):
+        print(f"FAIL {name}: rows oracle={len(wvals)} spark={len(gvals)}")
+        return False
+    if wvals == gvals:
+        print(f"ok   {name} ({len(wvals)} rows)")
+        return True
+    if sorted(wvals) == sorted(gvals):
+        # order drift is a real failure: the driver hashes in row order
+        print(f"FAIL {name}: values match only after row sort (non-total ORDER BY?)")
+        return False
+    diffs = [(i, a, b) for i, (a, b) in enumerate(zip(wvals, gvals)) if a != b][:3]
+    extra = f" first diffs: {diffs}" if diffs else " (multiset differs)"
+    print(f"FAIL {name}: value mismatch{extra}")
+    return False
+
+def main(outdir, sfdir, only=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name in sorted(oracle):
-        sql = oracle[name]
+        # Fresh connection per query: one heavy oracle must not leave
+        # the buffer pool in a state that OOMs its innocent successors
+        # (measured at 10x SF: q_window_rank failed purely from running
+        # after the components CTE on a shared connection).
+        con = connect(sfdir)
         try:
-            want = con.sql(sql)
-            huge = int128_cols(want)
-            if huge:
-                print(f"FAIL {name}: int128-typed oracle columns {huge} "
-                      "(driver hashes these as float64 — CAST AS BIGINT)")
+            if check_one(con, outdir, name, oracle[name]):
+                n_ok += 1
+            else:
                 n_bad += 1
-                continue
-            wvals = fetch(want)
-        except Exception as ex:
-            print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
-            n_bad += 1
-            continue
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
-            n_bad += 1
-            continue
-        try:
-            got = con.sql(f"SELECT * FROM read_parquet({files!r})")
-            gvals = fetch(got)
-        except Exception as ex:
-            print(f"FAIL {name}: spark read error: {str(ex)[:200]}")
-            n_bad += 1
-            continue
-        if sorted(want.columns) != sorted(got.columns):
-            print(f"FAIL {name}: cols oracle={sorted(want.columns)} spark={sorted(got.columns)}")
-            n_bad += 1
-            continue
-        if len(wvals) != len(gvals):
-            print(f"FAIL {name}: rows oracle={len(wvals)} spark={len(gvals)}")
-            n_bad += 1
-            continue
-        if wvals == gvals:
-            print(f"ok   {name} ({len(wvals)} rows)")
-            n_ok += 1
-        elif sorted(wvals) == sorted(gvals):
-            # order drift is a real failure: the driver hashes in row order
-            print(f"FAIL {name}: values match only after row sort (non-total ORDER BY?)")
-            n_bad += 1
-        else:
-            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(wvals, gvals)) if a != b][:3]
-            extra = f" first diffs: {diffs}" if diffs else " (multiset differs)"
-            print(f"FAIL {name}: value mismatch{extra}")
-            n_bad += 1
+        finally:
+            con.close()
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

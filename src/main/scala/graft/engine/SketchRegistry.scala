@@ -28,8 +28,11 @@ object SketchRegistry {
          | g AS (SELECT source, count(DISTINCT b) AS filled,
          |   count(DISTINCT sh) AS "exact" FROM hb GROUP BY 1)
          |SELECT source, filled, "exact",
-         | CAST(floor(-$lc.0 * ln(1.0 - CAST(filled AS DOUBLE)/$lc.0))
-         |   AS BIGINT) AS est
+         |-- saturated sketch (every bucket occupied): ln(0) is
+         |-- undefined — NULL in both engines, mirrored in Sketches
+         | CASE WHEN filled >= $lc THEN NULL ELSE
+         |  CAST(floor(-$lc.0 * ln(1.0 - CAST(filled AS DOUBLE)/$lc.0))
+         |   AS BIGINT) END AS est
          |FROM g ORDER BY source, filled, "exact", est""".stripMargin),
 
     "q_cms_topk" -> e(Sketches.cmsTopk,

@@ -65,6 +65,14 @@ object Sketches {
     * each 3-token shingle's stored hash into m buckets, count occupied
     * buckets f, estimate n̂ = −m·ln(1 − f/m).
     *
+    * Saturation (caught by the r9 10× sweep): once a source's distinct
+    * count pushes EVERY bucket occupied, the estimator's ln(0) is
+    * undefined — Spark's log returned NULL while DuckDB's ln threw, a
+    * cross-engine crash divergence. A saturated sketch now reports est
+    * NULL explicitly in both engines (the honest answer: the estimate
+    * is unbounded-below-by-data; a deployment sizing m for its corpus
+    * reads NULL as "raise [[LcBuckets]]").
+    *
     * The `exact` column (a real COUNT(DISTINCT shingle)) is the
     * verification column for the oracle gate; a production pipeline
     * drops it — the sketch path's shuffle then carries at most m
@@ -78,8 +86,9 @@ object Sketches {
       .agg(countDistinct(col("b")).as("filled"),
         countDistinct(col("sh")).as("exact"))
       .withColumn("est",
-        floor(lit(-m.toDouble) *
-          log(lit(1.0) - col("filled").cast("double") / lit(m.toDouble))))
+        when(col("filled") >= m, lit(null).cast("long"))
+          .otherwise(floor(lit(-m.toDouble) *
+            log(lit(1.0) - col("filled").cast("double") / lit(m.toDouble)))))
       .orderBy("source", "filled", "exact", "est")
   }
 

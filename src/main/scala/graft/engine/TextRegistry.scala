@@ -265,6 +265,12 @@ object TextRegistry {
     }),
 
     "q_dup_clusters" -> e(TextOps.dupClusters,
+      // NO MATERIALIZED here: DuckDB 1.0 returns a WRONG fixpoint when
+      // a materialized CTE is referenced from a recursive term
+      // (measured r9: a 6-iteration probe stopped at 1). The price is
+      // per-iteration re-evaluation of the shingle pipeline — the 10x
+      // oracle harness absorbs it with threads=4 + spill (check.py);
+      // closure depth is near-dup-cluster diameter, typically 2-3.
       s"""WITH RECURSIVE $ngramPairCtes,
          | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
          | sym AS (SELECT a AS x, b AS y FROM pr
@@ -278,6 +284,7 @@ object TextRegistry {
          |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "q_cluster_sizes" -> e(TextOps.clusterSizes,
+      // no MATERIALIZED in a recursive WITH — see q_dup_clusters
       s"""WITH RECURSIVE $ngramPairCtes,
          | pr AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
          | sym AS (SELECT a AS x, b AS y FROM pr
@@ -1007,8 +1014,13 @@ object TextRegistry {
            |   150000 + sum(($prev.pr * 17) // (20 * adj.deg)) AS pr
            |  FROM adj JOIN $prev ON $prev.node = adj.src GROUP BY 1)"""
           .stripMargin
+      // ed MATERIALIZED: referenced (transitively) by every unrolled
+      // round — inlined, DuckDB re-evaluates the whole shingle+band
+      // pipeline per reference, which OOM'd the 10x sweep; the edge
+      // list itself is tiny
       s"""WITH $ngramPairCtes,
-         | ed AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | ed AS MATERIALIZED (SELECT a, b FROM p
+         |   WHERE jacc >= ${TextOps.NearDupJaccard}),
          | e AS (SELECT a AS src, b AS dst FROM ed
          |   UNION ALL SELECT b AS src, a AS dst FROM ed),
          | dg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
@@ -1028,7 +1040,8 @@ object TextRegistry {
       // per-node counts; coef6 is exact integer fixed-point (2T·10⁶
       // floor-divided by deg·(deg−1)) — Components.triangles' mirror
       s"""WITH $ngramPairCtes,
-         | ed AS (SELECT a, b FROM p WHERE jacc >= ${TextOps.NearDupJaccard}),
+         | ed AS MATERIALIZED (SELECT a, b FROM p
+         |   WHERE jacc >= ${TextOps.NearDupJaccard}),
          | wd AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
          |   FROM ed e1 JOIN ed e2 ON e1.b = e2.a),
          | tri AS (SELECT x, y, z FROM wd WHERE EXISTS
