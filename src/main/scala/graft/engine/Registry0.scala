@@ -122,28 +122,104 @@ object Registry0 {
       injectCte(acc, table, cteName, cte)
     }
 
-  /** Replace whole-word `table` with `cteName` OUTSIDE single-quoted
-    * SQL string literals, double-quoted identifiers, and `--` line
-    * comments — a table word inside a literal (e.g. the PII scrub
-    * regex '\b(customer|...)\b'), inside a quoted alias ("part"), or
-    * inside a comment is not a table reference, and rewriting it would
-    * silently change (or cosmetically corrupt) the oracle. The split
-    * regex treats an escaped '' as two adjacent literals, which
-    * replaces nothing between them — harmless. */
-  private def replaceTableWord(sql: String, table: String,
-      cteName: String): String = {
+  /** Apply `f` to the CODE segments of `sql` — everything outside
+    * single-quoted SQL string literals, double-quoted identifiers, and
+    * `--` line comments — leaving those lexical islands verbatim. The
+    * shared lexer behind every oracle-text rewrite in this object: a
+    * table word / CAST inside a literal (e.g. the PII scrub regex
+    * '\b(customer|...)\b'), a quoted alias ("part"), or a comment is
+    * not SQL, and rewriting it would silently change (or cosmetically
+    * corrupt) the oracle. The regex treats an escaped '' as one
+    * literal (the `''` alternative keeps scanning). */
+  private def mapCode(sql: String)(f: String => String): String = {
     val lit = "('(?:[^']|'')*')|(\"[^\"]*\")|(--[^\n]*)".r
     val sb = new StringBuilder
     var last = 0
     for (m <- lit.findAllMatchIn(sql)) {
-      sb.append(sql.substring(last, m.start)
-        .replaceAll(s"\\b$table\\b", cteName))
+      sb.append(f(sql.substring(last, m.start)))
       sb.append(m.matched)
       last = m.end
     }
-    sb.append(sql.substring(last).replaceAll(s"\\b$table\\b", cteName))
+    sb.append(f(sql.substring(last)))
     sb.toString
   }
+
+  /** Per-character mask over `sql`: true where the character lies
+    * inside a literal / quoted identifier / `--` comment (the same
+    * three lexical classes [[mapCode]] skips — kept in lock-step).
+    * Used by [[portableDoubleOut]], whose balanced-paren scan must
+    * IGNORE parens inside these islands but still scan ACROSS them
+    * (a CAST argument may contain a regex literal like '\('). */
+  private def maskedSpans(sql: String): Array[Boolean] = {
+    val masked = new Array[Boolean](sql.length)
+    var i = 0
+    while (i < sql.length) {
+      sql(i) match {
+        case '\'' =>
+          var j = i + 1
+          var open = true
+          while (j < sql.length && open) {
+            if (sql(j) == '\'') {
+              if (j + 1 < sql.length && sql(j + 1) == '\'') j += 2
+              else { open = false; j += 1 }
+            } else j += 1
+          }
+          java.util.Arrays.fill(masked, i, j, true); i = j
+        case '"' =>
+          var j = i + 1
+          while (j < sql.length && sql(j) != '"') j += 1
+          if (j < sql.length) j += 1
+          java.util.Arrays.fill(masked, i, j, true); i = j
+        case '-' if i + 1 < sql.length && sql(i + 1) == '-' =>
+          var j = i + 2
+          while (j < sql.length && sql(j) != '\n') j += 1
+          java.util.Arrays.fill(masked, i, j, true); i = j
+        case _ => i += 1
+      }
+    }
+    masked
+  }
+
+  /** True when position `pos` of `s` falls inside an unterminated
+    * `--` comment. Lexes from the start (same three island classes as
+    * [[maskedSpans]]) rather than consulting the mask, because a mask
+    * lookup cannot tell "ends inside an open comment" apart from
+    * "ends at the close of a literal" — and abutting islands
+    * ('lit'--cmt) merge into one masked run. */
+  private def inOpenComment(s: String, pos: Int): Boolean = {
+    var i = 0
+    var open = false
+    while (i < pos && !open) {
+      s(i) match {
+        case '\'' =>
+          var j = i + 1
+          var lit = true
+          while (j < s.length && lit) {
+            if (s(j) == '\'') {
+              if (j + 1 < s.length && s(j + 1) == '\'') j += 2
+              else { lit = false; j += 1 }
+            } else j += 1
+          }
+          i = j
+        case '"' =>
+          var j = i + 1
+          while (j < s.length && s(j) != '"') j += 1
+          i = if (j < s.length) j + 1 else j
+        case '-' if i + 1 < s.length && s(i + 1) == '-' =>
+          var j = i + 2
+          while (j < s.length && s(j) != '\n') j += 1
+          if (j >= pos) open = true else i = j
+        case _ => i += 1
+      }
+    }
+    open
+  }
+
+  /** Replace whole-word `table` with `cteName` in code segments only
+    * (see [[mapCode]]). */
+  private def replaceTableWord(sql: String, table: String,
+      cteName: String): String =
+    mapCode(sql)(_.replaceAll(s"\\b$table\\b", cteName))
 
   /** Redirect an oracle's references to `table` to the canonical CTE
     * `cteName`, prepending `cte` to the WITH list (after RECURSIVE,
@@ -180,9 +256,9 @@ object Registry0 {
   private val DecCast =
     "(?i)CAST\\(\\s*([A-Za-z_][A-Za-z0-9_.]*)\\s+AS\\s+(DECIMAL\\(\\d+,\\s*\\d+\\))\\)".r
   def portableCasts(sql: String): String =
-    DecCast.replaceAllIn(sql, m =>
+    mapCode(sql)(DecCast.replaceAllIn(_, m =>
       s"CASE WHEN isnan(${m.group(1)}) THEN NULL " +
-        s"ELSE try_cast(${m.group(1)} AS ${m.group(2)}) END")
+        s"ELSE try_cast(${m.group(1)} AS ${m.group(2)}) END"))
 
   /** Rewrite every scalar `CAST(expr AS DOUBLE)` to
     * `CAST(CAST(expr AS VARCHAR) AS DOUBLE)` — the SINGLE-ROUNDING
@@ -196,14 +272,21 @@ object Registry0 {
     * rounded; probed over 6000 wide decimals: 0 mismatches, and
     * DOUBLE→VARCHAR is shortest-roundtrip so double inputs are a
     * no-op). Balanced-paren scan, not a regex: the cast argument is an
-    * arbitrary expression. `AS DOUBLE[]` (array type) is left alone by
-    * the suffix match. */
+    * arbitrary expression. Lexer-aware ([[maskedSpans]]): a `CAST`
+    * word inside a literal or `--` comment is never matched, a paren
+    * inside a literal (regex '\(') or a comment never moves the depth
+    * counter, and the `AS DOUBLE` suffix must itself be code. Matching
+    * is `regionMatches(ignoreCase)` on the ORIGINAL string — no
+    * uppercased-copy index arithmetic, so non-ASCII text whose case
+    * mapping changes length (e.g. 'ß' → "SS") cannot misalign the
+    * slice. `AS DOUBLE[]` (array type) is left alone by the suffix
+    * match. */
   def portableDoubleOut(sql: String): String = {
-    val upper = sql.toUpperCase(java.util.Locale.ROOT)
+    val masked = maskedSpans(sql)
     val out = new StringBuilder
     var i = 0
     while (i < sql.length) {
-      if (upper.startsWith("CAST", i) &&
+      if (!masked(i) && sql.regionMatches(true, i, "CAST", 0, 4) &&
           (i == 0 || !Character.isLetterOrDigit(sql(i - 1)) && sql(i - 1) != '_')) {
         var j = i + 4
         while (j < sql.length && Character.isWhitespace(sql(j))) j += 1
@@ -211,21 +294,28 @@ object Registry0 {
           var depth = 1
           var k = j + 1
           while (k < sql.length && depth > 0) {
-            if (sql(k) == '(') depth += 1
-            else if (sql(k) == ')') depth -= 1
+            if (!masked(k)) {
+              if (sql(k) == '(') depth += 1
+              else if (sql(k) == ')') depth -= 1
+            }
             k += 1
           }
           // inner = text between CAST( and its matching ) — recurse so
           // nested casts inside the argument are rewritten too
           val inner = sql.substring(j + 1, k - 1)
-          val innerUpper = inner.toUpperCase(java.util.Locale.ROOT).stripTrailing()
-          val m = "\\s+AS\\s+DOUBLE$".r
-          m.findFirstMatchIn(innerUpper) match {
-            case Some(mm) =>
+          val maskedInner = maskedSpans(inner)
+          val m = "(?i)\\s+AS\\s+DOUBLE\\s*$".r
+          m.findFirstMatchIn(inner) match {
+            case Some(mm) if !(mm.start until inner.length)
+                .exists(maskedInner(_)) =>
               val arg = inner.substring(0, mm.start)
+              // an arg ending inside a -- comment (its newline was
+              // consumed by the AS-DOUBLE whitespace) would swallow
+              // the appended text — re-terminate the comment
+              val sep = if (inOpenComment(inner, mm.start)) "\n" else ""
               out.append("CAST(CAST(").append(portableDoubleOut(arg))
-                .append(" AS VARCHAR) AS DOUBLE)")
-            case None =>
+                .append(sep).append(" AS VARCHAR) AS DOUBLE)")
+            case _ =>
               out.append("CAST(").append(portableDoubleOut(inner)).append(')')
           }
           i = k
