@@ -23,6 +23,10 @@ import org.apache.spark.sql.types.LongType
 object TextOps {
   import PortableHash.{h28, fast28, minhashJ, P}
 
+  // Spark's slf4j binding — warnings land in the same log stream as
+  // executor/driver logs instead of a bare System.err line
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.dedup")
+
   val NumHashes = 12
   val Bands = 4 // 4 bands × 3 rows
 
@@ -228,10 +232,18 @@ object TextOps {
             "built with (PortableHash.h28 for the staged oracle tables, " +
             "fast28 for the library default).")
       case None =>
-        val s = corpusSig.sparkSession
-        if (PortableHash.familyFingerprint(s, hash) !=
-            PortableHash.familyFingerprint(s, fast28)) {
-          System.err.println("[dedup] corpusSig carries no hash-family " +
+        // canonical-tree comparison first — free, no Spark job, and
+        // the common default-`hash` call is decided right here. Only
+        // a DIFFERENT tree falls back to the behavioral fingerprint
+        // (memoized: at most one tiny job per family per JVM), so an
+        // equivalent reformulation of the default family still avoids
+        // a spurious warning.
+        val probe = lit("graft:family:probe:0")
+        lazy val s = corpusSig.sparkSession
+        if (hash(probe).toString != fast28(probe).toString &&
+            PortableHash.familyFingerprint(s, hash) !=
+              PortableHash.familyFingerprint(s, fast28)) {
+          logger.warn("corpusSig carries no hash-family " +
             "stamp but a non-default `hash` was passed — the family " +
             "match CANNOT be verified. If the frame was built with a " +
             "different family, dedup will silently drop nothing; " +
