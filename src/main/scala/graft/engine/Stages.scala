@@ -58,6 +58,11 @@ object Stages {
       p.toString
     }
 
+  /** The root this JVM's stages resolve under — for operational tools
+    * ([[graft.StageGc]]) that must reap the same root the library
+    * writes to. */
+  def defaultRoot: String = root
+
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val buildLock = new Object
 
@@ -337,11 +342,24 @@ object Stages {
     * running job's lifetime (default mirrors [[ReapAgeMs]]'s
     * leak-over-break bias): a reader that resolved the pointer before
     * the reap and is still mid-scan is the one race this cannot see,
-    * and the age gate is what makes it implausible. Best-effort per
-    * unit (a concurrent reaper may have raced us); returns the reaped
-    * unit names. */
+    * and the age gate is what makes it implausible. A second pass
+    * collects POINTERLESS orphan attempt directories — debris from a
+    * publish that crashed before its pointer write, or from a prior
+    * reaper that deleted the pointer then died mid-attempt-delete;
+    * such attempts are invisible by protocol so only the age gate
+    * (a publish older than the horizon is dead, not slow) guards an
+    * in-flight publisher. Both passes work off one upfront listStatus
+    * snapshot: an attempt created between listing and deletion simply
+    * survives until a later pass. Best-effort per unit (a concurrent
+    * reaper may have raced us); returns the reaped unit names, with
+    * orphan attempts reported by their full directory name.
+    *
+    * Operational entry point: [[graft.StageGc]] (a main) warms every
+    * declared stage, resolves [[liveStageUnits]], and runs this with a
+    * `--dry-run` mode — suitable for a cron on a persistent root. */
   def reapUnreferenced(s: SparkSession, root: String,
-      liveUnits: Set[String], minAgeDays: Int = 7): Seq[String] = {
+      liveUnits: Set[String], minAgeDays: Int = 7,
+      dryRun: Boolean = false): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
@@ -349,6 +367,9 @@ object Stages {
     val horizon =
       System.currentTimeMillis() - minAgeDays.toLong * 24 * 3600 * 1000
     val reaped = Seq.newBuilder[String]
+    val ptrUnits = entries.iterator
+      .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".ptr"))
+      .map(_.getPath.getName.dropRight(4)).toSet
     entries.iterator
       .filter(st => !st.isDirectory && st.getPath.getName.endsWith(".ptr"))
       .foreach { ptrSt =>
@@ -360,11 +381,29 @@ object Stages {
             attempts.map(_.getModificationTime).toSeq).max
           if (newest <= horizon) {
             try {
-              fs.delete(ptrSt.getPath, false)
-              attempts.foreach(a => fs.delete(a.getPath, true))
+              if (!dryRun) {
+                fs.delete(ptrSt.getPath, false)
+                attempts.foreach(a => fs.delete(a.getPath, true))
+              }
               reaped += unit
             } catch { case _: java.io.IOException => () }
           }
+        }
+      }
+    // orphan pass: attempts whose unit has no pointer in the snapshot
+    entries.iterator
+      .filter { st =>
+        st.isDirectory && st.getPath.getName.contains("-attempt-")
+      }
+      .foreach { st =>
+        val name = st.getPath.getName
+        val unit = name.substring(0, name.lastIndexOf("-attempt-"))
+        if (!ptrUnits.contains(unit) && !liveUnits.contains(unit) &&
+            st.getModificationTime <= horizon) {
+          try {
+            if (!dryRun) fs.delete(st.getPath, true)
+            reaped += name
+          } catch { case _: java.io.IOException => () }
         }
       }
     reaped.result()

@@ -253,6 +253,40 @@ class StagesSpec extends SparkSpec {
       Set("live_stage-aaaaaaaaaaaa"), 7).isEmpty)
   }
 
+  test("reapUnreferenced: pointerless orphan attempts collected, age-gated") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("reap-orphan-spec").toString
+    val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    // debris shapes: a publish that died before its pointer write (old
+    // + young), and an old orphan whose unit the JVM still references
+    def orphan(unit: String, ageOld: Boolean): String = {
+      val d = s"$root/$unit-attempt-0ddba11"
+      Files.createDirectories(Paths.get(d))
+      Files.write(Paths.get(d, "part-0.parquet"), Array[Byte](1))
+      if (ageOld)
+        Files.setLastModifiedTime(Paths.get(d), FileTime.fromMillis(oldMs))
+      d
+    }
+    val dead = orphan("crashed_pub-dddddddddddd", ageOld = true)
+    val young = orphan("young_pub-eeeeeeeeeeee", ageOld = false)
+    val live = orphan("live_pub-ffffffffffff", ageOld = true)
+    def exists(p: String) = Files.exists(Paths.get(p))
+    // dry run: reports the dead orphan, deletes nothing
+    val dry = Stages.reapUnreferenced(spark, root,
+      liveUnits = Set("live_pub-ffffffffffff"), minAgeDays = 7,
+      dryRun = true)
+    assert(dry == Seq("crashed_pub-dddddddddddd-attempt-0ddba11"))
+    assert(exists(dead) && exists(young) && exists(live))
+    // real run: only the old, unreferenced, pointerless orphan goes
+    val reaped = Stages.reapUnreferenced(spark, root,
+      liveUnits = Set("live_pub-ffffffffffff"), minAgeDays = 7)
+    assert(reaped == Seq("crashed_pub-dddddddddddd-attempt-0ddba11"))
+    assert(!exists(dead), "old pointerless orphan must be collected")
+    assert(exists(young), "young orphan must survive the age gate")
+    assert(exists(live), "live unit's attempt must survive pointerless")
+  }
+
   test("liveStageUnits names every unit this JVM resolved") {
     Stages.materialize(spark, "spec_live_units", "/tmp/spec-in") {
       spark.range(2).toDF("id")
