@@ -15,23 +15,27 @@ object Bench {
     case c => c.toString
   } + "\""
 
-  /** Queries whose first-pass time exceeds max(2 s, 3× the run's
-    * median) — candidates for one re-timed sample. Transient machine
-    * contention can hand a single sample a 5-10× stall (round 7:
-    * q_session_paths drew 15.1 s in the driver run vs 2.1 s
-    * controlled, faking a +13% headline regression); a one-shot sample
-    * cannot distinguish that from a plan change, so outliers are
-    * re-run once and the MIN of the two samples is reported — min, not
-    * mean, because contention only ever adds time. The correction is
-    * disclosed, not hidden: `outliers_retimed` counts the re-runs.
-    * Capped at the [[MaxRetimes]] slowest so a pathologically
-    * contended first pass (dozens over threshold) cannot double the
-    * bench's wall clock — the cap only limits extra sampling, never
-    * drops a measurement. */
+  /** Queries whose first-pass time exceeds 3× the run's median —
+    * candidates for one re-timed sample. Transient machine contention
+    * can hand a single sample a 5-10× stall (round 7: q_session_paths
+    * drew 15.1 s in the driver run vs 2.1 s controlled, faking a +13%
+    * headline regression); a one-shot sample cannot distinguish that
+    * from a plan change, so outliers are re-run once and the MIN of
+    * the two samples is reported — min, not mean, because contention
+    * only ever adds time. The rule is median-RELATIVE only (no flat
+    * floor): a flat 2 s trigger is scale-blind — at sf1 the whole
+    * legitimate heavy tail cleared it and the run mass-retimed
+    * straight into the cap, making min-of-two the NORM at any larger
+    * SF rather than a contention correction. The correction is
+    * disclosed, not hidden: `outliers_retimed` counts the re-runs and
+    * `first_pass` records both samples. Capped at the [[MaxRetimes]]
+    * slowest so a pathologically contended first pass (dozens over
+    * threshold) cannot double the bench's wall clock — the cap only
+    * limits extra sampling, never drops a measurement. */
   private[graft] def outlierSet(times: Map[String, Double]): Set[String] = {
     val sorted = times.values.toSeq.sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val threshold = math.max(2.0, 3.0 * median)
+    val threshold = 3.0 * median
     times.filter(_._2 > threshold).toSeq
       .sortBy(-_._2).take(MaxRetimes).map(_._1).toSet
   }

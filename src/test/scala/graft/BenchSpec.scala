@@ -12,9 +12,27 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.outlierSet(times) == Set("q_slow"))
   }
 
-  test("genuinely heavy queries above 2s are re-timed too (min-of-two is harmless)") {
+  test("a query 3x over a sub-second median is re-timed (no flat floor)") {
     val times = (1 to 20).map(i => s"q$i" -> 0.5).toMap + ("q_lsh" -> 3.4)
     assert(Bench.outlierSet(times) == Set("q_lsh"))
+    // under the old max(2s, 3x median) rule a 1.8s sample at a 0.5s
+    // median was exempt; median-relative it is a legitimate candidate
+    assert(Bench.outlierSet(times + ("q_heavy" -> 1.8))
+      == Set("q_lsh", "q_heavy"))
+  }
+
+  test("an sf1-shaped run re-times only genuine spikes, not the heavy tail") {
+    // the r9 sf1 leg's shape: median ~0.8s, a legitimate heavy tail at
+    // 2-6s (16 queries cleared the old flat 2s floor -> mass-retime at
+    // the cap). Median-relative (threshold 2.4s) the 2-2.4s band is
+    // exempt and only the genuinely slow plus a 10x contention spike
+    // re-time — far from the cap.
+    val body = (1 to 160).map(i => s"q$i" -> 0.8).toMap
+    val tail = Map("t1" -> 2.0, "t2" -> 2.1, "t3" -> 2.2, "t4" -> 2.3,
+      "t5" -> 2.9, "t6" -> 3.4, "t7" -> 5.0, "t8" -> 5.9)
+    val got = Bench.outlierSet(body ++ tail + ("q_stall" -> 9.7))
+    assert(got == Set("t5", "t6", "t7", "t8", "q_stall"))
+    assert(got.size < Bench.MaxRetimes)
   }
 
   test("a uniformly slow run re-times nothing — 3x median scales the bar") {
