@@ -3,6 +3,12 @@
 against the same parquet tables and compare with the Spark Verify dump.
 
 Usage: python3 scripts/check.py <verify_out_dir> <sf_dir> [q1,q2,...]
+           [--json <out.json>]
+
+--json writes a CORRECTNESS_r{N}-format artifact (per-query rows_match/
+schema_match/hash_match/spark_rows/oracle_rows/err) so an off-driver
+gate run (e.g. the sf1 scale leg) leaves the same auditable evidence
+the driver's own gate does.
 """
 import sys, json, glob, decimal
 import duckdb
@@ -57,52 +63,67 @@ def connect(sfdir):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     return con
 
+def record(rows=False, schema=False, hsh=False, srows=None, orows=None,
+           err=None):
+    """CORRECTNESS_r{N}.json entry shape (the driver's gate format)."""
+    return {"rows_match": rows, "schema_match": schema, "hash_match": hsh,
+            "spark_rows": srows, "oracle_rows": orows, "err": err}
+
 def check_one(con, outdir, name, sql):
-    """Returns True iff the query matches its oracle (prints verdict)."""
+    """Returns a CORRECTNESS-format record (prints verdict). A query
+    passes iff rows_match and schema_match and hash_match."""
     try:
         want = con.sql(sql)
         huge = int128_cols(want)
         if huge:
-            print(f"FAIL {name}: int128-typed oracle columns {huge} "
-                  "(driver hashes these as float64 — CAST AS BIGINT)")
-            return False
+            msg = (f"int128-typed oracle columns {huge} "
+                   "(driver hashes these as float64 — CAST AS BIGINT)")
+            print(f"FAIL {name}: {msg}")
+            return record(err=msg)
         wvals = fetch(want)
     except Exception as ex:
         print(f"FAIL {name}: oracle error: {str(ex)[:200]}")
-        return False
+        return record(err=f"oracle error: {str(ex)[:200]}")
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output")
-        return False
+        return record(orows=len(wvals), err="no spark output")
     try:
         got = con.sql(f"SELECT * FROM read_parquet({files!r})")
         gvals = fetch(got)
     except Exception as ex:
         print(f"FAIL {name}: spark read error: {str(ex)[:200]}")
-        return False
-    if sorted(want.columns) != sorted(got.columns):
+        return record(orows=len(wvals),
+                      err=f"spark read error: {str(ex)[:200]}")
+    rows_match = len(wvals) == len(gvals)
+    schema_match = sorted(want.columns) == sorted(got.columns)
+    hash_match = wvals == gvals
+    rec = record(rows_match, schema_match, hash_match,
+                 len(gvals), len(wvals))
+    if not schema_match:
         print(f"FAIL {name}: cols oracle={sorted(want.columns)} spark={sorted(got.columns)}")
-        return False
-    if len(wvals) != len(gvals):
+    elif not rows_match:
         print(f"FAIL {name}: rows oracle={len(wvals)} spark={len(gvals)}")
-        return False
-    if wvals == gvals:
+    elif hash_match:
         print(f"ok   {name} ({len(wvals)} rows)")
-        return True
-    if sorted(wvals) == sorted(gvals):
+    elif sorted(wvals) == sorted(gvals):
         # order drift is a real failure: the driver hashes in row order
         print(f"FAIL {name}: values match only after row sort (non-total ORDER BY?)")
-        return False
-    diffs = [(i, a, b) for i, (a, b) in enumerate(zip(wvals, gvals)) if a != b][:3]
-    extra = f" first diffs: {diffs}" if diffs else " (multiset differs)"
-    print(f"FAIL {name}: value mismatch{extra}")
-    return False
+    else:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(wvals, gvals)) if a != b][:3]
+        extra = f" first diffs: {diffs}" if diffs else " (multiset differs)"
+        print(f"FAIL {name}: value mismatch{extra}")
+    return rec
 
-def main(outdir, sfdir, only=None):
+def passed(rec):
+    return rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+
+def main(outdir, sfdir, only=None, json_out=None):
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
+    records = {}
     for name in sorted(oracle):
         # Fresh connection per query: one heavy oracle must not leave
         # the buffer pool in a state that OOMs its innocent successors
@@ -110,15 +131,26 @@ def main(outdir, sfdir, only=None):
         # after the components CTE on a shared connection).
         con = connect(sfdir)
         try:
-            if check_one(con, outdir, name, oracle[name]):
+            records[name] = check_one(con, outdir, name, oracle[name])
+            if passed(records[name]):
                 n_ok += 1
             else:
                 n_bad += 1
         finally:
             con.close()
     print(f"== {n_ok} ok, {n_bad} bad ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"== wrote {json_out} ==")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    sys.exit(main(sys.argv[1], sys.argv[2], only))
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    only = set(argv[2].split(",")) if len(argv) > 2 else None
+    sys.exit(main(argv[0], argv[1], only, json_out))

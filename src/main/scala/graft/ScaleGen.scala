@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
   * FULL inventory (all declared queries + bench) can run at ~10× the
   * largest driver SF — whole-inventory scale evidence, not per-leg
   * probes (SCALE_SF1.md). Usage:
-  * `sbt "runMain graft.ScaleGen <srcSfDir> <dstDir> <k>"`.
+  * `sbt "runMain graft.ScaleGen <srcSfDir> <dstDir> <k> [t1,t2,…]"` —
+  * the optional fourth arg restricts generation to a table subset
+  * (the k=100 dedup/text-spine leg needs only
+  * `documents,embeddings`; replicating 60M lineitem rows it never
+  * reads would dominate the generation cost).
   *
   * Replication preserves the properties the queries' scale arguments
   * rest on, using the same constant-density constructions as
@@ -113,8 +117,15 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val tables = Seq("region", "nation", "customer", "supplier", "part",
+    val all = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
+    val tables =
+      if (args.length > 3) {
+        val want = args(3).split(",").map(_.trim).toSet
+        val unknown = want -- all.toSet
+        require(unknown.isEmpty, s"unknown tables: $unknown")
+        all.filter(want)
+      } else all
     tables.foreach { t =>
       val df = replicate(spark, src, t, k)
       writeOne(df, dst, t)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
+
+import graft.engine.{Sessions, TextOps}
+
+/** Dev tool: measured scale evidence for the dedup/text SPINE — the
+  * operators whose 100 TB behavior actually matters — at corpus sizes
+  * past what the DuckDB oracle harness can chew (the k=100 leg is
+  * Spark-side only; correctness at these shapes is carried by the
+  * oracle-green gate at sf0.01/sf0.1/sf1 plus the pair-count linearity
+  * asserted here).
+  *
+  * Runs the shared text-stage build (timed separately, like the
+  * bench's `stages_sec`) and then each spine query, recording wall
+  * seconds and OUTPUT ROWS — at [[ScaleGen]]'s constant dup density
+  * the row counts must grow ~linearly in k; a super-linear pair count
+  * is the all-pairs blowup this family is engineered to never have.
+  *
+  * Usage: `sbt "runMain graft.SpineSweep <sfDir> <out.json>"` — one
+  * leg per JVM (separate JVMs keep JIT warmth symmetric across legs);
+  * scripts/scale_ratio.py merges two legs into the committed ratio
+  * artifact. */
+object SpineSweep {
+
+  /** The spine: exact dedup, the MinHash/LSH family off the shared
+    * stages, the incremental path against a staged corpus index,
+    * span-level dedup, the inverted index, and sequence packing. */
+  val Spine: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_minhash", "q_lsh_pr", "q_dedup_incr",
+    "q_span_dedup", "q_inverted_index", "q_pack_seqs")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: SpineSweep <sfDir> <out.json>")
+    val (sfDir, outPath) = (args(0), args(1))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = Sessions.tuned(
+      SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // unmeasured warmup: parquet reader + codegen/JIT one-time cost
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+
+    // text-spine stages only (not Warm.stages: a spine-only data dir
+    // has no fact tables, and the relational stages are off-scope)
+    val t0 = System.nanoTime()
+    TextOps.corpus(spark, sfDir); TextOps.sharedDocToks(spark, sfDir)
+    TextOps.sharedShingleSets(spark, sfDir)
+    TextOps.sharedSignature(spark, sfDir)
+    TextOps.sharedCandPairs(spark, sfDir)
+    TextOps.sharedSimhashShingle(spark, sfDir)
+    TextOps.sharedCappedPosts(spark, sfDir)
+    val stagesSec = (System.nanoTime() - t0) / 1e9
+
+    val rows = Spine.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t1 = System.nanoTime()
+      val n = try fn(spark, sfDir).count()
+        catch { case NonFatal(e) =>
+          System.err.println(s"[spine] $name FAILED: ${e.getMessage}")
+          -1L }
+      val sec = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      println(f"[spine] $name%-18s ${sec}%7.1fs  $n%9d rows")
+      (name, sec, n)
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    def num(v: Double) = f"$v%.1f"
+    val qjson = rows.map { case (n, s, r) =>
+      s""""$n":{"sec":${num(s)},"rows":$r}""" }.mkString("{", ",", "}")
+    val total = rows.map(_._2).sum
+    val json = s"""{"sf":"$sfDir","docs":$docs,"stages_sec":${num(stagesSec)},""" +
+      s""""total_sec":${num(total)},"queries":$qjson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    println(s"[spine] wrote $outPath (docs=$docs stages=${num(stagesSec)}s " +
+      s"total=${num(total)}s)")
+    spark.stop()
+    if (rows.exists(_._3 < 0)) sys.exit(2)
+  }
+}
