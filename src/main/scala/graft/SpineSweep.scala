@@ -54,6 +54,19 @@ object SpineSweep {
     TextOps.sharedCappedPosts(spark, sfDir)
     val stagesSec = (System.nanoTime() - t0) / 1e9
 
+    // the stage row counts are the direct linearity evidence: a
+    // super-linear cand_pairs count IS the all-pairs blowup, whatever
+    // the summary-shaped query outputs do (q_lsh_pr emits a
+    // constant-size precision/recall table). Counts on the
+    // parquet-backed stages are metadata-cheap; recorded with sec=0
+    // so spine_ratio applies only the row check to them.
+    val stageCounts = Seq(
+      "stage:shingle_sets" -> TextOps.sharedShingleSets(spark, sfDir).count(),
+      "stage:signature" -> TextOps.sharedSignature(spark, sfDir).count(),
+      "stage:cand_pairs" -> TextOps.sharedCandPairs(spark, sfDir).count()
+    ).map { case (n, c) => println(f"[spine] $n%-18s    --     $c%9d rows")
+      (n, 0.0, c) }
+
     val rows = Spine.map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = System.nanoTime()
@@ -65,7 +78,7 @@ object SpineSweep {
       spark.catalog.clearCache()
       println(f"[spine] $name%-18s ${sec}%7.1fs  $n%9d rows")
       (name, sec, n)
-    }
+    } ++ stageCounts
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     def num(v: Double) = f"$v%.1f"
     val qjson = rows.map { case (n, s, r) =>
