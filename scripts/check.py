@@ -128,8 +128,19 @@ def main(outdir, sfdir, only=None, json_out=None):
         # Fresh connection per query: one heavy oracle must not leave
         # the buffer pool in a state that OOMs its innocent successors
         # (measured at 10x SF: q_window_rank failed purely from running
-        # after the components CTE on a shared connection).
-        con = connect(sfdir)
+        # after the components CTE on a shared connection). The connect
+        # itself is also guarded: a harness-level failure (measured at
+        # 10x SF: DuckDB 1.0's jemalloc retains tens of thousands of
+        # mappings mid-query and tiny mmaps start failing once the
+        # process hits vm.max_map_count — raise it, see scale_sweep.sh)
+        # must fail THAT query's record, not kill the remaining run.
+        try:
+            con = connect(sfdir)
+        except Exception as ex:
+            print(f"FAIL {name}: harness connect error: {str(ex)[:200]}")
+            records[name] = record(err=f"harness connect error: {str(ex)[:200]}")
+            n_bad += 1
+            continue
         try:
             records[name] = check_one(con, outdir, name, oracle[name])
             if passed(records[name]):

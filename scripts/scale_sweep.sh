@@ -21,6 +21,19 @@ LABEL=${3:-SF1}
 WORK=${WORK:-/tmp/scale_sweep_${LABEL}}
 mkdir -p "$WORK"
 
+# Pre-flight: DuckDB 1.0's bundled jemalloc retains tens of thousands
+# of memory mappings mid-query on the heavy k-times oracles; at the
+# Linux default vm.max_map_count=65530 tiny mmaps start failing and
+# queries die with a bogus "Out of Memory" (measured round 10:
+# q_dedup_apply alone spikes past 65k mappings at sf1, completes with
+# ~3k once the ceiling is raised). Best-effort — needs root.
+MAPS=$(cat /proc/sys/vm/max_map_count 2>/dev/null || echo 0)
+if [ "$MAPS" -lt 262144 ]; then
+  sysctl -w vm.max_map_count=1048576 2>/dev/null \
+    || echo "WARN: vm.max_map_count=$MAPS is low and could not be raised;" \
+            "heavy oracles may fail with spurious OOM"
+fi
+
 echo "== [1/4] ScaleGen k=$K from $SRC -> $WORK/data =="
 sbt -batch "runMain graft.ScaleGen $SRC $WORK/data $K"
 
