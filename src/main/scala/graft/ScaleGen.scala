@@ -16,12 +16,20 @@ import org.apache.spark.sql.functions._
   * Replication preserves the properties the queries' scale arguments
   * rest on, using the same constant-density constructions as
   * [[ScaleProbe]]:
-  *   - documents: per-copy Caesar shift (translate is injective — each
-  *     copy keeps the base corpus's near-dup structure, copies are
-  *     textually disjoint, so dup DENSITY stays constant; n_chars stays
-  *     valid because translate preserves length);
+  *   - documents: per-copy AFFINE letter cipher (translate is
+  *     injective — each copy keeps the base corpus's near-dup
+  *     structure, copies are textually disjoint, so dup DENSITY stays
+  *     constant; n_chars stays valid because translate preserves
+  *     length). Affine, not Caesar: a bare shift repeats every 26
+  *     copies, and at k=100 copies i and i+26 carried IDENTICAL text —
+  *     measured round 10 before the fix, cand_pairs grew 304× for 10×
+  *     docs and q_lsh_pr's ground truth paid 49× the wall clock. The
+  *     12 multipliers coprime to 26 × 26 offsets give 312 distinct
+  *     injective maps (k ≤ 312), with copy 0 the identity;
   *   - embeddings: per-copy cyclic dimension rotation (norm-preserving,
-  *     cosine-invariant within a copy, decorrelated across copies);
+  *     cosine-invariant within a copy, decorrelated across copies),
+  *     sign-flipped on the second rotation cycle so copies 64 apart
+  *     are not bit-identical vectors (k ≤ 128);
   *   - facts (orders/lineitem/events/customer/supplier/part): key
   *     offsets per copy, consistent across referencing tables (copy i's
   *     orders point at copy i's customers; events share the customer
@@ -36,6 +44,18 @@ import org.apache.spark.sql.functions._
 object ScaleGen {
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** The 12 multipliers coprime to 26. */
+  private val Coprimes = Seq(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+
+  /** Copy i's target alphabet under the affine cipher
+    * p → (a·p + b) mod 26 with a = Coprimes(i/26 mod 12), b = i mod
+    * 26 — injective per copy, 312 distinct maps, copy 0 = identity. */
+  private[graft] def affineAlpha(i: Int): String = {
+    val a = Coprimes((i / 26) % Coprimes.size)
+    val b = i % 26
+    (0 until 26).map(p => Alpha((a * p + b) % 26)).mkString
+  }
 
   /** Offsets chosen far above any base-key range at the source SFs and
     * far below any widening envelope. */
@@ -70,17 +90,21 @@ object ScaleGen {
         // UserOff is even, so the user_id%2 A/B variant split survives
         .withColumn("user_id", col("user_id") + lit(i * UserOff)))
       case "documents" => copiesOf(base, k) { (d, i) =>
-        val shifted = Alpha.drop(i % 26) + Alpha.take(i % 26)
         d.withColumn("doc_id", col("doc_id") + lit(i * DocOff))
-          .withColumn("text", translate(col("text"), Alpha, shifted))
+          .withColumn("text", translate(col("text"), Alpha, affineAlpha(i)))
       }
       case "embeddings" => copiesOf(base, k) { (d, i) =>
         val r = i % 64
         val rot = if (r == 0) col("embedding")
           else concat(slice(col("embedding"), r + 1, 64 - r),
             slice(col("embedding"), 1, r))
+        // second rotation cycle flips sign — norm- and
+        // within-copy-cosine-preserving, keeps copies 64 apart from
+        // being bit-identical vectors
+        val v = if ((i / 64) % 2 == 1)
+          transform(rot, x => x * lit(-1.0f)) else rot
         d.withColumn("vec_id", col("vec_id") + lit(i * DocOff))
-          .withColumn("embedding", rot)
+          .withColumn("embedding", v)
       }
       case other => throw new IllegalArgumentException(
         s"no replication rule for table $other")
