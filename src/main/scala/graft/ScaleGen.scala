@@ -132,7 +132,10 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleGen <srcSfDir> <dstDir> <k>")
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
-    require(k >= 1 && k <= 100, s"k out of range: $k")
+    // 312 = the affine cipher's map count (doc disjointness bound);
+    // embeddings stay distinct to 128 — past that, copies 128 apart
+    // repeat rotation+sign, so only doc-spine legs should exceed it
+    require(k >= 1 && k <= 312, s"k out of range: $k")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     val spark = SparkSession.builder()
       .master("local[32]")
