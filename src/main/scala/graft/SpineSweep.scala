@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
-import graft.engine.{Sessions, TextOps}
+import graft.engine.{Relational, Sessions, Sources, TextOps}
 
 /** Dev tool: measured scale evidence for the dedup/text SPINE — the
   * operators whose 100 TB behavior actually matters — at corpus sizes
@@ -24,34 +24,56 @@ import graft.engine.{Sessions, TextOps}
   * artifact. */
 object SpineSweep {
 
-  /** The spine: exact dedup, the MinHash/LSH family off the shared
-    * stages, the incremental path against a staged corpus index,
-    * span-level dedup, the inverted index, and sequence packing. */
+  /** The text spine: exact dedup, the MinHash/LSH family off the
+    * shared stages, the incremental path against a staged corpus
+    * index, span-level dedup, the inverted index, and sequence
+    * packing. */
   val Spine: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_minhash", "q_lsh_pr", "q_dedup_incr",
     "q_span_dedup", "q_inverted_index", "q_pack_seqs")
 
+  /** The relational spine: the star joins and heavy aggregations whose
+    * sf1 ratios ran worst in SCALE_SF1.json (q_small_qty 6.25×,
+    * q_supp_rank 5.9× — both plan-audited as the scale-safe shapes) —
+    * the set whose one-more-decade behavior answers "would this plan
+    * survive another 10×". Their outputs are bounded aggregates, so
+    * here the TIME ratios are the signal (row ratios are ~1 by
+    * construction). */
+  val RelSpine: Seq[String] = Seq(
+    "q_agg_group", "q_agg_rollup", "q_join_multi", "q_large_orders",
+    "q_small_qty", "q_supp_rank")
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SpineSweep <sfDir> <out.json>")
+    require(args.length >= 2, "usage: SpineSweep <sfDir> <out.json> [text|rel]")
     val (sfDir, outPath) = (args(0), args(1))
+    val set = if (args.length > 2) args(2) else "text"
+    require(set == "text" || set == "rel", s"unknown query set: $set")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val anchor = if (set == "text") "documents" else "lineitem"
     // unmeasured warmup: parquet reader + codegen/JIT one-time cost
-    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    spark.read.parquet(s"$sfDir/$anchor.parquet").count()
 
-    // text-spine stages only (not Warm.stages: a spine-only data dir
-    // has no fact tables, and the relational stages are off-scope)
+    // per-set stage warm, not Warm.stages: a spine-only data dir has
+    // only the tables its set reads
     val t0 = System.nanoTime()
-    TextOps.corpus(spark, sfDir); TextOps.sharedDocToks(spark, sfDir)
-    TextOps.sharedShingleSets(spark, sfDir)
-    TextOps.sharedSignature(spark, sfDir)
-    TextOps.sharedCandPairs(spark, sfDir)
-    TextOps.sharedSimhashShingle(spark, sfDir)
-    TextOps.sharedCappedPosts(spark, sfDir)
+    if (set == "text") {
+      TextOps.corpus(spark, sfDir); TextOps.sharedDocToks(spark, sfDir)
+      TextOps.sharedShingleSets(spark, sfDir)
+      TextOps.sharedSignature(spark, sfDir)
+      TextOps.sharedCandPairs(spark, sfDir)
+      TextOps.sharedSimhashShingle(spark, sfDir)
+      TextOps.sharedCappedPosts(spark, sfDir)
+    } else {
+      Sources.region(spark, sfDir); Sources.nation(spark, sfDir)
+      Sources.customer(spark, sfDir); Sources.supplier(spark, sfDir)
+      Sources.part(spark, sfDir)
+      Relational.warmStages(spark, sfDir)
+    }
     val stagesSec = (System.nanoTime() - t0) / 1e9
 
     // the stage row counts are the direct linearity evidence: a
@@ -60,14 +82,14 @@ object SpineSweep {
     // constant-size precision/recall table). Counts on the
     // parquet-backed stages are metadata-cheap; recorded with sec=0
     // so spine_ratio applies only the row check to them.
-    val stageCounts = Seq(
+    val stageCounts = if (set != "text") Seq.empty else Seq(
       "stage:shingle_sets" -> TextOps.sharedShingleSets(spark, sfDir).count(),
       "stage:signature" -> TextOps.sharedSignature(spark, sfDir).count(),
       "stage:cand_pairs" -> TextOps.sharedCandPairs(spark, sfDir).count()
     ).map { case (n, c) => println(f"[spine] $n%-18s    --     $c%9d rows")
       (n, 0.0, c) }
 
-    val rows = Spine.map { name =>
+    val rows = (if (set == "text") Spine else RelSpine).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
@@ -79,7 +101,7 @@ object SpineSweep {
       println(f"[spine] $name%-18s ${sec}%7.1fs  $n%9d rows")
       (name, sec, n)
     } ++ stageCounts
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val docs = spark.read.parquet(s"$sfDir/$anchor.parquet").count()
     def num(v: Double) = f"$v%.1f"
     val qjson = rows.map { case (n, s, r) =>
       s""""$n":{"sec":${num(s)},"rows":$r}""" }.mkString("{", ",", "}")
