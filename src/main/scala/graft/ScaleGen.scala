@@ -153,6 +153,11 @@ object ScaleGen {
         require(unknown.isEmpty, s"unknown tables: $unknown")
         all.filter(want)
       } else all
+    if (k > 128 && tables.contains("embeddings"))
+      System.err.println(s"[scalegen] WARNING: k=$k exceeds the " +
+        "embeddings disjointness bound (128): copies 128 apart repeat " +
+        "rotation+sign and are bit-identical vectors — use k <= 128 " +
+        "for embedding-family legs")
     tables.foreach { t =>
       val df = replicate(spark, src, t, k)
       writeOne(df, dst, t)
