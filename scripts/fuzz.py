@@ -355,6 +355,33 @@ def gen(src, dst, seed=5, classes=ALL_CLASSES):
             q[j_eid] = r[j_eid] + 1_000_000
             q[j_et] = rng.choice(types)
             eex.append(tuple(q))
+        # session-boundary twin (deterministic; found by seed 78): a
+        # fresh user with one event, then an IDENTICAL duplicated event
+        # 31 minutes later — past the 30-min session gap. The twins are
+        # full window-order ties whose lag-computed new-session flags
+        # DIFFER (one 1, one 0); an order-sensitive session-id running
+        # sum (ROWS frame over a second window pass) can hand a flag-0
+        # twin the PREVIOUS session id — DuckDB 1.0 reorders ties
+        # between window clauses. The engines' RANGE-frame sid must
+        # keep both twins in the new session.
+        import datetime as _dt
+        _buid = max((r[j_uid] for r in evs if r[j_uid] is not None),
+                    default=0) + 999
+        _beid = max((r[j_eid] for r in evs if r[j_eid] is not None),
+                    default=0) + 6_000_000
+        _tb = _dt.datetime(2024, 5, 1)
+        _tmpl = list(ebase[0])
+        _tmpl[j_uid] = _buid
+        _tmpl[j_props] = None
+        first = list(_tmpl)
+        first[j_eid], first[j_ts], first[j_et] = _beid, _tb, "error"
+        twin = list(_tmpl)
+        twin[j_eid] = _beid + 1
+        twin[j_ts] = _tb + _dt.timedelta(minutes=31)
+        twin[j_et] = "purchase"
+        eex.append(tuple(first))
+        eex.append(tuple(twin))
+        eex.append(tuple(twin))
     if "evnull" in classes:
         for r in ebase[28:40]:  # null fields
             q = list(r)

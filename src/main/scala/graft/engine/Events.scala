@@ -45,7 +45,22 @@ object Events {
 
   /** Gap-based sessionization as a reusable operator: input needs
     * (user_id, event_id, us, value); output is one row per session.
-    * lag → new-session flag → running sum as session id → rollup. */
+    * lag → new-session flag → running sum as session id → rollup.
+    *
+    * The session-id sum rides a RANGE frame ordered by `us` ALONE, not
+    * a ROWS frame over the lag window's (us, event_id) order. With a
+    * ROWS frame, fully identical replayed rows straddling a session
+    * boundary are a trap: the lag pass gives flag=1 to whichever twin
+    * it visits first and flag=0 to the rest, and the running-sum pass
+    * re-sorts — ties may land in a DIFFERENT order there (measured:
+    * DuckDB 1.0 does exactly this across two window clauses, fuzz seed
+    * 78), so a flag-0 twin can precede the flag-1 twin and inherit the
+    * PREVIOUS session. A RANGE frame sums flags over the whole same-us
+    * peer group, making the session id a function of the row MULTISET:
+    * same-timestamp rows always share a session (their mutual gap is
+    * zero), whichever engine-internal order the ties take. For
+    * distinct timestamps RANGE ≡ ROWS, so green behavior is
+    * unchanged. */
   def sessionizeUs(events: DataFrame, gapUs: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
@@ -64,7 +79,8 @@ object Events {
           .when(col("us") - col("prev_us") > gapUs, 1)
           .otherwise(0))
       .withColumn("sid", sum(col("flag")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"),
@@ -737,8 +753,13 @@ object Events {
       .withColumn("prev_us", lag(col("us"), 1).over(byU))
       .withColumn("flag", when(col("prev_us").isNull, 1)
         .when(col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      // RANGE over us alone, not ROWS over byU: see [[sessionizeUs]] —
+      // a boundary-straddling identical twin must not inherit the
+      // previous session when a second window pass re-orders the tie
+      // (the fuzz seed-78 class)
       .withColumn("sid", sum(col("flag")).over(
-        byU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
   def sessionPaths(s: SparkSession, d: String): DataFrame = {
@@ -904,8 +925,8 @@ object EventsRegistry {
         |        WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         | s AS (SELECT user_id, us, value,
-        |   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |   CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY us
+        |     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
         |  FROM x)
         |SELECT user_id, sid, count(*) AS n_events,
         | min(us) AS start_us, max(us) AS end_us,
@@ -1214,8 +1235,8 @@ object EventsRegistry {
          |  FROM e WINDOW w AS (PARTITION BY user_id
          |    ORDER BY us, event_id, etype)),
          | s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
-         |    ORDER BY us, event_id, etype
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |    ORDER BY us
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM x),
          | r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
          |    ORDER BY us, event_id, etype) AS rn FROM s),
@@ -1235,8 +1256,8 @@ object EventsRegistry {
          |  FROM e WINDOW w AS (PARTITION BY user_id
          |    ORDER BY us, event_id, etype)),
          | s AS (SELECT *, sum(flag) OVER (PARTITION BY user_id
-         |    ORDER BY us, event_id, etype
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |    ORDER BY us
+         |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
          |  FROM x),
          | p AS (SELECT user_id, sid,
          |   max(CASE WHEN etype = 'view' THEN 1 ELSE 0 END) AS has_view,
