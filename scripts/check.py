@@ -156,12 +156,18 @@ def main(outdir, sfdir, only=None, json_out=None):
         print(f"== wrote {json_out} ==")
     return 1 if n_bad else 0
 
+USAGE = "usage: check.py <outdir> <sfdir> [q1,q2,...] [--json out.json]"
+
 if __name__ == "__main__":
     argv = list(sys.argv[1:])
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit(f"--json needs a path argument\n{USAGE}")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit(USAGE)
     only = set(argv[2].split(",")) if len(argv) > 2 else None
     sys.exit(main(argv[0], argv[1], only, json_out))

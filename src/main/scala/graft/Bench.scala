@@ -31,18 +31,40 @@ object Bench {
     * `first_pass` records both samples. Capped at the [[MaxRetimes]]
     * slowest so a pathologically contended first pass (dozens over
     * threshold) cannot double the bench's wall clock — the cap only
-    * limits extra sampling, never drops a measurement. */
+    * limits extra sampling, never drops a measurement. One absolute
+    * guard remains: samples under [[RetimeFloorSec]] are never
+    * re-timed — at tiny SFs the run median is sub-0.1 s, 3× of which
+    * flags scheduler-noise-sized samples, and min-of-two on
+    * noise-dominated samples is a small systematic DOWNWARD bias (the
+    * opposite of the contention the rule corrects). The floor is far
+    * below any number the sf0.1+ artifacts trade on. */
   private[graft] def outlierSet(times: Map[String, Double]): Set[String] = {
     val sorted = times.values.toSeq.sorted
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.size / 2)
-    val threshold = 3.0 * median
+    val threshold = math.max(3.0 * median, RetimeFloorSec)
     times.filter(_._2 > threshold).toSeq
       .sortBy(-_._2).take(MaxRetimes).map(_._1).toSet
   }
 
   private[graft] val MaxRetimes = 16
 
+  /** Samples at/below this are never re-timed (see [[outlierSet]]). */
+  private[graft] val RetimeFloorSec = 0.3
+
+  /** 1-minute system load average, or -1 where the platform doesn't
+    * report one — ~15 bytes of environment disclosure in the JSON line
+    * so a uniformly-drifted run (round 10: every query +25% on a
+    * loaded box) is attributable from the artifact alone instead of
+    * needing a cross-commit per-query diff. */
+  private[graft] def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    // Sampled BEFORE any work: the bench itself saturates the box, so
+    // an end-of-run 1-minute average would read ~n_cpus every time —
+    // the pre-run value is what reveals a loaded/contended machine.
+    val loadAvgAtStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // driver contract: local[32] with shuffle.partitions=32 (capped at
     // the machine's cores); SPARK_GRAFT_CPUS overrides. The rest of the
@@ -147,7 +169,7 @@ object Bench {
     // passes (~20 bytes against the tail window — always emitted, it
     // is the honesty counterweight to min-of-two).
     val tMax = if (firstPass.nonEmpty) firstPass.values.max else 0.0
-    val tMaxJson = s""","t_max_sample":${num(tMax, 1)}"""
+    val tMaxJson = s""","t_max_sample":${num(tMax, 1)},"load_avg":${num(loadAvgAtStart, 1)}"""
     // first_pass: BOTH samples for every retimed query (file artifact
     // only — BENCH_LAST.json has no tail window), so the systematic
     // downward bias of best-of-two on exactly the slowest queries is

@@ -129,8 +129,11 @@ object ScaleGen {
       .forEach(p => Files.deleteIfExists(p))
   }
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: ScaleGen <srcSfDir> <dstDir> <k>")
+  def main(rawArgs: Array[String]): Unit = {
+    val force = rawArgs.contains("--force")
+    val args = rawArgs.filterNot(_ == "--force")
+    require(args.length >= 3,
+      "usage: ScaleGen <srcSfDir> <dstDir> <k> [t1,t2,…] [--force]")
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
     // 312 = the affine cipher's map count (doc disjointness bound);
     // embeddings stay distinct to 128 — past that, copies 128 apart
@@ -153,11 +156,15 @@ object ScaleGen {
         require(unknown.isEmpty, s"unknown tables: $unknown")
         all.filter(want)
       } else all
-    if (k > 128 && tables.contains("embeddings"))
-      System.err.println(s"[scalegen] WARNING: k=$k exceeds the " +
-        "embeddings disjointness bound (128): copies 128 apart repeat " +
-        "rotation+sign and are bit-identical vectors — use k <= 128 " +
-        "for embedding-family legs")
+    // Fail fast, not a warning: a stderr line is easily lost in sbt
+    // output, and a leg silently carrying bit-identical vectors would
+    // undermine the disjointness the committed scale artifacts rest
+    // on. --force is the explicit eyes-open escape hatch.
+    require(k <= 128 || !tables.contains("embeddings") || force,
+      s"k=$k exceeds the embeddings disjointness bound (128): copies " +
+        "128 apart repeat rotation+sign and are bit-identical vectors " +
+        "— restrict the table list (4th arg), use k <= 128, or pass " +
+        "--force to proceed anyway")
     tables.foreach { t =>
       val df = replicate(spark, src, t, k)
       writeOne(df, dst, t)

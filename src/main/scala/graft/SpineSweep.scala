@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 
-import graft.engine.{Relational, Sessions, Sources, TextOps}
+import graft.engine.{Relational, Sessions, Similarity, Sources, TextOps}
 
 /** Dev tool: measured scale evidence for the dedup/text SPINE — the
   * operators whose 100 TB behavior actually matters — at corpus sizes
@@ -20,7 +20,8 @@ import graft.engine.{Relational, Sessions, Sources, TextOps}
   *
   * Usage: `sbt "runMain graft.SpineSweep <sfDir> <out.json>"` — one
   * leg per JVM (separate JVMs keep JIT warmth symmetric across legs);
-  * scripts/scale_ratio.py merges two legs into the committed ratio
+  * scripts/spine_ratio.py merges two legs (its {sec,rows} record
+  * shape, not the bench's bare-seconds map) into the committed ratio
   * artifact. */
 object SpineSweep {
 
@@ -43,36 +44,60 @@ object SpineSweep {
     "q_agg_group", "q_agg_rollup", "q_join_multi", "q_large_orders",
     "q_small_qty", "q_supp_rank")
 
+  /** The embeddings/ANN spine: LSH-bucketed ANN, cluster-bucketed
+    * semantic dedup, PQ/ADC search, the recall report (runs both the
+    * brute-force and bucketed legs), banded embedding near-dup, and
+    * one k-means assignment step. Most outputs are fixed-size reports
+    * (query set and centroid count are constants), so like the rel
+    * spine the TIME ratios carry the signal there; the canon_emb stage
+    * count plus q_semdedup/q_dedup_embed rows are the linear-row
+    * evidence. */
+  val SimSpine: Seq[String] = Seq(
+    "q_sim_lsh", "q_semdedup", "q_pq_search", "q_ann_recall",
+    "q_dedup_embed", "q_kmeans_step")
+
+  val Sets: Map[String, Seq[String]] =
+    Map("text" -> Spine, "rel" -> RelSpine, "sim" -> SimSpine)
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SpineSweep <sfDir> <out.json> [text|rel]")
+    require(args.length >= 2,
+      "usage: SpineSweep <sfDir> <out.json> [text|rel|sim]")
     val (sfDir, outPath) = (args(0), args(1))
     val set = if (args.length > 2) args(2) else "text"
-    require(set == "text" || set == "rel", s"unknown query set: $set")
+    require(Sets.contains(set), s"unknown query set: $set")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val anchor = if (set == "text") "documents" else "lineitem"
+    val anchor = set match {
+      case "text" => "documents"
+      case "sim"  => "embeddings"
+      case _      => "lineitem"
+    }
     // unmeasured warmup: parquet reader + codegen/JIT one-time cost
     spark.read.parquet(s"$sfDir/$anchor.parquet").count()
 
     // per-set stage warm, not Warm.stages: a spine-only data dir has
     // only the tables its set reads
     val t0 = System.nanoTime()
-    if (set == "text") {
-      TextOps.corpus(spark, sfDir); TextOps.sharedDocToks(spark, sfDir)
-      TextOps.sharedShingleSets(spark, sfDir)
-      TextOps.sharedSignature(spark, sfDir)
-      TextOps.sharedCandPairs(spark, sfDir)
-      TextOps.sharedSimhashShingle(spark, sfDir)
-      TextOps.sharedCappedPosts(spark, sfDir)
-    } else {
-      Sources.region(spark, sfDir); Sources.nation(spark, sfDir)
-      Sources.customer(spark, sfDir); Sources.supplier(spark, sfDir)
-      Sources.part(spark, sfDir)
-      Relational.warmStages(spark, sfDir)
+    set match {
+      case "text" =>
+        TextOps.corpus(spark, sfDir); TextOps.sharedDocToks(spark, sfDir)
+        TextOps.sharedShingleSets(spark, sfDir)
+        TextOps.sharedSignature(spark, sfDir)
+        TextOps.sharedCandPairs(spark, sfDir)
+        TextOps.sharedSimhashShingle(spark, sfDir)
+        TextOps.sharedCappedPosts(spark, sfDir)
+      case "sim" =>
+        Similarity.canonEmb(spark, sfDir)
+        ()
+      case _ =>
+        Sources.region(spark, sfDir); Sources.nation(spark, sfDir)
+        Sources.customer(spark, sfDir); Sources.supplier(spark, sfDir)
+        Sources.part(spark, sfDir)
+        Relational.warmStages(spark, sfDir)
     }
     val stagesSec = (System.nanoTime() - t0) / 1e9
 
@@ -82,14 +107,18 @@ object SpineSweep {
     // constant-size precision/recall table). Counts on the
     // parquet-backed stages are metadata-cheap; recorded with sec=0
     // so spine_ratio applies only the row check to them.
-    val stageCounts = if (set != "text") Seq.empty else Seq(
-      "stage:shingle_sets" -> TextOps.sharedShingleSets(spark, sfDir).count(),
-      "stage:signature" -> TextOps.sharedSignature(spark, sfDir).count(),
-      "stage:cand_pairs" -> TextOps.sharedCandPairs(spark, sfDir).count()
-    ).map { case (n, c) => println(f"[spine] $n%-18s    --     $c%9d rows")
+    val stageCounts = (set match {
+      case "text" => Seq(
+        "stage:shingle_sets" -> TextOps.sharedShingleSets(spark, sfDir).count(),
+        "stage:signature" -> TextOps.sharedSignature(spark, sfDir).count(),
+        "stage:cand_pairs" -> TextOps.sharedCandPairs(spark, sfDir).count())
+      case "sim" => Seq(
+        "stage:canon_emb" -> Similarity.canonEmb(spark, sfDir).count())
+      case _ => Seq.empty
+    }).map { case (n, c) => println(f"[spine] $n%-18s    --     $c%9d rows")
       (n, 0.0, c) }
 
-    val rows = (if (set == "text") Spine else RelSpine).map { name =>
+    val rows = Sets(set).map { name =>
       val fn = SparkEntry.queries(name)
       val t1 = System.nanoTime()
       val n = try fn(spark, sfDir).count()

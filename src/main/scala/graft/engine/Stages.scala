@@ -400,10 +400,22 @@ object Stages {
         val unit = name.substring(0, name.lastIndexOf("-attempt-"))
         if (!ptrUnits.contains(unit) && !liveUnits.contains(unit) &&
             st.getModificationTime <= horizon) {
-          try {
-            if (!dryRun) fs.delete(st.getPath, true)
-            reaped += name
-          } catch { case _: java.io.IOException => () }
+          // Age by the newest of the dir AND its direct children, like
+          // the pointer pass takes max over ptr+attempts: on HDFS/S3A a
+          // nested file write does NOT bump the parent dir's mtime, so
+          // a very long in-flight publish could look horizon-old at the
+          // top level while its part files are seconds fresh. The extra
+          // listStatus runs only for already-horizon-old candidates.
+          val newest = try {
+            (st.getModificationTime +:
+              fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
+          } catch { case _: java.io.IOException => Long.MaxValue }
+          if (newest <= horizon) {
+            try {
+              if (!dryRun) fs.delete(st.getPath, true)
+              reaped += name
+            } catch { case _: java.io.IOException => () }
+          }
         }
       }
     reaped.result()

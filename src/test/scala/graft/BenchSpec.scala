@@ -41,6 +41,23 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.outlierSet(times).isEmpty)
   }
 
+  test("noise-sized samples over a tiny median are NOT re-timed (abs floor)") {
+    // tiny-SF shape: median 0.05s — 3x median flags scheduler-noise
+    // samples whose min-of-two is a systematic downward bias; the
+    // absolute floor exempts them while the genuinely slow still re-time
+    val times = (1 to 20).map(i => s"q$i" -> 0.05).toMap +
+      ("q_noise" -> 0.2) + ("q_real" -> 0.9)
+    assert(Bench.RetimeFloorSec < 0.5) // floor stays far below sf0.1 signal
+    assert(Bench.outlierSet(times) == Set("q_real"))
+  }
+
+  test("load_avg disclosure reports a plausible value") {
+    // Linux always reports; the contract is only "never NaN, -1 where
+    // unsupported" so the JSON field is parseable everywhere
+    val v = Bench.loadAvg()
+    assert(!v.isNaN && v >= -1.0)
+  }
+
   test("sub-threshold times never re-time; empty run is a no-op") {
     assert(Bench.outlierSet((1 to 9).map(i => s"q$i" -> 1.9).toMap).isEmpty)
     assert(Bench.outlierSet(Map.empty).isEmpty)

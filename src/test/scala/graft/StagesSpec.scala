@@ -260,17 +260,28 @@ class StagesSpec extends SparkSpec {
     val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
     // debris shapes: a publish that died before its pointer write (old
     // + young), and an old orphan whose unit the JVM still references
-    def orphan(unit: String, ageOld: Boolean): String = {
+    // ageChildren=false models a LONG in-flight publish on HDFS/S3A:
+    // nested writes don't bump the parent dir's mtime, so the dir can
+    // look horizon-old while its part files are seconds fresh — the
+    // age gate must take the max over the dir AND its children
+    def orphan(unit: String, ageOld: Boolean,
+        ageChildren: Boolean = true): String = {
       val d = s"$root/$unit-attempt-0ddba11"
       Files.createDirectories(Paths.get(d))
       Files.write(Paths.get(d, "part-0.parquet"), Array[Byte](1))
-      if (ageOld)
+      if (ageOld) {
+        if (ageChildren)
+          Files.setLastModifiedTime(Paths.get(d, "part-0.parquet"),
+            FileTime.fromMillis(oldMs))
         Files.setLastModifiedTime(Paths.get(d), FileTime.fromMillis(oldMs))
+      }
       d
     }
     val dead = orphan("crashed_pub-dddddddddddd", ageOld = true)
     val young = orphan("young_pub-eeeeeeeeeeee", ageOld = false)
     val live = orphan("live_pub-ffffffffffff", ageOld = true)
+    val inflight = orphan("slow_pub-cccccccccccc", ageOld = true,
+      ageChildren = false)
     def exists(p: String) = Files.exists(Paths.get(p))
     // dry run: reports the dead orphan, deletes nothing
     val dry = Stages.reapUnreferenced(spark, root,
@@ -285,6 +296,8 @@ class StagesSpec extends SparkSpec {
     assert(!exists(dead), "old pointerless orphan must be collected")
     assert(exists(young), "young orphan must survive the age gate")
     assert(exists(live), "live unit's attempt must survive pointerless")
+    assert(exists(inflight),
+      "old-looking dir with fresh children is an in-flight publish — survives")
   }
 
   test("liveStageUnits names every unit this JVM resolved") {
