@@ -13,6 +13,15 @@ Time ratios are reported, and flagged as suspects past k * TIME_SLACK
 when the k-leg time is material (>1s) — single-sample wall times on a
 shared box are noise, so time suspects are advisory, row suspects are
 errors.
+
+A k-leg entry may carry its own "row_slack" (written by SpineSweep,
+which knows each entry's envelope): a number replaces ROW_SLACK (e.g.
+2.0 for the power-of-two occupancy sawtooth on candidate-pair counts);
+null skips the row gate for entries whose output is threshold-filtered
+truth rather than candidate structure (ground-truth pair counts above
+a bulk-tail cosine threshold are quadratic in ANY plan — SCALE.md) —
+skipped entries are reported with row_gate "truth-driven" so the
+exemption is visible in the artifact, never silent.
 """
 import json
 import sys
@@ -34,6 +43,7 @@ def main(base_path, k_path, k, out_path):
             continue
         time_ratio = round(g["sec"] / b["sec"], 2) if b["sec"] > 0 else None
         row_ratio = round(g["rows"] / b["rows"], 2) if b["rows"] > 0 else None
+        slack = g.get("row_slack", ROW_SLACK)
         rows[name] = {
             "base_sec": b["sec"], "k_sec": g["sec"], "time_ratio": time_ratio,
             "base_rows": b["rows"], "k_rows": g["rows"],
@@ -41,8 +51,12 @@ def main(base_path, k_path, k, out_path):
         }
         if g["rows"] < 0 or b["rows"] < 0:
             row_suspects.append(name + " (leg failed)")
-        elif row_ratio is not None and row_ratio > k * ROW_SLACK:
+        elif slack is None:
+            rows[name]["row_gate"] = "truth-driven"
+        elif row_ratio is not None and row_ratio > k * slack:
             row_suspects.append(name)
+        if slack is not None and slack != ROW_SLACK:
+            rows[name]["row_slack"] = slack
         if (time_ratio is not None and time_ratio > k * TIME_SLACK
                 and g["sec"] > 1.0):
             time_suspects.append(name)

@@ -245,15 +245,74 @@ object Similarity {
   /** Nearest-centroid (cosine) assignment against an arbitrary
     * (c_id, cv, cnm) table — the broadcast O(N·K) pass shared by the
     * fixed-sample queries and [[kmeansIterate]]'s refreshed rounds. */
+  /** Nearest-centroid argmax as a PER-PARTITION KERNEL over the
+    * driver-collected centroid matrix — the deliberate mapPartitions
+    * tier (the multimodal-decoder / bpeEncode rung), chosen because the
+    * declarative forms are memory-bandwidth-bound, not compute-bound:
+    * a broadcast nested-loop join MATERIALIZES N·K candidate rows each
+    * carrying the 64-double vector (at the adaptive-K sweep shapes
+    * K ~ N/32, i.e. ~800 GB of row copies at 200k vectors — measured
+    * 342 s), and a window/max_by over them only changes where the rows
+    * die, not that they are born. The kernel streams each vector once
+    * past a K×64 double matrix: zero intermediate rows, N output rows,
+    * no shuffle at all (MLlib's KMeans does exactly this). The collect
+    * is bounded by construction: K ≤ NumCentroids·2^MaxCellDoublings =
+    * 65536 rows (≤ 32 MB), the same bounded-collect class as
+    * [[kmeansIterate]]'s K×64 means.
+    *
+    * Bit-identical to the former rank-1-window form, by construction:
+    * the dot is the same left-to-right component fold as
+    * [[graft.functions.DotProduct]] / DuckDB's list_dot_product, the
+    * cosine divides by (nm·cnm) in the same association, and the
+    * strict `>` over id-ascending centroids IS (max cosine,
+    * min-centroid-id). A length-mismatched centroid yields a NULL
+    * cosine under the fold semantics — mirrored here by skipping it
+    * (NULL orders after every real cosine under `desc`); if every
+    * cosine is NULL the smallest c_id wins with a null c_cos, exactly
+    * the old window's nulls-last rank 1. */
   private def assignTo(vs: DataFrame, cents: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    vs.join(broadcast(cents), lit(true))
-      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
-      .withColumn("c_rk", row_number().over(wAssign))
-      .filter(col("c_rk") === 1)
-      .select(col("vec_id"), col("v"), col("nm"),
-        col("c_id").as("cell"), col("c_cos"))
+    val spark = vs.sparkSession
+    val byId = cents.select(col("c_id").cast("long"), col("cv"), col("cnm"))
+      .collect().sortBy(_.getLong(0))
+    val schema = org.apache.spark.sql.types.StructType(vs.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("c_cos",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    if (byId.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val ids = byId.map(_.getLong(0))
+    val mats = byId.map(_.getSeq[Double](1).toArray)
+    val nms = byId.map(_.getDouble(2))
+    val bc = spark.sparkContext.broadcast((ids, mats, nms))
+    val vIdx = vs.schema.fieldIndex("v")
+    val nmIdx = vs.schema.fieldIndex("nm")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    vs.mapPartitions { rows =>
+      val (cid, cv, cnm) = bc.value
+      rows.map { r =>
+        val varr = r.getSeq[Double](vIdx).toArray
+        val nm = r.getDouble(nmIdx)
+        var best = 0.0
+        var bestI = -1
+        var c = 0
+        while (c < cid.length) {
+          val w = cv(c)
+          if (w.length == varr.length) {
+            var s = 0.0
+            var i = 0
+            while (i < varr.length) { s += varr(i) * w(i); i += 1 }
+            val cos = s / (nm * cnm(c))
+            if (bestI < 0 || cos > best) { best = cos; bestI = c }
+          }
+          c += 1
+        }
+        val (cell, cos) =
+          if (bestI < 0) (cid(0), null) else (cid(bestI), Double.box(best))
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(cell, cos))
+      }
+    }(enc)
   }
 
   /** Full spherical-k-means Lloyd loop: `iters` rounds of broadcast
@@ -839,6 +898,32 @@ object Similarity {
     * duplicate-labeled sample. */
   val SemDedupCos = 0.3
 
+  /** Target cell occupancy for [[semDedup]]'s adaptive centroid count —
+    * the analogue of [[TargetBucket]] for data-adaptive blocking.
+    * Within-cell pair work per vector is ~occupancy/2, so holding
+    * occupancy ≤ CellTarget is what keeps the cell self-join linear in
+    * N (SemDeDup's own recipe: K ∝ N). */
+  val CellTarget = 32L
+
+  /** Cap on centroid-count doublings: K ≤ NumCentroids·2^10 = 65536
+    * (a 32 MB broadcast of 64-dim doubles). Past ~2M vectors occupancy
+    * grows linearly again — the documented hand-off point to a
+    * hierarchical (coarse→fine) assignment, which changes the plan
+    * shape and so is NOT silently blended in here. */
+  val MaxCellDoublings = 10
+
+  /** Smallest K = [[NumCentroids]]·2^j (j ≤ [[MaxCellDoublings]]) with
+    * expected occupancy n/K ≤ [[CellTarget]] — the same
+    * monotone-threshold-count construction as [[lshBitsFor]], mirrored
+    * verbatim by the oracle SQL (each term is an integer comparison
+    * `n > CellTarget·NumCentroids·2^j`, so both engines derive the
+    * identical K from their own corpus count). At every driver gate SF
+    * (≤ 2000 embeddings) this is exactly [[NumCentroids]] — the
+    * adaptive path only engages on replicated scale legs. */
+  def semDedupCells(n: Long): Int =
+    NumCentroids << (0 until MaxCellDoublings)
+      .count(j => n > ((CellTarget * NumCentroids) << j))
+
   /** SemDeDup-style cluster-bucketed semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): k-means-style cells act as the blocking
     * structure — pairwise cosine is computed only WITHIN a cell, and
@@ -853,12 +938,19 @@ object Similarity {
     * ([[assignCells]], persisted — the SCALE.md checkpoint shape); the
     * within-cell self-join shuffles on `cell` once, and its pair count
     * is bounded by Σ cell² — at fixed K that grows as (N/K)² per cell,
-    * so production raises K with N exactly like [[lshBitsFor]] raises
-    * bits (SemDeDup's own recipe: K ∝ N keeps cells constant-sized;
-    * K only grows the broadcast, never the shuffle). */
+    * so K is ADAPTIVE ([[semDedupCells]], K ∝ N) exactly like
+    * [[lshBitsFor]] raises bits (SemDeDup's own recipe: constant-sized
+    * cells; K only grows the broadcast, never the shuffle — and the
+    * assignment argmax is a map-side [[assignTo]] aggregate, so the
+    * N·K candidate rows never shuffle either). */
   def semDedup(s: SparkSession, d: String,
       threshold: Double = SemDedupCos): DataFrame = {
-    val assigned = assignCells(vectors(s, d))
+    // adaptive K ([[semDedupCells]]): at fixed K the within-cell pair
+    // count grows (N/K)²·K = N²/K — measured 19.5× rows for 10× docs
+    // on the k=10 replica leg before this; the count() is a parquet
+    // metadata read on the materialized canon_emb stage
+    val k = semDedupCells(canonEmb(s, d).count())
+    val assigned = assignCells(vectors(s, d), k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cell"), col("vec_id").as("a"),
       col("v").as("va"), col("nm").as("na"))

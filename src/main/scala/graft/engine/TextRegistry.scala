@@ -111,6 +111,20 @@ object TextRegistry {
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       | n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM e)""".stripMargin
 
+  /** DuckDB mirror of [[Similarity.semDedupCells]]: NumCentroids times a
+    * product of doubling terms, each an exact integer comparison — both
+    * engines derive the identical adaptive K from their own corpus
+    * count (the [[duckBitsCte]] pattern). */
+  private val duckKCte = {
+    val terms = (0 until Similarity.MaxCellDoublings)
+      .map(j => "(CASE WHEN cnt > " +
+        s"${(Similarity.CellTarget * Similarity.NumCentroids) << j} " +
+        "THEN 2 ELSE 1 END)")
+      .mkString(" * ")
+    s"kc AS (SELECT ${Similarity.NumCentroids} * $terms AS kk " +
+      "FROM (SELECT count(*) AS cnt FROM n))"
+  }
+
   def entries: Seq[(String, Entry)] = Seq(
 
     "q_text_tokens" -> e(TextOps.textTokens,
@@ -833,9 +847,11 @@ object TextRegistry {
 
     "q_semdedup" -> e((s, d) => Similarity.semDedup(s, d),
       s"""WITH $embCtes,
-         | c AS (SELECT vec_id AS c_id, v AS cv, nm AS cnm FROM n
-         |   ORDER BY ${duckH28("'c_'||vec_id")}, vec_id
-         |   LIMIT ${Similarity.NumCentroids}),
+         | $duckKCte,
+         | c AS (SELECT c_id, cv, cnm FROM (
+         |   SELECT vec_id AS c_id, v AS cv, nm AS cnm, row_number()
+         |     OVER (ORDER BY ${duckH28("'c_'||vec_id")}, vec_id) AS crk
+         |   FROM n) z CROSS JOIN kc WHERE crk <= kk),
          | asg AS (SELECT vec_id, v, nm, c_id AS cell FROM (
          |   SELECT n.vec_id, n.v, n.nm, c.c_id,
          |    row_number() OVER (PARTITION BY n.vec_id

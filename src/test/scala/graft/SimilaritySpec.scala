@@ -103,6 +103,28 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("semDedupCells: identity at every gate SF, occupancy-bounded, capped") {
+    // every driver gate SF has <= 2000 embeddings: the adaptive K must
+    // be exactly NumCentroids there (gate results unchanged by design)
+    for (n <- Seq(1L, 500L, 2000L, 2048L))
+      assert(Similarity.semDedupCells(n) == Similarity.NumCentroids)
+    // first doubling exactly past CellTarget occupancy
+    assert(Similarity.semDedupCells(2049) == 2 * Similarity.NumCentroids)
+    // the replica-leg shapes
+    assert(Similarity.semDedupCells(20000) == 1024)
+    assert(Similarity.semDedupCells(200000) == 8192)
+    // occupancy n/K <= CellTarget everywhere below the cap's reach
+    for (n <- Seq(100L, 3000L, 50000L, 999999L, 2097152L)) {
+      val k = Similarity.semDedupCells(n)
+      assert(n <= Similarity.CellTarget * k,
+        s"occupancy bound violated at n=$n: K=$k")
+    }
+    // capped: past MaxCellDoublings K stops growing (documented
+    // hierarchical hand-off, broadcast stays 32 MB)
+    assert(Similarity.semDedupCells(Long.MaxValue / 2)
+      == (Similarity.NumCentroids << Similarity.MaxCellDoublings))
+  }
+
   test("pcaTop recovers a planted dominant axis from the exact covariance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
     // variance 100 along dim 0 (components ±10), tiny deterministic
