@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: synthesize a k× replica of a testdata SF directory so the
@@ -25,7 +25,10 @@ import org.apache.spark.sql.functions._
   *     measured round 10 before the fix, cand_pairs grew 304× for 10×
   *     docs and q_lsh_pr's ground truth paid 49× the wall clock. The
   *     12 multipliers coprime to 26 × 26 offsets give 312 distinct
-  *     injective maps (k ≤ 312), with copy 0 the identity;
+  *     injective maps, composed with a copy-keyed reversal variant
+  *     ([[reversalVariant]] — the Klein group of shingle-factoring
+  *     word/order/string reversals) for k ≤ [[MaxDocCopies]] = 1248,
+  *     with copy 0 the identity;
   *   - embeddings: per-copy cyclic dimension rotation (norm-preserving,
   *     cosine-invariant within a copy, decorrelated across copies),
   *     sign-flipped on the second rotation cycle so copies 64 apart
@@ -56,6 +59,42 @@ object ScaleGen {
     val b = i % 26
     (0 until 26).map(p => Alpha((a * p + b) % 26)).mkString
   }
+
+  /** Copy i's reversal variant — the second text-disjointness lever,
+    * multiplying the cipher's 312 maps to 1248 copies. The four
+    * transforms form the Klein group {identity, reverse each word's
+    * characters, reverse the word order, reverse the whole string}.
+    * Every element FACTORS THROUGH WORD N-GRAM SHINGLES: a per-word
+    * character reversal is a per-token injective map, and reversing
+    * the word sequence maps each n-gram window onto a window of the
+    * reversed document with its words reversed — so two documents'
+    * shared-shingle count (hence Jaccard, hence the minhash/LSH dup
+    * structure) is IDENTICAL after the transform, while documents in
+    * different variants share a shingle only if it is palindromic
+    * under the relating group element (ScaleGenReplicateSpec measures
+    * zero on the corpus). All four preserve length (n_chars stays
+    * valid) and whitespace structure: split/concat_ws round-trips
+    * empty tokens, so even doubled spaces survive. */
+  private[graft] def reversalVariant(t: Column, r: Int): Column = r match {
+    case 0 => t
+    case 1 => when(t.isNull, lit(null))
+      .otherwise(concat_ws(" ", transform(split(t, " "), w => reverse(w))))
+    case 2 => when(t.isNull, lit(null))
+      .otherwise(concat_ws(" ", reverse(split(t, " "))))
+    case 3 => reverse(t)
+    case other => throw new IllegalArgumentException(
+      s"reversal variant out of range: $other")
+  }
+
+  /** Document-copy text transform: affine cipher (i mod 312) composed
+    * with reversal variant (i / 312) — 1248 pairwise-distinct
+    * injective maps, copy 0 the identity. */
+  private[graft] def docText(t: Column, i: Int): Column =
+    reversalVariant(translate(t, Alpha, affineAlpha(i % 312)), i / 312)
+
+  /** The documents replication bound: 312 ciphers × 4 reversal
+    * variants. */
+  val MaxDocCopies = 1248
 
   /** Offsets chosen far above any base-key range at the source SFs and
     * far below any widening envelope. */
@@ -91,7 +130,7 @@ object ScaleGen {
         .withColumn("user_id", col("user_id") + lit(i * UserOff)))
       case "documents" => copiesOf(base, k) { (d, i) =>
         d.withColumn("doc_id", col("doc_id") + lit(i * DocOff))
-          .withColumn("text", translate(col("text"), Alpha, affineAlpha(i)))
+          .withColumn("text", docText(col("text"), i))
       }
       case "embeddings" => copiesOf(base, k) { (d, i) =>
         val r = i % 64
@@ -135,10 +174,11 @@ object ScaleGen {
     require(args.length >= 3,
       "usage: ScaleGen <srcSfDir> <dstDir> <k> [t1,t2,…] [--force]")
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
-    // 312 = the affine cipher's map count (doc disjointness bound);
-    // embeddings stay distinct to 128 — past that, copies 128 apart
-    // repeat rotation+sign, so only doc-spine legs should exceed it
-    require(k >= 1 && k <= 312, s"k out of range: $k")
+    // 1248 = 312 affine ciphers × 4 reversal variants (the documents
+    // disjointness bound, [[MaxDocCopies]]); embeddings stay distinct
+    // to 128 — past that, copies 128 apart repeat rotation+sign, so
+    // only doc-spine legs should exceed it (enforced below)
+    require(k >= 1 && k <= MaxDocCopies, s"k out of range: $k")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -41,6 +41,50 @@ class ScaleGenReplicateSpec extends SparkSpec {
       "copies past the 26-copy Caesar period must stay textually disjoint")
   }
 
+  test("docText: copies across the 312 cipher boundary stay pairwise distinct") {
+    import spark.implicits._
+    // representative copies spanning all four reversal variants,
+    // including the exact boundary pairs (311|312, 623|624, 935|936)
+    // and the same-cipher-different-variant pairs (0, 312, 624, 936)
+    val picks = Seq(0, 1, 311, 312, 313, 623, 624, 625, 935, 936, 1247)
+    val base = Seq("the quick brown fox jumps over the lazy dog")
+      .toDF("text")
+    val texts = picks.map { i =>
+      base.select(ScaleGen.docText(org.apache.spark.sql.functions.col("text"), i))
+        .as[String].head()
+    }
+    assert(texts.distinct.length === picks.length,
+      s"copies ${picks.mkString(",")} must be pairwise distinct")
+    // length preserved by every variant (n_chars stays valid)
+    assert(texts.forall(_.length === 43))
+    // copy 0 is the identity
+    assert(texts.head === "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("reversal variants preserve within-copy shingle structure exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two near-dup docs: 9 words, 7 shared word-3-grams in the base
+    // (non-palindromic words — a palindrome is reversal-invariant and
+    // WOULD legitimately collide across variants)
+    val d1 = "ab cd ef gh ij kl mn op qr"
+    val d2 = "ab cd ef gh ij kl mn op zy"
+    def sh(t: String): Set[Seq[String]] =
+      t.split(" ").toSeq.sliding(3).map(_.toSeq).toSet
+    val baseShared = (sh(d1) & sh(d2)).size
+    for (r <- 0 to 3) {
+      val Seq(t1, t2) = Seq(d1, d2).toDF("text")
+        .select(ScaleGen.reversalVariant(col("text"), r))
+        .as[String].collect().toSeq
+      assert((sh(t1) & sh(t2)).size === baseShared,
+        s"variant $r must preserve the shared-shingle count")
+      // cross-variant shingle sets are disjoint for this corpus
+      if (r > 0)
+        assert((sh(t1) & sh(d1)).isEmpty,
+          s"variant $r must not share shingles with the identity copy")
+    }
+  }
+
   test("embedding vectors are distinct across 130 copies, norms kept") {
     val vecs = ScaleGen.replicate(spark, src, "embeddings", 130)
       .select("embedding").collect()

@@ -23,4 +23,8 @@ class ScaleGenSpec extends AnyFunSuite {
     val maps = (0 until 312).map(ScaleGen.affineAlpha)
     assert(maps.distinct.size === 312)
   }
+
+  test("MaxDocCopies is the cipher-times-reversal-group product") {
+    assert(ScaleGen.MaxDocCopies === 312 * 4)
+  }
 }
