@@ -74,6 +74,11 @@ def main(base_path, k_path, k, out_path):
         "time_suspects": sorted(time_suspects),
         "queries": rows,
     }
+    # surface any sweep-declared skips so the ratio artifact can never
+    # silently claim coverage the legs didn't have
+    skipped = sorted(set(base.get("skipped", [])) | set(big.get("skipped", [])))
+    if skipped:
+        out["skipped"] = skipped
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {out_path}: total time ratio {out['total_time_ratio']} "

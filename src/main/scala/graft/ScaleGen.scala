@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *     ([[reversalVariant]] — the Klein group of shingle-factoring
   *     word/order/string reversals) for k ≤ [[MaxDocCopies]] = 1248,
   *     with copy 0 the identity;
-  *   - embeddings: per-copy cyclic dimension rotation (norm-preserving,
-  *     cosine-invariant within a copy, decorrelated across copies),
-  *     sign-flipped on the second rotation cycle so copies 64 apart
-  *     are not bit-identical vectors (k ≤ 128);
+  *   - embeddings: per-copy cyclic dimension rotation composed with a
+  *     copy-keyed Rademacher sign vector ([[signsOf]]) — norm- and
+  *     within-copy-dot-product-EXACT (sign terms cancel per
+  *     component), decorrelated across copies, with (rotation, signs)
+  *     pairs spec-proven distinct through k ≤ [[MaxDocCopies]];
   *   - facts (orders/lineitem/events/customer/supplier/part): key
   *     offsets per copy, consistent across referencing tables (copy i's
   *     orders point at copy i's customers; events share the customer
@@ -93,8 +94,26 @@ object ScaleGen {
     reversalVariant(translate(t, Alpha, affineAlpha(i % 312)), i / 312)
 
   /** The documents replication bound: 312 ciphers × 4 reversal
-    * variants. */
+    * variants. Embeddings share the bound: (rotation, Rademacher-sign)
+    * pairs are spec-proven pairwise distinct through it. */
   val MaxDocCopies = 1248
+
+  /** splitmix64-style finalizer — deterministic per-copy bits for
+    * [[signsOf]] (the [[graft.engine.Similarity.lshWeight]] mixer
+    * family). */
+  private[graft] def mix64(i: Long): Long = {
+    var x = (i + 1) * 0x9E3779B97F4A7C15L
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Copy i's Rademacher sign vector: bit d of mix64(i) → ±1 for
+    * dimension d. Copy 0 is all +1 (the identity, like the cipher's
+    * copy 0). */
+  private[graft] def signsOf(i: Int): Seq[Float] =
+    if (i == 0) Seq.fill(64)(1f)
+    else (0 until 64).map(d => if (((mix64(i) >>> d) & 1L) == 1L) -1f else 1f)
 
   /** Offsets chosen far above any base-key range at the source SFs and
     * far below any widening envelope. */
@@ -137,11 +156,18 @@ object ScaleGen {
         val rot = if (r == 0) col("embedding")
           else concat(slice(col("embedding"), r + 1, 64 - r),
             slice(col("embedding"), 1, r))
-        // second rotation cycle flips sign — norm- and
-        // within-copy-cosine-preserving, keeps copies 64 apart from
-        // being bit-identical vectors
-        val v = if ((i / 64) % 2 == 1)
-          transform(rot, x => x * lit(-1.0f)) else rot
+        // copy-keyed Rademacher signs composed with the rotation: a
+        // diagonal ±1 is BIT-EXACT on within-copy dot products (the
+        // sign terms cancel per component, so every product term —
+        // hence every cosine, norm and dedup decision — is the base
+        // copy's to the bit), while cross-copy correlations
+        // decorrelate. (rotation, sign-pattern) pairs are pairwise
+        // distinct through k = MaxDocCopies (ScaleGenSpec proves it in
+        // pure Scala), replacing the old single sign-flip whose
+        // distinctness ran out at 128.
+        val sg = signsOf(i)
+        val v = if (sg.forall(_ == 1f)) rot
+          else zip_with(rot, typedLit(sg), (x, s) => x * s)
         d.withColumn("vec_id", col("vec_id") + lit(i * DocOff))
           .withColumn("embedding", v)
       }
@@ -175,9 +201,8 @@ object ScaleGen {
       "usage: ScaleGen <srcSfDir> <dstDir> <k> [t1,t2,…] [--force]")
     val (src, dst, k) = (args(0), args(1), args(2).toInt)
     // 1248 = 312 affine ciphers × 4 reversal variants (the documents
-    // disjointness bound, [[MaxDocCopies]]); embeddings stay distinct
-    // to 128 — past that, copies 128 apart repeat rotation+sign, so
-    // only doc-spine legs should exceed it (enforced below)
+    // disjointness bound, [[MaxDocCopies]]); embeddings carry the same
+    // bound via (rotation, Rademacher-sign) pairs (ScaleGenSpec)
     require(k >= 1 && k <= MaxDocCopies, s"k out of range: $k")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dst))
     val spark = SparkSession.builder()
@@ -196,15 +221,11 @@ object ScaleGen {
         require(unknown.isEmpty, s"unknown tables: $unknown")
         all.filter(want)
       } else all
-    // Fail fast, not a warning: a stderr line is easily lost in sbt
-    // output, and a leg silently carrying bit-identical vectors would
-    // undermine the disjointness the committed scale artifacts rest
-    // on. --force is the explicit eyes-open escape hatch.
-    require(k <= 128 || !tables.contains("embeddings") || force,
-      s"k=$k exceeds the embeddings disjointness bound (128): copies " +
-        "128 apart repeat rotation+sign and are bit-identical vectors " +
-        "— restrict the table list (4th arg), use k <= 128, or pass " +
-        "--force to proceed anyway")
+    // (The former k>128 embeddings fail-fast is gone: the Rademacher
+    // sign lever carries embedding disjointness to MaxDocCopies, the
+    // same bound the top-level require enforces. --force remains an
+    // accepted no-op flag for script compatibility.)
+    val _ = force
     tables.foreach { t =>
       val df = replicate(spark, src, t, k)
       writeOne(df, dst, t)

@@ -90,16 +90,56 @@ class ScaleGenReplicateSpec extends SparkSpec {
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toVector)
     assert(vecs.length === 130)
-    // rotation repeats at 64; the sign flip keeps 64 and 128 apart —
-    // every copy within the 128-cycle must be a distinct vector
-    assert(vecs.take(128).distinct.length === 128,
-      "copies within the 128 rotation+sign cycle must be distinct")
-    // copy 128 repeats copy 0 by construction — the documented bound
-    assert(vecs(128) === vecs(0))
+    // rotation repeats at 64; the per-copy Rademacher signs carry
+    // distinctness past it (the old single sign-flip bound was 128 —
+    // copies 128 and 0 were bit-identical; now every copy is distinct)
+    assert(vecs.distinct.length === 130,
+      "every copy must be a distinct vector under rotation x signs")
     val norm0 = math.sqrt(vecs(0).map(x => x.toDouble * x).sum)
     for (v <- vecs) {
       val n = math.sqrt(v.map(x => x.toDouble * x).sum)
       assert(math.abs(n - norm0) < 1e-3, "rotation/sign must keep norms")
     }
+    // copy 0 is the identity
+    assert(vecs(0) === (0 until 64).map(i => (i + 1).toFloat).toVector)
+  }
+
+  test("within-copy dot products: sign-only copies bit-exact, rotated ones equal") {
+    import spark.implicits._
+    // the quantity every dedup/ANN decision reduces to is the
+    // within-copy dot product. The Rademacher signs are EXACT (sign
+    // terms cancel per component), so copies at rotation 0 (i % 64 ==
+    // 0, sign-only transforms) must reproduce the base dot to the
+    // BIT; rotated copies compute a cyclic permutation of the same
+    // term sequence — mathematically identical, FP-reordered — and
+    // must agree to relative 1e-12 (the tolerance the cosine
+    // thresholds dwarf by ~10 orders)
+    val dir = java.nio.file.Files.createTempDirectory("sgr-dot").toString
+    Seq((1L, Array(0.3f, -1.7f, 2.5f, 0.0f) ++ Array.fill(60)(0.1f), 0),
+        (2L, Array(-0.9f, 0.4f, -3.3f, 1.1f) ++ Array.fill(60)(-0.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp")
+    val f = new java.io.File(s"$dir/tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(f.toPath,
+      java.nio.file.Paths.get(s"$dir/embeddings.parquet"))
+    // (copy index, within-copy dot), copy = vec_id / DocOff (10M)
+    val dots = ScaleGen.replicate(spark, dir, "embeddings", 129)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .groupBy(_._1 / 10000000L)
+      .map { case (copy, g) =>
+        val Seq(a, b) = g.toSeq.sortBy(_._1).map(_._2)
+        copy -> a.zip(b).map { case (x, y) => x * y }.sum
+      }
+    val base = dots(0L)
+    for ((copy, d) <- dots) {
+      if (copy % 64 == 0)
+        assert(d === base, s"sign-only copy $copy must be bit-exact")
+      else
+        assert(math.abs(d - base) <= 1e-12 * math.abs(base),
+          s"rotated copy $copy drifted: $d vs $base")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }

@@ -27,4 +27,17 @@ class ScaleGenSpec extends AnyFunSuite {
   test("MaxDocCopies is the cipher-times-reversal-group product") {
     assert(ScaleGen.MaxDocCopies === 312 * 4)
   }
+
+  test("embedding (rotation, sign-pattern) pairs are distinct through the bound") {
+    // the embedding transform for copy i is (cyclic rotation by i%64,
+    // Rademacher signs signsOf(i)) — pairwise-distinct PAIRS mean no
+    // two copies apply the same map, the claim every sim-spine
+    // artifact's constant-density argument rests on. Pure Scala: no
+    // Spark needed to prove it.
+    val pairs = (0 until ScaleGen.MaxDocCopies)
+      .map(i => (i % 64, ScaleGen.signsOf(i)))
+    assert(pairs.distinct.size === ScaleGen.MaxDocCopies)
+    // copy 0 is the identity transform
+    assert(pairs.head === ((0, Seq.fill(64)(1f))))
+  }
 }
