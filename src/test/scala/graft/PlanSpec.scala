@@ -44,6 +44,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("centroid assignment never plans the N*K nested-loop join") {
+    // assignTo is a per-partition kernel over the collected centroid
+    // matrix — the round-11 49x fix (342 s -> 6.9 s at 200k x 8192: a
+    // BroadcastNestedLoopJoin materializes N*K rows each carrying the
+    // 64-double vector, ~800 GB of row copies). A revert to the
+    // declarative argmax would reintroduce exactly that node.
+    for (q <- Seq("q_semdedup", "q_sim_ivf", "q_kmeans_step")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q plans the N*K nested-loop assignment again")
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+  }
+
   test("q_sim_topk broadcasts the (small) query side by design") {
     // brute-force baseline: query set ≪ corpus, so the nested loop
     // streams the corpus once against a broadcast query table
