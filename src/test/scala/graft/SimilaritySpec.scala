@@ -103,6 +103,28 @@ class SimilaritySpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("semDedup on an empty corpus returns an empty frame (kernel empty-cents path)") {
+    // zero vectors -> zero centroids -> assignTo's collected matrix is
+    // empty: the kernel must return the typed empty frame, not crash
+    // on an argmax over nothing (fuzz classes zero/zdocs cover this
+    // end-to-end against the oracle; this pins it as a unit)
+    val dir = java.nio.file.Files.createTempDirectory("graft-emb0").toString
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Similarity.semDedup(spark, dir).count() === 0L)
+    assert(Similarity.kmeansStep(spark, dir).count() === 0L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("semDedupCells: identity at every gate SF, occupancy-bounded, capped") {
     // every driver gate SF has <= 2000 embeddings: the adaptive K must
     // be exactly NumCentroids there (gate results unchanged by design)
