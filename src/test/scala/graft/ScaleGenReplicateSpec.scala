@@ -85,6 +85,34 @@ class ScaleGenReplicateSpec extends SparkSpec {
     }
   }
 
+  test("reversal variants form the Klein group (involutions, composition law)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // strings chosen to stress the split/concat_ws round-trip: double
+    // spaces (empty tokens), leading/trailing space, single chars,
+    // palindromes, empty string
+    val samples = Seq("the quick brown fox", "a  b", " x", "y ", "",
+      "abc", "a", "racecar level", "ab  cd   ef")
+    val df = samples.toDF("text")
+    def apply2(r1: Int, r2: Int): Seq[String] =
+      df.select(ScaleGen.reversalVariant(
+          ScaleGen.reversalVariant(col("text"), r1), r2))
+        .as[String].collect().toSeq
+    def apply1(r: Int): Seq[String] =
+      df.select(ScaleGen.reversalVariant(col("text"), r))
+        .as[String].collect().toSeq
+    // every non-identity element is an involution: r∘r = id
+    for (r <- 1 to 3)
+      assert(apply2(r, r) === samples, s"variant $r must be an involution")
+    // composition law: full-string reversal = word-chars ∘ word-order
+    assert(apply2(2, 1) === apply1(3),
+      "R_words ∘ R_order must equal R_full (incl. empty tokens)")
+    // length preservation on every sample, every variant
+    for (r <- 0 to 3)
+      assert(apply1(r).map(_.length) === samples.map(_.length),
+        s"variant $r must preserve length")
+  }
+
   test("embedding vectors are distinct across 130 copies, norms kept") {
     val vecs = ScaleGen.replicate(spark, src, "embeddings", 130)
       .select("embedding").collect()
