@@ -16,6 +16,7 @@ import graft.engine.{Sessions, TextOps}
   * Usage: `sbt "runMain graft.LshProfile <sfDir>"`. */
 object LshProfile {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: LshProfile <sfDir>")
     val d = args(0)
     val spark = Sessions.tuned(
       SparkSession.builder().master("local[32]"), 32).getOrCreate()

@@ -87,6 +87,17 @@ object SpineSweep {
     "q_semdedup" -> None, "q_dedup_embed" -> None,
     "stage:bucket_pairs" -> Some(3.0), "stage:cell_pairs" -> Some(2.0))
 
+  /** Scale-leg overrides: where the DECLARED query is a gate-capped
+    * form (q_semdedup subsamples past [[Similarity.SemDedupGateCap]] so
+    * its N·K DuckDB mirror stays runnable), the sweep times the
+    * UNCAPPED library operator — the full-corpus wall time is exactly
+    * what the leg exists to measure. Correctness of the capped gate
+    * form is the oracle's job; linearity of the full operator is this
+    * sweep's job, and the two must not be conflated by letting the cap
+    * flatten the curve. */
+  val FullCorpus: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semdedup" -> ((s, d) => Similarity.semDedup(s, d)))
+
   def main(rawArgs: Array[String]): Unit = {
     // --skip a,b: leave named queries out of the leg, RECORDED in the
     // output ("skipped": [...]) so the artifact can never silently
@@ -185,7 +196,7 @@ object SpineSweep {
       (n, 0.0, c) }
 
     val rows = Sets(set).filterNot(skipped.contains).map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = FullCorpus.getOrElse(name, SparkEntry.queries(name))
       val t1 = System.nanoTime()
       val n = try fn(spark, sfDir).count()
         catch { case NonFatal(e) =>

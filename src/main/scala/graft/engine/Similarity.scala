@@ -264,12 +264,21 @@ object Similarity {
     * the dot is the same left-to-right component fold as
     * [[graft.functions.DotProduct]] / DuckDB's list_dot_product, the
     * cosine divides by (nm·cnm) in the same association, and the
-    * strict `>` over id-ascending centroids IS (max cosine,
-    * min-centroid-id). A length-mismatched centroid yields a NULL
-    * cosine under the fold semantics — mirrored here by skipping it
-    * (NULL orders after every real cosine under `desc`); if every
-    * cosine is NULL the smallest c_id wins with a null c_cos, exactly
-    * the old window's nulls-last rank 1. */
+    * strict comparator win over id-ascending centroids IS (max cosine,
+    * min-centroid-id). The comparator matches Spark's double ORDER BY
+    * exactly, not primitive `>`: NaN orders GREATER than every value
+    * (a NaN cosine wins the argmax like it won rank 1 under `desc`)
+    * and -0.0 ties 0.0 (normalized before compare) — so the kernel
+    * does not silently diverge from the window form even on
+    * NON-CANONICAL inputs. (Today's callers can't produce a NaN
+    * cosine: [[canonEmb]] drops zero/Inf-norm vectors at intake and
+    * [[kmeansIterate]] drops all-zero means — but that invariant lives
+    * at the intake boundary, and this comparator keeps argmax
+    * semantics total rather than leaning on it.) A length-mismatched
+    * centroid yields a NULL cosine under the fold semantics — mirrored
+    * here by skipping it (NULL orders after every real cosine under
+    * `desc`); if every cosine is NULL the smallest c_id wins with a
+    * null c_cos, exactly the old window's nulls-last rank 1. */
   private def assignTo(vs: DataFrame, cents: DataFrame): DataFrame = {
     val spark = vs.sparkSession
     val byId = cents.select(col("c_id").cast("long"), col("cv"), col("cnm"))
@@ -303,8 +312,14 @@ object Similarity {
             var s = 0.0
             var i = 0
             while (i < varr.length) { s += varr(i) * w(i); i += 1 }
-            val cos = s / (nm * cnm(c))
-            if (bestI < 0 || cos > best) { best = cos; bestI = c }
+            val raw = s / (nm * cnm(c))
+            // -0.0 ties 0.0 under Spark's comparator; normalize before
+            // Double.compare (which would order -0.0 < 0.0). NaN then
+            // compares greater than everything — the window's ordering.
+            val cos = if (raw == 0.0) 0.0 else raw
+            if (bestI < 0 || java.lang.Double.compare(cos, best) > 0) {
+              best = cos; bestI = c
+            }
           }
           c += 1
         }
@@ -762,8 +777,9 @@ object Similarity {
         slice(col("v"), k * PqSubDim + 1, PqSubDim).as("sv"))
     }
 
-  /** The deterministic hash-ranked codebook: (code, sub, cv). */
-  private def pqCodebookOf(vs: DataFrame): DataFrame = {
+  /** The deterministic hash-ranked codebook: (code, sub, cv).
+    * (private[graft]: [[graft.PqProfile]] times the stages.) */
+  private[graft] def pqCodebookOf(vs: DataFrame): DataFrame = {
     val wCode = Window.orderBy(col("ck"), col("vec_id"))
     vs.withColumn("ck", PortableHash.h28(concat(lit("pq_"), col("vec_id"))))
       .orderBy(col("ck"), col("vec_id")).limit(PqCodebook)
@@ -779,7 +795,7 @@ object Similarity {
 
   /** Nearest-codeword encoding (vec_id, sub, code, d2) of `vs` against
     * a broadcast codebook. */
-  private def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame = {
+  private[graft] def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame = {
     val wBest = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("d2"), col("code"))
     vs.select(col("vec_id"), explode(array(pqSubIdx: _*)).as("xs"))
@@ -819,6 +835,18 @@ object Similarity {
     * a map-side-partial agg whose shuffle carries N·[[NumQueries]]
     * partial rows of three longs; top-k rank gets the WindowGroupLimit
     * partial push-down ([[TextOps.domainCap]] discipline). */
+  /** The per-query ADC lookup table: (q_id, sub, code, pd6) — query
+    * subvectors × codewords, fixed-point quantized. [[NumQueries]] ×
+    * [[PqSubspaces]] × [[PqCodebook]] = 2 048 rows, broadcast-sized by
+    * construction. (private[graft]: [[graft.PqProfile]] times it.) */
+  private[graft] def pqLutOf(vs: DataFrame, codebook: DataFrame): DataFrame =
+    vs.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), explode(array(pqSubIdx: _*)).as("xs"))
+      .select(col("q_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
+      .join(codebook, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        floor(pqD2 * KmeansFixedPoint).as("pd6"))
+
   def pqSearch(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val vs = vectors(s, d)
     val codebook = pqCodebookOf(vs)
@@ -830,13 +858,7 @@ object Similarity {
     val codes = pqEncode(vs, codebook)
       .select(col("vec_id"), col("sub"), col("code"))
       .repartition(col("vec_id"))
-    // LUT: query subvectors × codewords, fixed-point quantized
-    val lut = vs.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), explode(array(pqSubIdx: _*)).as("xs"))
-      .select(col("q_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
-      .join(codebook, Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        floor(pqD2 * KmeansFixedPoint).as("pd6"))
+    val lut = pqLutOf(vs, codebook)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist6"), col("vec_id"))
     codes.join(broadcast(lut), Seq("sub", "code"))
@@ -944,13 +966,55 @@ object Similarity {
     * assignment argmax is a map-side [[assignTo]] aggregate, so the
     * N·K candidate rows never shuffle either). */
   def semDedup(s: SparkSession, d: String,
-      threshold: Double = SemDedupCos): DataFrame = {
+      threshold: Double = SemDedupCos): DataFrame =
     // adaptive K ([[semDedupCells]]): at fixed K the within-cell pair
     // count grows (N/K)²·K = N²/K — measured 19.5× rows for 10× docs
     // on the k=10 replica leg before this; the count() is a parquet
     // metadata read on the materialized canon_emb stage
-    val k = semDedupCells(canonEmb(s, d).count())
-    val assigned = assignCells(vectors(s, d), k)
+    semDedupOf(vectors(s, d), canonEmb(s, d).count(), threshold)
+
+  /** Corpus-size cap for the GATE form of q_semdedup
+    * ([[semDedupGated]]). The DuckDB oracle mirrors the nearest-centroid
+    * argmax as an N·K cross join, and with adaptive K ∝ N that is
+    * N²/32 on the oracle side — measured 137 s at 20k vectors (sf1,
+    * SCALE_SF1.md); at sf10's 200k it would be ~100× that. 32768 keeps
+    * the oracle at K = [[semDedupCells]](32768) = 1024, i.e. N·K ≈
+    * 33.5M ≈ 1.6× the measured sf1 cost, at any corpus size. Every
+    * driver gate SF and the committed sf1 leg sit BELOW the cap, so
+    * their declared semantics (and hashes) are unchanged; the Spark
+    * library operator [[semDedup]] has no cap — the scale sweeps time
+    * it full-corpus ([[graft.SpineSweep.FullCorpus]]). */
+  val SemDedupGateCap = 32768L
+
+  /** The DECLARED q_semdedup: [[semDedup]] over the whole corpus up to
+    * [[SemDedupGateCap]] vectors, and past the cap over the cap-sized
+    * hash-ranked subsample (smallest (h28('g_'||vec_id), vec_id) keys —
+    * the [[centroidsFixed]] selection discipline, uniform across
+    * replica copies, mirrored row-for-row by the oracle's window CTE).
+    * Both engines derive adaptive K from the SUBSET count, so the gate
+    * stays a full three-check comparison at any SF while the oracle's
+    * N·K argmax stays bounded. */
+  def semDedupGated(s: SparkSession, d: String,
+      threshold: Double = SemDedupCos,
+      cap: Long = SemDedupGateCap): DataFrame = {
+    val n = canonEmb(s, d).count()
+    if (n <= cap) semDedupOf(vectors(s, d), n, threshold)
+    else {
+      val sub = vectors(s, d)
+        .withColumn("gk",
+          PortableHash.h28(concat(lit("g_"), col("vec_id"))))
+        .orderBy(col("gk"), col("vec_id")).limit(cap.toInt)
+        .drop("gk")
+      semDedupOf(sub, cap, threshold)
+    }
+  }
+
+  /** [[semDedup]]'s pipeline over an explicit (vec_id, v, nm) frame
+    * with corpus count `n` (drives the adaptive K). */
+  private def semDedupOf(vs: DataFrame, n: Long,
+      threshold: Double): DataFrame = {
+    val k = semDedupCells(n)
+    val assigned = assignCells(vs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cell"), col("vec_id").as("a"),
       col("v").as("va"), col("nm").as("na"))

@@ -357,6 +357,33 @@ object Stages {
     * Operational entry point: [[graft.StageGc]] (a main) warms every
     * declared stage, resolves [[liveStageUnits]], and runs this with a
     * `--dry-run` mode — suitable for a cron on a persistent root. */
+  /** Effective age of a reap candidate directory: the newest mtime
+    * ANYWHERE under it, not just its direct children — on HDFS/S3A
+    * (and local FS) a nested file write bumps only its IMMEDIATE
+    * parent, and Spark writes part files two levels down under
+    * `_temporary/<jobAttempt>/<taskAttempt>/`, so a long in-flight
+    * publish can look horizon-old at both the top and direct-child
+    * levels while its part files are seconds fresh — the deep walk
+    * sees those part files directly. (Deliberately NOT "skip if a
+    * `_temporary` child exists": a publisher that crashed without the
+    * committer's abort leaves `_temporary` behind forever, and an
+    * unconditional skip would turn that debris immortal; under the
+    * mtime rule it ages out like everything else.) Max over the dir
+    * mtime + every FILE at any depth (listFiles recursive) + every
+    * DIRECT child (covers empty subdirs' own mtimes). Walks run only
+    * for already-horizon-old candidates; unlistable dirs are treated
+    * as fresh (leak over break). */
+  private def newestUnder(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      var mx = st.getModificationTime
+      fs.listStatus(st.getPath)
+        .foreach(c => mx = math.max(mx, c.getModificationTime))
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) mx = math.max(mx, it.next().getModificationTime)
+      mx
+    } catch { case _: java.io.IOException => Long.MaxValue }
+
   def reapUnreferenced(s: SparkSession, root: String,
       liveUnits: Set[String], minAgeDays: Int = 7,
       dryRun: Boolean = false): Seq[String] = {
@@ -377,8 +404,11 @@ object Stages {
         if (!liveUnits.contains(unit)) {
           val attempts = entries.filter(st => st.isDirectory &&
             st.getPath.getName.startsWith(s"$unit-attempt-"))
+          // deep age, not just top-level mtimes: an in-flight publish
+          // into a NEW attempt of a stale unit is only visible in the
+          // attempt's nested _temporary tree (see newestUnder)
           val newest = (ptrSt.getModificationTime +:
-            attempts.map(_.getModificationTime).toSeq).max
+            attempts.map(a => newestUnder(fs, a)).toSeq).max
           if (newest <= horizon) {
             try {
               if (!dryRun) {
@@ -400,16 +430,7 @@ object Stages {
         val unit = name.substring(0, name.lastIndexOf("-attempt-"))
         if (!ptrUnits.contains(unit) && !liveUnits.contains(unit) &&
             st.getModificationTime <= horizon) {
-          // Age by the newest of the dir AND its direct children, like
-          // the pointer pass takes max over ptr+attempts: on HDFS/S3A a
-          // nested file write does NOT bump the parent dir's mtime, so
-          // a very long in-flight publish could look horizon-old at the
-          // top level while its part files are seconds fresh. The extra
-          // listStatus runs only for already-horizon-old candidates.
-          val newest = try {
-            (st.getModificationTime +:
-              fs.listStatus(st.getPath).map(_.getModificationTime).toSeq).max
-          } catch { case _: java.io.IOException => Long.MaxValue }
+          val newest = newestUnder(fs, st)
           if (newest <= horizon) {
             try {
               if (!dryRun) fs.delete(st.getPath, true)

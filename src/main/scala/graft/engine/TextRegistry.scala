@@ -114,7 +114,9 @@ object TextRegistry {
   /** DuckDB mirror of [[Similarity.semDedupCells]]: NumCentroids times a
     * product of doubling terms, each an exact integer comparison — both
     * engines derive the identical adaptive K from their own corpus
-    * count (the [[duckBitsCte]] pattern). */
+    * count (the [[duckBitsCte]] pattern). Counts the GATE subset `ns`
+    * (= the whole corpus below [[Similarity.SemDedupGateCap]]), exactly
+    * as [[Similarity.semDedupGated]] derives K from min(n, cap). */
   private val duckKCte = {
     val terms = (0 until Similarity.MaxCellDoublings)
       .map(j => "(CASE WHEN cnt > " +
@@ -122,7 +124,7 @@ object TextRegistry {
         "THEN 2 ELSE 1 END)")
       .mkString(" * ")
     s"kc AS (SELECT ${Similarity.NumCentroids} * $terms AS kk " +
-      "FROM (SELECT count(*) AS cnt FROM n))"
+      "FROM (SELECT count(*) AS cnt FROM ns))"
   }
 
   def entries: Seq[(String, Entry)] = Seq(
@@ -845,19 +847,31 @@ object TextRegistry {
          |FROM pp JOIN ds di ON pp.i = di.i JOIN ds dj ON pp.j = dj.i
          |ORDER BY i, j, spp, cov6""".stripMargin),
 
-    "q_semdedup" -> e((s, d) => Similarity.semDedup(s, d),
+    // Gate-capped form (Similarity.semDedupGated): past SemDedupGateCap
+    // vectors both engines run the pipeline on the cap-sized
+    // hash-ranked subsample (ns CTE; the Spark side branches
+    // identically), deriving adaptive K from the SUBSET count — the
+    // oracle's argmax is an N·K = N²/32 cross join and the cap is what
+    // keeps sf10-class gates runnable (SCALE_SF1.md). Below the cap
+    // (every driver SF and sf1) ns ≡ n and results are bit-identical
+    // to the uncapped operator.
+    "q_semdedup" -> e((s, d) => Similarity.semDedupGated(s, d),
       s"""WITH $embCtes,
+         | ns AS (SELECT vec_id, v, nm FROM (
+         |   SELECT vec_id, v, nm, row_number()
+         |     OVER (ORDER BY ${duckH28("'g_'||vec_id")}, vec_id) AS grk
+         |   FROM n) z WHERE grk <= ${Similarity.SemDedupGateCap}),
          | $duckKCte,
          | c AS (SELECT c_id, cv, cnm FROM (
          |   SELECT vec_id AS c_id, v AS cv, nm AS cnm, row_number()
          |     OVER (ORDER BY ${duckH28("'c_'||vec_id")}, vec_id) AS crk
-         |   FROM n) z CROSS JOIN kc WHERE crk <= kk),
+         |   FROM ns) z CROSS JOIN kc WHERE crk <= kk),
          | asg AS (SELECT vec_id, v, nm, c_id AS cell FROM (
-         |   SELECT n.vec_id, n.v, n.nm, c.c_id,
-         |    row_number() OVER (PARTITION BY n.vec_id
-         |      ORDER BY list_dot_product(n.v, c.cv)/(n.nm*c.cnm) DESC, c.c_id)
+         |   SELECT ns.vec_id, ns.v, ns.nm, c.c_id,
+         |    row_number() OVER (PARTITION BY ns.vec_id
+         |      ORDER BY list_dot_product(ns.v, c.cv)/(ns.nm*c.cnm) DESC, c.c_id)
          |      AS c_rk
-         |   FROM n CROSS JOIN c) x WHERE c_rk = 1),
+         |   FROM ns CROSS JOIN c) x WHERE c_rk = 1),
          | p AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
          |   list_dot_product(x.v, y.v)/(x.nm*y.nm) AS cos
          |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),

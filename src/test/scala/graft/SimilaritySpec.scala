@@ -147,6 +147,58 @@ class SimilaritySpec extends SparkSpec {
       == (Similarity.NumCentroids << Similarity.MaxCellDoublings))
   }
 
+  test("semDedupGated: identical to semDedup at or below the cap") {
+    // every driver gate SF and the committed sf1 leg sit below
+    // SemDedupGateCap — the gated query must be bit-identical there
+    val full = Similarity.semDedup(spark, sf)
+      .collect().toSeq
+    val gated = Similarity.semDedupGated(spark, sf)
+      .collect().toSeq
+    assert(gated == full)
+    assert(Similarity.SemDedupGateCap > 20000L,
+      "cap must sit above sf1's 20k vectors (committed artifacts)")
+  }
+
+  test("semDedupGated past the cap: hash-ranked subsample, equal to semDedup of that subsample") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-embcap").toString
+    val subDir = java.nio.file.Files.createTempDirectory("graft-embsub").toString
+    // 12 distinct unit-ish vectors with planted copies scattered so the
+    // subsample decision (hash rank) actually cuts across dup groups
+    val rows = (0L until 12L).map { i =>
+      val base = (i % 4).toInt // 4 dup groups of 3
+      val v = Seq.tabulate(8)(j =>
+        if (j == base) 1.0f
+        else if (j == 4 + (i % 4).toInt) 0.01f * i.toFloat
+        else 0.0f)
+      (i, v, base)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cap = 6L
+    // the declared subset rule: cap smallest (h28('g_'||vec_id), vec_id)
+    val subIds = Similarity.vectors(spark, dir)
+      .withColumn("gk", graft.engine.PortableHash.h28(
+        concat(lit("g_"), col("vec_id"))))
+      .orderBy(col("gk"), col("vec_id")).limit(cap.toInt)
+      .select("vec_id").as[Long].collect().toSet
+    assert(subIds.size == cap)
+    val gated = Similarity.semDedupGated(spark, dir, cap = cap)
+      .collect().toSeq
+    // membership: every output vec_id / keep_id drawn from the subset
+    gated.foreach { r =>
+      assert(subIds.contains(r.getLong(0)) && subIds.contains(r.getLong(2)))
+    }
+    // equivalence: identical to the uncapped operator run on a corpus
+    // holding exactly the subsample (same rows ⇒ same K ⇒ same cells)
+    rows.filter(r => subIds.contains(r._1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$subDir/embeddings.parquet")
+    val direct = Similarity.semDedup(spark, subDir).collect().toSeq
+    assert(gated == direct)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(subDir))
+  }
+
   test("pcaTop recovers a planted dominant axis from the exact covariance") {
     val dir = java.nio.file.Files.createTempDirectory("graft-emb").toString
     // variance 100 along dim 0 (components ±10), tiny deterministic
