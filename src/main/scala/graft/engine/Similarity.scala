@@ -223,13 +223,49 @@ object Similarity {
     * scan — the classic coarse-quantization shape (probe more cells by
     * relaxing the rank-1 filter; raise K, which only grows the broadcast,
     * never the shuffle). */
+  /** The exact k smallest (h28(prefix||vec_id), vec_id) rows of a
+    * vectors frame — the deterministic hash-ranked sample shared by
+    * [[centroidsFixed]] and [[semDedupGated]]'s subsample.
+    *
+    * Scale-safe for LARGE k: a bare `orderBy.limit(k)` plans as
+    * TakeOrdered, whose final merge ships every partition's top-k to
+    * the DRIVER — P·k rows, ~1.2 GB at K=65536 on 32 partitions
+    * (measured: the round-12 k=1248 sim leg died on
+    * spark.driver.maxResultSize right here), and tens of GB at
+    * cluster partition counts. h28 is uniform on [0, 2^28), so rows
+    * with the k smallest keys almost surely sit below t ≈ 4k/N of the
+    * key space: prefilter to `key < t` (shrinking the merge to ~4k
+    * rows — a scan, no shuffle), and fall back to the unfiltered
+    * exact form iff the filter undershoots (P ≤ e^(-1.1k) by
+    * Chernoff at the 4× margin — a logical-totality net, not a path).
+    * Exactness: if ≥ k rows have key < t, every row with key ≥ t
+    * sorts after all of them in key-major order, so the filtered
+    * top-k IS the global top-k. Small k keeps the single-stage exact
+    * plan (gate SFs: plans unchanged). */
+  private[graft] def hashRankedLimit(vs: DataFrame, prefix: String,
+      k: Int): DataFrame = {
+    val keyed = vs.withColumn("__hk",
+      PortableHash.h28(concat(lit(prefix), col("vec_id"))))
+    def take(src: DataFrame): DataFrame =
+      src.orderBy(col("__hk"), col("vec_id")).limit(k).drop("__hk")
+    if (k <= 4096) take(keyed)
+    else {
+      val n = vs.count()
+      val t =
+        if (n == 0) 1L << 28
+        else math.min(1L << 28, (1L << 28) * 4L * k / n + 1)
+      val cand = keyed.filter(col("__hk") < t)
+      if (cand.count() >= k) take(cand) else take(keyed)
+    }
+  }
+
   /** The fixed centroid sample: the [[NumCentroids]] smallest
     * (h28('c_'||vec_id), vec_id) keys — an O(N log K) selection whose
-    * result is broadcast-sized by construction. */
+    * result is broadcast-sized by construction ([[hashRankedLimit]]
+    * keeps the selection itself driver-safe at adaptive K). */
   private def centroidsFixed(vs: DataFrame,
       k: Int = NumCentroids): DataFrame =
-    vs.withColumn("ck", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
-      .orderBy(col("ck"), col("vec_id")).limit(k)
+    hashRankedLimit(vs, "c_", k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
 
   /** One O(N·K) pass assigning every vector to its nearest fixed
@@ -999,14 +1035,8 @@ object Similarity {
       cap: Long = SemDedupGateCap): DataFrame = {
     val n = canonEmb(s, d).count()
     if (n <= cap) semDedupOf(vectors(s, d), n, threshold)
-    else {
-      val sub = vectors(s, d)
-        .withColumn("gk",
-          PortableHash.h28(concat(lit("g_"), col("vec_id"))))
-        .orderBy(col("gk"), col("vec_id")).limit(cap.toInt)
-        .drop("gk")
-      semDedupOf(sub, cap, threshold)
-    }
+    else semDedupOf(
+      hashRankedLimit(vectors(s, d), "g_", cap.toInt), cap, threshold)
   }
 
   /** [[semDedup]]'s pipeline over an explicit (vec_id, v, nm) frame

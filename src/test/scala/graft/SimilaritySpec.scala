@@ -147,6 +147,27 @@ class SimilaritySpec extends SparkSpec {
       == (Similarity.NumCentroids << Similarity.MaxCellDoublings))
   }
 
+  test("hashRankedLimit: prefiltered large-k path equals the exact TakeOrdered") {
+    // k > 4096 engages the hash-threshold prefilter (the driver-merge
+    // fix the k=1248 sim leg forced); it must stay bit-identical to
+    // the plain orderBy+limit it replaces
+    val df = (0L until 20000L).toDF("vec_id")
+    val k = 5000
+    val got = Similarity.hashRankedLimit(df, "c_", k)
+      .as[Long].collect().toSeq
+    val want = df.withColumn("hk", graft.engine.PortableHash.h28(
+        concat(lit("c_"), col("vec_id"))))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == want)
+    assert(got.size == k)
+    // small-k path: exact single-stage plan, same result rule — the
+    // prefix of the same ranking
+    val small = Similarity.hashRankedLimit(df, "c_", 64)
+      .as[Long].collect().toSeq
+    assert(small == want.take(64))
+  }
+
   test("semDedupGated: identical to semDedup at or below the cap") {
     // every driver gate SF and the committed sf1 leg sit below
     // SemDedupGateCap — the gated query must be bit-identical there
