@@ -228,7 +228,12 @@ class StagesSpec extends SparkSpec {
       }
       Files.write(Paths.get(s"$root/$unit.ptr"),
         (attempt + "\n#end").getBytes("UTF-8"))
-      if (ageOld) Seq(s"$root/$unit.ptr", attempt, loser).foreach { f =>
+      // a genuinely old publish has old part files too — the reaper
+      // ages by the newest mtime at ANY depth (fresh nested children
+      // mean in-flight, see the orphan test's slow_pub case)
+      if (ageOld) Seq(s"$root/$unit.ptr",
+          s"$attempt/part-0.parquet", s"$loser/part-0.parquet",
+          attempt, loser).foreach { f =>
         Files.setLastModifiedTime(Paths.get(f), FileTime.fromMillis(oldMs))
       }
     }
