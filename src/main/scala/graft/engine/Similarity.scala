@@ -830,17 +830,93 @@ object Similarity {
     lit(0.0), (acc, x) => acc + x)
 
   /** Nearest-codeword encoding (vec_id, sub, code, d2) of `vs` against
-    * a broadcast codebook. */
+    * the codebook — a PER-PARTITION KERNEL over the collected 128-row
+    * codebook matrix ([[PqSubspaces]]·[[PqCodebook]] rows, bounded by
+    * construction — the [[assignTo]] / kmeansIterate bounded-collect
+    * class; this IS [[assignTo]]'s operation at subvector granularity,
+    * the fourth documented kernel tier). No join, no shuffle, no
+    * candidate rows: each vector streams once past the broadcast
+    * matrix at ~1k primitive flops ([[PqSubspaces]]·[[PqCodebook]]·
+    * [[PqSubDim]]), emitting its 8 code rows co-located in the input
+    * partition — which is why [[pqSearch]] needs no repartition
+    * before its rollup. The declarative alternatives both materialize
+    * or interpret N·128 candidates and were measured at 800k vectors
+    * (PqProfile, round 12): broadcast-join + rank-1 window sorts the
+    * 102M joined rows (37.9 s); `min(struct(d2, code))` falls out of
+    * the unsafe-row hash fast path (struct agg buffer ⇒ SortAggregate,
+    * sorts them twice — 159 s on the search rollup); a higher-order
+    * `aggregate` fold over a typedLit codebook is interpreted, not
+    * codegen'd (~105 µs/row, 84.3 s). The kernel: 3.1 s.
+    *
+    * Argmin semantics are rank 1 of `orderBy(d2, code)` verbatim:
+    * codes iterate ascending and only a strictly smaller d2 replaces
+    * the best, so ties keep the smallest code; the d2 loop is the same
+    * left-to-right index-order sum as the join form's zip_with/
+    * aggregate fold ([[pqD2]]), so values are bit-identical. d2 is
+    * finite and ≥ 0 (no NaN corner); a short/null vector mirrors the
+    * fold form's all-NULL-d2 rank 1 (code 0, null d2) for totality,
+    * though the 64-dim table contract keeps that branch unreachable. */
   private[graft] def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame = {
-    val wBest = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("d2"), col("code"))
-    vs.select(col("vec_id"), explode(array(pqSubIdx: _*)).as("xs"))
-      .select(col("vec_id"), col("xs.sub").as("sub"), col("xs.sv").as("sv"))
-      .join(broadcast(codebook), Seq("sub"))
-      .withColumn("d2", pqD2)
-      .withColumn("rk", row_number().over(wBest))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("sub"), col("code"), col("d2"))
+    val spark = vs.sparkSession
+    // code-ascending codeword matrix per subspace (128 rows total)
+    val cbRows = codebook.select(col("sub"), col("code"), col("cv")).collect()
+    val bySub: Array[Array[Array[Double]]] =
+      Array.tabulate(PqSubspaces) { k =>
+        cbRows.filter(_.getLong(0) == k.toLong).sortBy(_.getLong(1))
+          .map(_.getSeq[Double](2).toArray)
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("d2",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    if (bySub.forall(_.isEmpty)) // empty corpus ⇒ empty codebook
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val bc = spark.sparkContext.broadcast(bySub)
+    val idIdx = vs.schema.fieldIndex("vec_id")
+    val vIdx = vs.schema.fieldIndex("v")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    vs.mapPartitions { rows =>
+      val cb = bc.value
+      rows.flatMap { r =>
+        val vid = r.getLong(idIdx)
+        val varr =
+          if (r.isNullAt(vIdx)) Array.empty[Double]
+          else r.getSeq[Double](vIdx).toArray
+        (0 until PqSubspaces).iterator.map { k =>
+          val off = k * PqSubDim
+          if (varr.length < off + PqSubDim)
+            // short/null vector: every codeword's zip_with d2 is NULL
+            // in the fold form, so rank 1 of (d2 asc NULLS FIRST,
+            // code asc) is (code 0, null) — mirrored for totality
+            // (the 64-dim table contract makes this unreachable)
+            org.apache.spark.sql.Row(vid, k.toLong, 0L, null)
+          else {
+            var bd2 = 0.0
+            var bcode = -1
+            var c = 0
+            while (c < cb(k).length) {
+              val w = cb(k)(c)
+              var s = 0.0
+              var i = 0
+              while (i < PqSubDim) {
+                val dx = varr(off + i) - w(i); s += dx * dx; i += 1
+              }
+              // strict < over code-ascending words IS rank 1 of
+              // orderBy(d2, code); d2 ≥ 0 and finite, no NaN corner
+              if (bcode < 0 || s < bd2) { bd2 = s; bcode = c }
+              c += 1
+            }
+            org.apache.spark.sql.Row(vid, k.toLong, bcode.toLong, bd2)
+          }
+        }
+      }
+    }(enc)
   }
 
   def pqCodes(s: SparkSession, d: String): DataFrame = {
@@ -886,14 +962,13 @@ object Similarity {
   def pqSearch(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val vs = vectors(s, d)
     val codebook = pqCodebookOf(vs)
-    // co-locate each vector's 8 code rows before the LUT join: the
-    // encode window leaves them hash-spread by (vec_id, sub), where the
-    // rollup's map-side partials would barely combine — one N·8-row
-    // shuffle here makes the (q_id, vec_id) agg emit N·NumQueries
-    // partials instead of ~8× that
+    // each vector's 8 code rows leave the encode kernel co-located in
+    // their input partition, so the (q_id, vec_id) rollup's map-side
+    // partials already collapse to N·NumQueries — no repartition (the
+    // former window-based encode hash-spread them by (vec_id, sub)
+    // and needed an N·8-row shuffle here)
     val codes = pqEncode(vs, codebook)
       .select(col("vec_id"), col("sub"), col("code"))
-      .repartition(col("vec_id"))
     val lut = pqLutOf(vs, codebook)
     val wTop = Window.partitionBy(col("q_id"))
       .orderBy(col("adist6"), col("vec_id"))

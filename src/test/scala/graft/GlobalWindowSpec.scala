@@ -20,7 +20,8 @@ class GlobalWindowSpec extends SparkSpec {
     "q_bpe_step" -> "Zipf-capped candidate merges (limit-bounded)",
     "q_rolling_7d" -> "day-grain frame (calendar-bounded)",
     "q_ks_drift" -> "value-domain-grain CDF frame",
-    "q_pq_codes" -> "codebook limit()-bounded before its window",
+    // q_pq_codes: none — the codebook window runs at declare-time
+    // inside pqEncode's bounded collect, outside the query plan
     "q_pq_search" -> "codebook limit()-bounded before its window",
   )
 

@@ -88,9 +88,13 @@ class PlanSpec extends SparkSpec {
     assert(!co.contains("CartesianProduct"), "q_cooccur plans a cartesian")
   }
 
-  test("q_pq_codes broadcasts the codebook; q_knn_label the query set") {
+  test("q_pq_codes encodes in the kernel (no join); q_knn_label broadcasts") {
+    // the encode is a per-partition kernel over the collected 128-row
+    // codebook (pqEncode scaladoc) — the plan must have NO join of any
+    // kind and NO window; only the final presentation sort shuffles
     val pq = plan("q_pq_codes")
-    assert(pq.contains("BroadcastExchange"), "codebook not broadcast")
+    assert(!pq.contains("Join"), "encode must not join the codebook")
+    assert(!pq.contains("Window"), "encode must not rank candidates")
     assert(!pq.contains("CartesianProduct"))
     val knn = plan("q_knn_label")
     assert(knn.contains("BroadcastNestedLoopJoin") ||
