@@ -70,6 +70,11 @@ def main(base_path, k_path, k, out_path):
         "k_total_sec": big.get("total_sec"),
         "total_time_ratio": round(big["total_sec"] / base["total_sec"], 2)
             if base.get("total_sec") else None,
+        # pre-run 1-min load of each leg (-1: platform doesn't report;
+        # absent: leg predates the field) — time ratios from a
+        # contended box are attributable from the artifact alone
+        "base_load_avg": base.get("load_avg"),
+        "k_load_avg": big.get("load_avg"),
         "rows_super_linear": sorted(row_suspects),
         "time_suspects": sorted(time_suspects),
         "queries": rows,

@@ -128,6 +128,10 @@ object SpineSweep {
     val spark = Sessions.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // pre-run 1-min load, the Bench discipline: a contended box (the
+    // round-12 re-run measured the same leg 1.8× slower at load 22
+    // than at load 2) is attributable from the artifact alone
+    val loadAvgAtStart = Bench.loadAvg()
 
     val anchor = set match {
       case "text" => "documents"
@@ -219,7 +223,8 @@ object SpineSweep {
     val skippedJson = if (skipped.isEmpty) ""
       else skipped.map(s => s""""$s"""").mkString(""","skipped":[""", ",", "]")
     val json = s"""{"sf":"$sfDir","docs":$docs,"stages_sec":${num(stagesSec)},""" +
-      s""""total_sec":${num(total)}$skippedJson,"queries":$qjson}"""
+      s""""total_sec":${num(total)},"load_avg":${num(loadAvgAtStart)}""" +
+      s"""$skippedJson,"queries":$qjson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       json + "\n")
     println(s"[spine] wrote $outPath (docs=$docs stages=${num(stagesSec)}s " +
