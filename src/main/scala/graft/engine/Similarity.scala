@@ -187,6 +187,11 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     vs.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      // project the two 64-double arrays away BEFORE the rank: the
+      // WindowGroupLimit sort otherwise carries ~1 KB rows — 13 GB at
+      // 800k vectors, a sometimes-spilling sort measured bimodal
+      // (3.6 s vs 27 s reps); on 24-byte rows it never spills
+      .select(col("q_id"), col("vec_id"), col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("rk"), round(col("cos"), 4).as("cos4"))
@@ -207,6 +212,10 @@ object Similarity {
     vs.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      // drop the vector arrays before the rank (the simTopK sort-width
+      // discipline) — candidates are bucket-bounded but row WIDTH is
+      // what a rank sort pays for
+      .select(col("q_id"), col("vec_id"), col("bkt"), col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("bkt"), col("rk"),
@@ -720,6 +729,9 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     val neighbors = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      // the simTopK sort-width discipline: arrays off before the rank
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= KnnK)
     val wVote = Window.partitionBy(col("q_id"))
@@ -756,6 +768,9 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(q), col("label") =!= col("q_label"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
+      // the simTopK sort-width discipline: arrays off before the rank
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+        col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= HardNegK)
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),

@@ -101,6 +101,27 @@ class PlanSpec extends SparkSpec {
       knn.contains("BroadcastExchange"), "query set not broadcast")
   }
 
+  test("ANN rank windows sort narrow rows (no vector arrays in scope)") {
+    // the simTopK sort-width discipline: the N·NumQueries candidate
+    // rows entering a per-query rank sort must have the two 64-double
+    // arrays projected away first — a wide rank sort is ~1 KB/row and
+    // spills at scale (measured bimodal 3.6 s vs 27 s at 800k vectors)
+    for (q <- Seq("q_sim_topk", "q_sim_lsh", "q_ann_recall",
+        "q_knn_label", "q_hard_negatives")) {
+      val exec = Registry.queries(q)(spark, sf).queryExecution.sparkPlan
+      val wide = exec.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.child.output.exists(
+              _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          => w.child.output.filter(
+               _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+             .map(_.name)
+      }
+      assert(wide.isEmpty,
+        s"$q rank window input carries array columns: ${wide.flatten}")
+    }
+  }
+
   test("chunk/pack/span/funnel plans have no cartesian or corpus nested loop") {
     for (q <- Seq("q_chunk_docs", "q_pack_seqs", "q_span_dedup",
         "q_filter_funnel", "q_dedup_apply")) {
