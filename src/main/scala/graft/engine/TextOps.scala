@@ -1036,9 +1036,17 @@ object TextOps {
     val quality = docs.join(toks, Seq("doc_id"))
       .filter(col("n_tok") >= 30 &&
         col("n_uniq").cast("double") / col("n_tok") >= 0.4)
-    val w = Window.partitionBy(col("norm")).orderBy(col("doc_id"))
+    // digest key, the dedupExact discipline: partitioning the window
+    // on the raw normalized text would ship whole-corpus text as the
+    // shuffle KEY; md5(x) = md5(y) iff x = y (2^-64 collisions), so
+    // keep-first groups — and therefore results — are identical while
+    // the exchange carries 16-byte keys. Only the digest, doc_id and
+    // the aggregated columns travel (text pruned before the exchange).
+    val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
     val deduped = quality
-      .withColumn("norm", lower(trim(col("text"))))
+      .withColumn("nk", md5(lower(trim(col("text")))))
+      .select(col("nk"), col("doc_id"), col("lang"), col("n_tok"),
+        col("n_uniq"), col("n_chars"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
     deduped.groupBy("lang")
