@@ -187,10 +187,14 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     vs.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
-      // project the two 64-double arrays away BEFORE the rank: the
-      // WindowGroupLimit sort otherwise carries ~1 KB rows — 13 GB at
-      // 800k vectors, a sometimes-spilling sort measured bimodal
-      // (3.6 s vs 27 s reps); on 24-byte rows it never spills
+      // explicit narrow projection before the rank. Catalyst's
+      // ColumnPruning already achieves this (verified: the pre-fix
+      // WindowExec input was exactly (vec_id, q_id, cos) — the round-12
+      // bimodal probe walls were co-tenant load, not a wide sort), but
+      // the property is load-bearing at scale — a later edit that
+      // consumes v/qv above the window would silently widen the sort to
+      // ~1 KB rows — so it is stated in the code and pinned in PlanSpec
+      // rather than left to the optimizer's discretion.
       .select(col("q_id"), col("vec_id"), col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -212,9 +216,9 @@ object Similarity {
     vs.join(broadcast(q), Seq("bkt"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
-      // drop the vector arrays before the rank (the simTopK sort-width
-      // discipline) — candidates are bucket-bounded but row WIDTH is
-      // what a rank sort pays for
+      // explicit narrow projection before the rank (the simTopK
+      // discipline — Catalyst prunes this today; stated + pinned so an
+      // edit above the window can't silently widen the sort)
       .select(col("q_id"), col("vec_id"), col("bkt"), col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
@@ -729,7 +733,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     val neighbors = emb.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
-      // the simTopK sort-width discipline: arrays off before the rank
+      // explicit narrow projection before the rank (the simTopK
+      // discipline — pruned by Catalyst today, stated + pinned)
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         col("cos"))
       .withColumn("rk", row_number().over(wTop))
@@ -768,7 +773,8 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
     emb.join(broadcast(q), col("label") =!= col("q_label"))
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnm") * col("nm")))
-      // the simTopK sort-width discipline: arrays off before the rank
+      // explicit narrow projection before the rank (the simTopK
+      // discipline — pruned by Catalyst today, stated + pinned)
       .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
         col("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))

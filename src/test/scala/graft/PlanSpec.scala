@@ -103,9 +103,12 @@ class PlanSpec extends SparkSpec {
 
   test("ANN rank windows sort narrow rows (no vector arrays in scope)") {
     // the simTopK sort-width discipline: the N·NumQueries candidate
-    // rows entering a per-query rank sort must have the two 64-double
-    // arrays projected away first — a wide rank sort is ~1 KB/row and
-    // spills at scale (measured bimodal 3.6 s vs 27 s at 800k vectors)
+    // rows entering a per-query rank sort must not carry the two
+    // 64-double arrays (~1 KB/row in the sort at scale). Catalyst's
+    // ColumnPruning delivers this today (verified round 12: the
+    // pre-projection plan's WindowExec input was already narrow) — the
+    // pin exists so a future edit that references v/qv ABOVE the
+    // window cannot silently defeat the pruning
     for (q <- Seq("q_sim_topk", "q_sim_lsh", "q_ann_recall",
         "q_knn_label", "q_hard_negatives")) {
       val exec = Registry.queries(q)(spark, sf).queryExecution.sparkPlan
