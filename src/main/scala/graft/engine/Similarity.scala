@@ -349,32 +349,66 @@ object Similarity {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     vs.mapPartitions { rows =>
       val (cid, cv, cnm) = bc.value
-      rows.map { r =>
-        val varr = r.getSeq[Double](vIdx).toArray
-        val nm = r.getDouble(nmIdx)
-        var best = 0.0
-        var bestI = -1
+      val nCents = cid.length
+      // ROW-BLOCKED sweep, centroids outer over a 64-row batch. Two
+      // effects, both large at K = tens of thousands: (1) each 512-byte
+      // centroid row is streamed from L3 once per BATCH instead of once
+      // per row — the row-at-a-time kernel measured bandwidth-bound at
+      // ~280 GB/s aggregate (48 s at 800k×32768); (2) consecutive
+      // inner-loop dots belong to DIFFERENT rows, so their strict-FP
+      // dependency chains (no reassociation allowed) are independent
+      // and pipeline instead of serializing on add latency.
+      // Bit-identical by construction: each (row, centroid) dot is the
+      // same left-to-right fold as before, and for any given row the
+      // centroids are still considered in ascending order (c is the
+      // outer loop), so the strict comparator makes identical argmax
+      // decisions.
+      rows.grouped(64).flatMap { batch =>
+        val b = batch.length
+        val varrs = new Array[Array[Double]](b)
+        val nms = new Array[Double](b)
+        val bests = new Array[Double](b)
+        val bestIs = new Array[Int](b)
+        var j = 0
+        while (j < b) {
+          varrs(j) = batch(j).getSeq[Double](vIdx).toArray
+          nms(j) = batch(j).getDouble(nmIdx)
+          bestIs(j) = -1
+          j += 1
+        }
         var c = 0
-        while (c < cid.length) {
+        while (c < nCents) {
           val w = cv(c)
-          if (w.length == varr.length) {
-            var s = 0.0
-            var i = 0
-            while (i < varr.length) { s += varr(i) * w(i); i += 1 }
-            val raw = s / (nm * cnm(c))
-            // -0.0 ties 0.0 under Spark's comparator; normalize before
-            // Double.compare (which would order -0.0 < 0.0). NaN then
-            // compares greater than everything — the window's ordering.
-            val cos = if (raw == 0.0) 0.0 else raw
-            if (bestI < 0 || java.lang.Double.compare(cos, best) > 0) {
-              best = cos; bestI = c
+          val wl = w.length
+          val inm = cnm(c)
+          var k = 0
+          while (k < b) {
+            val varr = varrs(k)
+            if (wl == varr.length) {
+              var s = 0.0
+              var i = 0
+              while (i < wl) { s += varr(i) * w(i); i += 1 }
+              val raw = s / (nms(k) * inm)
+              // -0.0 ties 0.0 under Spark's comparator; normalize
+              // before Double.compare (which would order -0.0 < 0.0).
+              // NaN then compares greater than everything — the
+              // window's ordering.
+              val cos = if (raw == 0.0) 0.0 else raw
+              if (bestIs(k) < 0 ||
+                  java.lang.Double.compare(cos, bests(k)) > 0) {
+                bests(k) = cos; bestIs(k) = c
+              }
             }
+            k += 1
           }
           c += 1
         }
-        val (cell, cos) =
-          if (bestI < 0) (cid(0), null) else (cid(bestI), Double.box(best))
-        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(cell, cos))
+        (0 until b).iterator.map { k =>
+          val (cell, cos) =
+            if (bestIs(k) < 0) (cid(0), null)
+            else (cid(bestIs(k)), Double.box(bests(k)))
+          org.apache.spark.sql.Row.fromSeq(batch(k).toSeq ++ Seq(cell, cos))
+        }
       }
     }(enc)
   }
