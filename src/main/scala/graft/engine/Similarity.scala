@@ -289,7 +289,8 @@ object Similarity {
     * occupancy, and therefore [[semDedup]]'s within-cell pair count,
     * constant per vector — K only grows the broadcast). */
   def assignCells(vs: DataFrame, k: Int = NumCentroids): DataFrame =
-    assignTo(vs, centroidsFixed(vs, k)).drop("c_cos")
+    if (k <= FlatAssignMaxK) assignTo(vs, centroidsFixed(vs, k)).drop("c_cos")
+    else assignCellsHier(vs, k).drop("c_cos")
 
   /** Nearest-centroid (cosine) assignment against an arbitrary
     * (c_id, cv, cnm) table — the broadcast O(N·K) pass shared by the
@@ -305,9 +306,11 @@ object Similarity {
     * die, not that they are born. The kernel streams each vector once
     * past a K×64 double matrix: zero intermediate rows, N output rows,
     * no shuffle at all (MLlib's KMeans does exactly this). The collect
-    * is bounded by construction: K ≤ NumCentroids·2^MaxCellDoublings =
-    * 65536 rows (≤ 32 MB), the same bounded-collect class as
-    * [[kmeansIterate]]'s K×64 means.
+    * is bounded by a REQUIRED contract: K ≤ [[FlatAssignMaxK]] = 65536
+    * rows (≤ 32 MB; [[assignCells]] routes larger K to the two-level
+    * [[assignCellsHier]], whose per-group matrices never touch the
+    * driver), the same bounded-collect class as [[kmeansIterate]]'s
+    * K×64 means.
     *
     * Bit-identical to the former rank-1-window form, by construction:
     * the dot is the same left-to-right component fold as
@@ -332,6 +335,13 @@ object Similarity {
     val spark = vs.sparkSession
     val byId = cents.select(col("c_id").cast("long"), col("cv"), col("cnm"))
       .collect().sortBy(_.getLong(0))
+    // the flat kernel's bounded-collect contract: larger K must arrive
+    // via assignCells, which routes it to the two-level path
+    // ([[assignCellsHier]]) whose per-group matrices never touch the
+    // driver
+    require(byId.length <= FlatAssignMaxK,
+      s"assignTo: ${byId.length} centroids exceed FlatAssignMaxK=" +
+        s"$FlatAssignMaxK — use assignCells (two-level past the cap)")
     val schema = org.apache.spark.sql.types.StructType(vs.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("cell",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -349,66 +359,172 @@ object Similarity {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     vs.mapPartitions { rows =>
       val (cid, cv, cnm) = bc.value
-      val nCents = cid.length
-      // ROW-BLOCKED sweep, centroids outer over a 64-row batch. Two
-      // effects, both large at K = tens of thousands: (1) each 512-byte
-      // centroid row is streamed from L3 once per BATCH instead of once
-      // per row — the row-at-a-time kernel measured bandwidth-bound at
-      // ~280 GB/s aggregate (48 s at 800k×32768); (2) consecutive
-      // inner-loop dots belong to DIFFERENT rows, so their strict-FP
-      // dependency chains (no reassociation allowed) are independent
-      // and pipeline instead of serializing on add latency.
-      // Bit-identical by construction: each (row, centroid) dot is the
-      // same left-to-right fold as before, and for any given row the
-      // centroids are still considered in ascending order (c is the
-      // outer loop), so the strict comparator makes identical argmax
-      // decisions.
-      rows.grouped(64).flatMap { batch =>
-        val b = batch.length
-        val varrs = new Array[Array[Double]](b)
-        val nms = new Array[Double](b)
-        val bests = new Array[Double](b)
-        val bestIs = new Array[Int](b)
-        var j = 0
-        while (j < b) {
-          varrs(j) = batch(j).getSeq[Double](vIdx).toArray
-          nms(j) = batch(j).getDouble(nmIdx)
-          bestIs(j) = -1
-          j += 1
-        }
-        var c = 0
-        while (c < nCents) {
-          val w = cv(c)
-          val wl = w.length
-          val inm = cnm(c)
-          var k = 0
-          while (k < b) {
-            val varr = varrs(k)
-            if (wl == varr.length) {
-              var s = 0.0
-              var i = 0
-              while (i < wl) { s += varr(i) * w(i); i += 1 }
-              val raw = s / (nms(k) * inm)
-              // -0.0 ties 0.0 under Spark's comparator; normalize
-              // before Double.compare (which would order -0.0 < 0.0).
-              // NaN then compares greater than everything — the
-              // window's ordering.
-              val cos = if (raw == 0.0) 0.0 else raw
-              if (bestIs(k) < 0 ||
-                  java.lang.Double.compare(cos, bests(k)) > 0) {
-                bests(k) = cos; bestIs(k) = c
-              }
+      argmaxBlocked(rows, cid, cv, cnm, vIdx, nmIdx)((r, cell, cos) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(cell, cos)))
+    }(enc)
+  }
+
+  /** The row-blocked nearest-centroid argmax kernel shared by the flat
+    * [[assignTo]] pass and the per-coarse-cell groups of
+    * [[assignCellsHier]] — ROW-BLOCKED sweep, centroids outer over a
+    * 64-row batch. Two effects, both large at K = tens of thousands:
+    * (1) each 512-byte centroid row is streamed from L3 once per BATCH
+    * instead of once per row — the row-at-a-time kernel measured
+    * bandwidth-bound at ~280 GB/s aggregate (48 s at 800k×32768);
+    * (2) consecutive inner-loop dots belong to DIFFERENT rows, so
+    * their strict-FP dependency chains (no reassociation allowed) are
+    * independent and pipeline instead of serializing on add latency.
+    * Bit-identical to the row-at-a-time form by construction: each
+    * (row, centroid) dot is the same left-to-right fold, and for any
+    * given row the centroids are still considered in ascending order
+    * (c is the outer loop), so the strict comparator makes identical
+    * argmax decisions. Comparator semantics (NaN-greater, -0.0
+    * normalized, length-mismatch skipped, all-skipped → (cid(0),
+    * null)) are documented on [[assignTo]]. `mk` builds the output row
+    * from (input row, winning cell id, boxed cosine or null). */
+  private def argmaxBlocked(rows: Iterator[org.apache.spark.sql.Row],
+      cid: Array[Long], cv: Array[Array[Double]], cnm: Array[Double],
+      vIdx: Int, nmIdx: Int)(
+      mk: (org.apache.spark.sql.Row, Long, Any) => org.apache.spark.sql.Row)
+      : Iterator[org.apache.spark.sql.Row] = {
+    val nCents = cid.length
+    rows.grouped(64).flatMap { batch =>
+      val b = batch.length
+      val varrs = new Array[Array[Double]](b)
+      val nms = new Array[Double](b)
+      val bests = new Array[Double](b)
+      val bestIs = new Array[Int](b)
+      var j = 0
+      while (j < b) {
+        varrs(j) = batch(j).getSeq[Double](vIdx).toArray
+        nms(j) = batch(j).getDouble(nmIdx)
+        bestIs(j) = -1
+        j += 1
+      }
+      var c = 0
+      while (c < nCents) {
+        val w = cv(c)
+        val wl = w.length
+        val inm = cnm(c)
+        var k = 0
+        while (k < b) {
+          val varr = varrs(k)
+          if (wl == varr.length) {
+            var s = 0.0
+            var i = 0
+            while (i < wl) { s += varr(i) * w(i); i += 1 }
+            val raw = s / (nms(k) * inm)
+            // -0.0 ties 0.0 under Spark's comparator; normalize
+            // before Double.compare (which would order -0.0 < 0.0).
+            // NaN then compares greater than everything — the
+            // window's ordering.
+            val cos = if (raw == 0.0) 0.0 else raw
+            if (bestIs(k) < 0 ||
+                java.lang.Double.compare(cos, bests(k)) > 0) {
+              bests(k) = cos; bestIs(k) = c
             }
-            k += 1
           }
-          c += 1
+          k += 1
         }
-        (0 until b).iterator.map { k =>
-          val (cell, cos) =
-            if (bestIs(k) < 0) (cid(0), null)
-            else (cid(bestIs(k)), Double.box(bests(k)))
-          org.apache.spark.sql.Row.fromSeq(batch(k).toSeq ++ Seq(cell, cos))
-        }
+        c += 1
+      }
+      (0 until b).iterator.map { k =>
+        val (cell, cos) =
+          if (bestIs(k) < 0) (cid(0), null)
+          else (cid(bestIs(k)), Double.box(bests(k)))
+        mk(batch(k), cell, cos)
+      }
+    }
+  }
+
+  /** Two-level (coarse→fine) nearest-centroid assignment — how
+    * [[assignCells]] serves K past the flat kernel's
+    * [[FlatAssignMaxK]] bounded-collect cap while keeping EVERY driver
+    * collect ≤ [[CoarseCells]] rows (the MLlib-style hierarchy; same
+    * argmax kernel at two granularities):
+    *
+    *  1. coarse pass: a [[CoarseCells]]-sized hash-ranked sample
+    *     (prefix "h_", independent of the fine family) is collected and
+    *     every vector coarse-assigned by the flat kernel — one map
+    *     pass, no shuffle;
+    *  2. fine sample: all rows with h28("c_"||vec_id) < 2^28·k/n — a
+    *     PURE FILTER (expected k rows, deterministic, one scan; no
+    *     global sort, no driver merge at any k — the
+    *     [[hashRankedLimit]] TakeOrdered merge would ship P·k rows at
+    *     exactly the K this path exists for), each fine centroid
+    *     tagged with ITS coarse cell by the same flat kernel;
+    *  3. fine pass: vectors cogroup with fine centroids on the coarse
+    *     cell, and each group runs the row-blocked argmax kernel
+    *     ([[argmaxBlocked]]) over a matrix built EXECUTOR-side from
+    *     the group's centroid iterator — the matrix never exists on
+    *     the driver, and per-group size tracks cell population
+    *     (uniform sample ⇒ expected K/CoarseCells when balanced).
+    *
+    * Semantics: each vector's cell is the (max cosine, min-id) fine
+    * centroid AMONG ITS COARSE CELL's fine centroids — the standard
+    * IVF/coarse-quantization approximation to the flat global argmax
+    * (a vector's nearest fine centroid almost always shares its coarse
+    * cell; for [[semDedup]] the cells are a BLOCKING structure, so the
+    * approximation moves block boundaries, never correctness of the
+    * within-block pair math). A coarse cell with no fine centroid
+    * (possible when its population is small) falls back to the block
+    * `-ccell-1` — negative, so it can never collide with a fine
+    * centroid vec_id, and bounded by the same small-population
+    * argument that left it unsampled.
+    *
+    * Scale/shuffle ledger vs the flat kernel: +1 shuffle of the corpus
+    * (the cogroup's hash exchange on the coarse cell) and +1 of the
+    * k-row fine table, in exchange for dropping the assignment compute
+    * from N·K to ~N·K/[[CoarseCells]] dots and the driver collect from
+    * K to [[CoarseCells]] rows. The alternative at K = 4M — a 2 GB
+    * centroid broadcast into the flat kernel — loses on both axes. */
+  private[graft] def assignCellsHier(vs: DataFrame, k: Int,
+      coarseK: Int = CoarseCells): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val n = vs.count()
+    val coarse = hashRankedLimit(vs, "h_", coarseK)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"),
+        col("nm").as("cnm"))
+    val withC = assignTo(vs, coarse).drop("c_cos")
+      .withColumnRenamed("cell", "__ccell")
+    val t =
+      if (n == 0) 1L
+      else math.min(1L << 28, math.max(1L, (1L << 28) * k.toLong / n))
+    val fine = vs
+      .withColumn("__fk", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
+      .filter(col("__fk") < t).drop("__fk")
+    val fineC = assignTo(fine, coarse)
+      .select(col("cell").as("__ccell"), col("vec_id").cast("long").as("c_id"),
+        col("v").as("cv"), col("nm").as("cnm"))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      vs.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("c_cos",
+          org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val vIdx = vs.schema.fieldIndex("v")
+    val nmIdx = vs.schema.fieldIndex("nm")
+    val ccellIdx = withC.schema.fieldIndex("__ccell")
+    val grpV = withC.groupByKey((r: Row) => r.getLong(ccellIdx))(
+      Encoders.scalaLong)
+    val grpC = fineC.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
+    grpV.cogroup(grpC) { (ccell, rows, cents) =>
+      // group-local centroid matrix, c_id ascending (the comparator's
+      // tie-break order); built executor-side, bounded by the group's
+      // fine-centroid count
+      val arr = cents.toArray.sortBy(_.getLong(1))
+      if (arr.isEmpty)
+        // no fine centroid in this coarse cell: the whole cell is one
+        // block, keyed negatively so it can't collide with a vec_id
+        rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) ++
+          Seq(-ccell - 1L, null)))
+      else {
+        val ids = arr.map(_.getLong(1))
+        val mats = arr.map(_.getSeq[Double](2).toArray)
+        val nms = arr.map(_.getDouble(3))
+        argmaxBlocked(rows, ids, mats, nms, vIdx, nmIdx)((r, cell, cos) =>
+          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(cell, cos)))
       }
     }(enc)
   }
@@ -907,19 +1023,49 @@ object Similarity {
     * codes iterate ascending and only a strictly smaller d2 replaces
     * the best, so ties keep the smallest code; the d2 loop is the same
     * left-to-right index-order sum as the join form's zip_with/
-    * aggregate fold ([[pqD2]]), so values are bit-identical. d2 is
-    * finite and ≥ 0 (no NaN corner); a short/null vector mirrors the
-    * fold form's all-NULL-d2 rank 1 (code 0, null d2) for totality,
-    * though the 64-dim table contract keeps that branch unreachable. */
+    * aggregate fold ([[pqD2]]), so values are bit-identical. The
+    * comparator is `java.lang.Double.compare`, not primitive `<`, so
+    * the match holds even OFF the data contract: a NaN d2 (impossible
+    * from finite canonical inputs, but possible from a poisoned
+    * codeword) orders greater than every finite distance — exactly the
+    * window's NaN-greater ordering — instead of freezing as an
+    * unbeatable best the way a primitive `s < bd2` would. A
+    * short/null vector mirrors the fold form's all-NULL-d2 rank 1
+    * (code 0, null d2) for totality; a null-`cv` codeword row yields
+    * NULL d2 in the join form, which sorts FIRST under the window's
+    * default asc-nulls-first order — mirrored exactly: if a subspace
+    * has any null-cv codeword, its smallest such code wins with null
+    * d2 (the 0..15-dense [[pqCodebookOf]] contract keeps every one of
+    * these branches unreachable; they exist so the kernel is total on
+    * arbitrary frames).
+    *
+    * Evaluation note: the codebook collect happens at DATAFRAME-
+    * DECLARATION time (a small eager Spark job — the bounded-collect
+    * class), so the codebook is snapshotted when the frame is built
+    * while `vs` is re-scanned at each execution; callers that mutate
+    * the underlying table between declare and execute should rebuild
+    * the frame. */
   private[graft] def pqEncode(vs: DataFrame, codebook: DataFrame): DataFrame = {
     val spark = vs.sparkSession
-    // code-ascending codeword matrix per subspace (128 rows total)
+    // code-ascending (code, codeword) pairs per subspace (≤128 rows
+    // total); a null-cv row keeps its CODE out of the matrix without
+    // shifting later codes (codes are values, not indices, here) and
+    // instead feeds nullWin: the smallest null-cv code per subspace,
+    // which under the window form's asc-nulls-first order wins rank 1
+    // outright (-1 = no null-cv row)
     val cbRows = codebook.select(col("sub"), col("code"), col("cv")).collect()
-    val bySub: Array[Array[Array[Double]]] =
+    val bySub: Array[Array[(Long, Array[Double])]] =
       Array.tabulate(PqSubspaces) { k =>
-        cbRows.filter(_.getLong(0) == k.toLong).sortBy(_.getLong(1))
-          .map(_.getSeq[Double](2).toArray)
+        cbRows.filter(r => r.getLong(0) == k.toLong && !r.isNullAt(2))
+          .sortBy(_.getLong(1))
+          .map(r => (r.getLong(1), r.getSeq[Double](2).toArray))
       }
+    val nullWin: Array[Long] = Array.tabulate(PqSubspaces) { k =>
+      val codes = cbRows.collect {
+        case r if r.getLong(0) == k.toLong && r.isNullAt(2) => r.getLong(1)
+      }
+      if (codes.isEmpty) -1L else codes.min
+    }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
         org.apache.spark.sql.types.LongType, nullable = false),
@@ -929,45 +1075,69 @@ object Similarity {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("d2",
         org.apache.spark.sql.types.DoubleType, nullable = true)))
-    if (bySub.forall(_.isEmpty)) // empty corpus ⇒ empty codebook
+    // min code over ALL rows (valid + null-cv) per subspace: the
+    // short-vector fallback, where every d2 is null and code asc
+    // breaks the tie (-1 = subspace absent from the codebook — the
+    // join form emits NO row for it)
+    val minCode: Array[Long] = Array.tabulate(PqSubspaces) { k =>
+      val codes = cbRows.collect {
+        case r if r.getLong(0) == k.toLong => r.getLong(1) }
+      if (codes.isEmpty) -1L else codes.min
+    }
+    if (cbRows.isEmpty) // empty corpus ⇒ empty codebook
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val bc = spark.sparkContext.broadcast(bySub)
+    val bc = spark.sparkContext.broadcast((bySub, nullWin, minCode))
     val idIdx = vs.schema.fieldIndex("vec_id")
     val vIdx = vs.schema.fieldIndex("v")
     val enc = org.apache.spark.sql.Encoders.row(schema)
     vs.mapPartitions { rows =>
-      val cb = bc.value
+      val (cb, nw, mc) = bc.value
       rows.flatMap { r =>
         val vid = r.getLong(idIdx)
         val varr =
           if (r.isNullAt(vIdx)) Array.empty[Double]
           else r.getSeq[Double](vIdx).toArray
-        (0 until PqSubspaces).iterator.map { k =>
+        (0 until PqSubspaces).iterator.flatMap { k =>
           val off = k * PqSubDim
-          if (varr.length < off + PqSubDim)
+          if (mc(k) < 0L)
+            // subspace absent from the codebook: the join emits no row
+            Iterator.empty
+          else if (varr.length < off + PqSubDim)
             // short/null vector: every codeword's zip_with d2 is NULL
             // in the fold form, so rank 1 of (d2 asc NULLS FIRST,
-            // code asc) is (code 0, null) — mirrored for totality
+            // code asc) is (min code, null) — mirrored for totality
             // (the 64-dim table contract makes this unreachable)
-            org.apache.spark.sql.Row(vid, k.toLong, 0L, null)
+            Iterator.single(
+              org.apache.spark.sql.Row(vid, k.toLong, mc(k), null))
+          else if (nw(k) >= 0L)
+            // a null-cv codeword's NULL d2 sorts FIRST under the
+            // window's asc-nulls-first order: smallest such code wins
+            Iterator.single(
+              org.apache.spark.sql.Row(vid, k.toLong, nw(k), null))
           else {
             var bd2 = 0.0
             var bcode = -1
             var c = 0
             while (c < cb(k).length) {
-              val w = cb(k)(c)
+              val w = cb(k)(c)._2
               var s = 0.0
               var i = 0
               while (i < PqSubDim) {
                 val dx = varr(off + i) - w(i); s += dx * dx; i += 1
               }
-              // strict < over code-ascending words IS rank 1 of
-              // orderBy(d2, code); d2 ≥ 0 and finite, no NaN corner
-              if (bcode < 0 || s < bd2) { bd2 = s; bcode = c }
+              // strict Double.compare < over code-ascending words IS
+              // rank 1 of orderBy(d2, code): a NaN d2 (off-contract
+              // codeword) orders greater than every finite distance,
+              // matching the window — a primitive `s < bd2` would
+              // instead freeze an installed NaN as unbeatable
+              if (bcode < 0 || java.lang.Double.compare(s, bd2) < 0) {
+                bd2 = s; bcode = c
+              }
               c += 1
             }
-            org.apache.spark.sql.Row(vid, k.toLong, bcode.toLong, bd2)
+            Iterator.single(org.apache.spark.sql.Row(
+              vid, k.toLong, cb(k)(bcode)._1, bd2))
           }
         }
       }
@@ -1093,12 +1263,33 @@ object Similarity {
     * N (SemDeDup's own recipe: K ∝ N). */
   val CellTarget = 32L
 
-  /** Cap on centroid-count doublings: K ≤ NumCentroids·2^10 = 65536
-    * (a 32 MB broadcast of 64-dim doubles). Past ~2M vectors occupancy
-    * grows linearly again — the documented hand-off point to a
-    * hierarchical (coarse→fine) assignment, which changes the plan
-    * shape and so is NOT silently blended in here. */
-  val MaxCellDoublings = 10
+  /** Per-level bound on the flat kernel's centroid collect: 65536×64
+    * doubles = 32 MB on the driver — the bounded-collect class every
+    * kernel tier lives in. [[assignCells]] serves K beyond this with
+    * the two-level path ([[assignCellsHier]]), whose only driver
+    * collect is the [[CoarseCells]]-row coarse matrix. */
+  val FlatAssignMaxK = 65536
+
+  /** Coarse level size for the two-level assignment: vectors (and the
+    * fine-centroid sample) are first assigned to one of this many
+    * coarse cells by the flat kernel, then each vector's fine argmax
+    * runs only over its own coarse cell's fine centroids. With fine
+    * centroids drawn uniformly from the corpus, fine count per coarse
+    * cell is proportional to cell population (expected K/256 when
+    * balanced), so per-group matrices stay executor-memory-sized
+    * through K = CoarseCells·FlatAssignMaxK ≈ 16.7M centroids. */
+  val CoarseCells = 256
+
+  /** Cap on centroid-count doublings: K ≤ NumCentroids·2^16 ≈ 4.19M,
+    * which holds occupancy ≤ [[CellTarget]] through ~134M vectors
+    * (8.6 TB of raw float32 embeddings at d=64 — past that, raise the
+    * cap: the two-level assignment's per-group bound has headroom to
+    * CoarseCells·FlatAssignMaxK centroids). Doublings past the flat
+    * kernel's [[FlatAssignMaxK]] are served by [[assignCellsHier]] —
+    * the coarse→fine hand-off is a ROUTING decision inside
+    * [[assignCells]], not a silent semantics blend: gate SFs and every
+    * K ≤ 65536 leg keep the flat plan bit-for-bit. */
+  val MaxCellDoublings = 16
 
   /** Smallest K = [[NumCentroids]]·2^j (j ≤ [[MaxCellDoublings]]) with
     * expected occupancy n/K ≤ [[CellTarget]] — the same
@@ -1128,9 +1319,12 @@ object Similarity {
     * is bounded by Σ cell² — at fixed K that grows as (N/K)² per cell,
     * so K is ADAPTIVE ([[semDedupCells]], K ∝ N) exactly like
     * [[lshBitsFor]] raises bits (SemDeDup's own recipe: constant-sized
-    * cells; K only grows the broadcast, never the shuffle — and the
-    * assignment argmax is a map-side [[assignTo]] aggregate, so the
-    * N·K candidate rows never shuffle either). */
+    * cells). The N·K candidate rows never materialize or shuffle: the
+    * assignment argmax is the [[assignTo]] kernel up to
+    * [[FlatAssignMaxK]] centroids, and the two-level
+    * [[assignCellsHier]] past it — which adds exactly one coarse-keyed
+    * corpus shuffle in exchange for K ∝ N continuing to ~4.19M
+    * centroids with every driver collect ≤ [[CoarseCells]] rows. */
   def semDedup(s: SparkSession, d: String,
       threshold: Double = SemDedupCos): DataFrame =
     // adaptive K ([[semDedupCells]]): at fixed K the within-cell pair
@@ -1170,10 +1364,12 @@ object Similarity {
   }
 
   /** [[semDedup]]'s pipeline over an explicit (vec_id, v, nm) frame
-    * with corpus count `n` (drives the adaptive K). */
-  private def semDedupOf(vs: DataFrame, n: Long,
-      threshold: Double): DataFrame = {
-    val k = semDedupCells(n)
+    * with corpus count `n` (drives the adaptive K; `kOverride` lets
+    * [[graft.SemProfile]] reproduce the pre-two-level capped K for
+    * A/B stage attribution). */
+  private[graft] def semDedupOf(vs: DataFrame, n: Long,
+      threshold: Double, kOverride: Int = 0): DataFrame = {
+    val k = if (kOverride > 0) kOverride else semDedupCells(n)
     val assigned = assignCells(vs, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cell"), col("vec_id").as("a"),

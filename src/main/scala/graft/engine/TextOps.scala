@@ -1038,10 +1038,16 @@ object TextOps {
         col("n_uniq").cast("double") / col("n_tok") >= 0.4)
     // digest key, the dedupExact discipline: partitioning the window
     // on the raw normalized text would ship whole-corpus text as the
-    // shuffle KEY; md5(x) = md5(y) iff x = y (2^-64 collisions), so
-    // keep-first groups — and therefore results — are identical while
-    // the exchange carries 16-byte keys. Only the digest, doc_id and
-    // the aggregated columns travel (text pruned before the exchange).
+    // shuffle KEY; with 128-bit digests an ACCIDENTAL collision is
+    // ~2^-64 per pair, so on non-adversarial corpora keep-first groups
+    // — and therefore results — are identical while the exchange
+    // carries 16-byte keys. The assumption is collision-freedom, not
+    // injectivity: md5 collisions are constructible (chosen-prefix),
+    // so a corpus containing ADVERSARIAL colliding documents could be
+    // silently merged — a pipeline ingesting hostile text should swap
+    // this family's key to sha2(…, 256) at the boundary. Only the
+    // digest, doc_id and the aggregated columns travel (text pruned
+    // before the exchange).
     val w = Window.partitionBy(col("nk")).orderBy(col("doc_id"))
     val deduped = quality
       .withColumn("nk", md5(lower(trim(col("text")))))

@@ -58,6 +58,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("two-level assignment plans a cogroup, never the N*K join or a K-row collect plan") {
+    // past FlatAssignMaxK the assignment must be the coarse-keyed
+    // cogroup (per-group matrices built executor-side) — not a revert
+    // to a BroadcastNestedLoopJoin over all K fine centroids, and not
+    // a TakeOrdered global sort for the fine sample (the P·k driver
+    // merge the pure-filter selection exists to avoid)
+    val vs = graft.engine.Similarity.vectors(spark, sf)
+    val p = graft.engine.Similarity.assignCellsHier(vs, 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("CoGroup"), "hier assignment lost its cogroup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "hier assignment plans the N*K nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("TakeOrderedAndProject"),
+      "fine sample plans a global TakeOrdered (P*k driver merge)")
+  }
+
   test("q_sim_topk broadcasts the (small) query side by design") {
     // brute-force baseline: query set ≪ corpus, so the nested loop
     // streams the corpus once against a broadcast query table

@@ -141,10 +141,90 @@ class SimilaritySpec extends SparkSpec {
       assert(n <= Similarity.CellTarget * k,
         s"occupancy bound violated at n=$n: K=$k")
     }
-    // capped: past MaxCellDoublings K stops growing (documented
-    // hierarchical hand-off, broadcast stays 32 MB)
+    // capped: past MaxCellDoublings K stops growing (~4.19M centroids
+    // ≈ 134M vectors at target occupancy; the two-level assignment
+    // serves every K past FlatAssignMaxK with bounded collects)
     assert(Similarity.semDedupCells(Long.MaxValue / 2)
       == (Similarity.NumCentroids << Similarity.MaxCellDoublings))
+    // the 1248x-leg shape that used to pin at the old 65536 cap: K now
+    // keeps occupancy at target through the measured ceiling
+    assert(Similarity.semDedupCells(2496000L) == 131072)
+    assert(2496000L <= Similarity.CellTarget * 131072L)
+  }
+
+  test("assignCellsHier: per-coarse-cell argmax matches a declarative reference (incl. fallback cells)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val vs = Similarity.vectors(spark, sf).persist()
+    val n = vs.count()
+    // (k=8, coarse=4): several fine centroids per coarse cell;
+    // (k=1, coarse=16): most coarse cells have NO fine centroid — the
+    // negative-keyed fallback blocks must match the reference too
+    for ((k, coarseK) <- Seq((8, 4), (1, 16))) {
+      val coarse = Similarity.hashRankedLimit(vs, "h_", coarseK)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"),
+          col("nm").as("cnm"))
+      def coarseAssign(x: DataFrame): DataFrame = {
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("__cos").desc, col("c_id"))
+        x.crossJoin(broadcast(coarse))
+          .withColumn("__cos",
+            Similarity.dot(col("v"), col("cv")) / (col("nm") * col("cnm")))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") === 1)
+          .withColumnRenamed("c_id", "ccell")
+          .drop("cv", "cnm", "__cos", "__rk")
+      }
+      // the fine-sample rule, restated independently of the library
+      val t = math.min(1L << 28, math.max(1L, (1L << 28) * k.toLong / n))
+      val fineC = coarseAssign(
+          vs.withColumn("fk", graft.engine.PortableHash.h28(
+              concat(lit("c_"), col("vec_id"))))
+            .filter(col("fk") < t).drop("fk"))
+        .select(col("ccell"), col("vec_id").as("f_id"),
+          col("v").as("fv"), col("nm").as("fnm"))
+      val wF = Window.partitionBy(col("vec_id"))
+        .orderBy(col("fcos").desc, col("f_id"))
+      val want = coarseAssign(vs)
+        .join(fineC, Seq("ccell"), "left")
+        .withColumn("fcos",
+          Similarity.dot(col("v"), col("fv")) / (col("nm") * col("fnm")))
+        .withColumn("frk", row_number().over(wF))
+        .filter(col("frk") === 1)
+        .select(col("vec_id"),
+          when(col("f_id").isNull, -col("ccell") - 1)
+            .otherwise(col("f_id")).as("cell"),
+          round(col("fcos"), 9).as("cos9"))
+      val got = Similarity.assignCellsHier(vs, k, coarseK)
+        .select(col("vec_id"), col("cell"),
+          round(col("c_cos"), 9).as("cos9"))
+      assert(got.count() == n, s"k=$k coarse=$coarseK: one row per vector")
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0,
+        s"k=$k coarse=$coarseK: hier assignment diverges from reference")
+      if (k == 1)
+        assert(got.filter(col("cell") < 0).count() > 0,
+          "fallback branch not exercised at k=1")
+    }
+    vs.unpersist()
+    ()
+  }
+
+  test("assignCells routes past FlatAssignMaxK to the two-level path") {
+    val vs = Similarity.vectors(spark, sf)
+    val n = vs.count()
+    // k just past the flat kernel's require-bound: must route to the
+    // hier path (not throw), with t clamped so every vector is a fine
+    // centroid — one row per vector, no fallback cells
+    val out = Similarity.assignCells(vs, Similarity.FlatAssignMaxK + 1)
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    assert(out.filter(col("cell") < 0).count() == 0)
+  }
+
+  test("assignCellsHier on an empty frame returns the typed empty frame") {
+    val vs = Similarity.vectors(spark, sf).filter(lit(false))
+    assert(Similarity.assignCellsHier(vs, 8).count() == 0)
   }
 
   test("hashRankedLimit: prefiltered large-k path equals the exact TakeOrdered") {
