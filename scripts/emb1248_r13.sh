@@ -18,8 +18,16 @@ cold() {
 }
 
 quiet() {
-  while awk '{exit !($1 >= 1.5)}' /proc/loadavg; do
-    echo "[quiet] load $(cut -d' ' -f1 /proc/loadavg) >= 1.5 — waiting 240s"
+  # two low samples 120s apart + no foreign JVM: a momentary dip
+  # between a co-tenant wave (or a concurrent sbt suite's phases) must
+  # not launch a timed leg into the next crest — the round-13 lesson
+  while :; do
+    if awk '{exit !($1 < 1.5)}' /proc/loadavg \
+        && ! pgrep -f 'sbt\.script|sbt-args|sbt-launch' > /dev/null; then
+      sleep 120
+      if awk '{exit !($1 < 1.5)}' /proc/loadavg; then break; fi
+    fi
+    echo "[quiet] load $(cut -d' ' -f1 /proc/loadavg) — waiting 240s"
     sleep 240
   done
   echo "[quiet] load $(cut -d' ' -f1 /proc/loadavg) — go"
