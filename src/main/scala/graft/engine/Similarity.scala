@@ -448,11 +448,14 @@ object Similarity {
     *     every vector coarse-assigned by the flat kernel — one map
     *     pass, no shuffle;
     *  2. fine sample: all rows with h28("c_"||vec_id) < 2^28·k/n — a
-    *     PURE FILTER (expected k rows, deterministic, one scan; no
-    *     global sort, no driver merge at any k — the
-    *     [[hashRankedLimit]] TakeOrdered merge would ship P·k rows at
-    *     exactly the K this path exists for), each fine centroid
-    *     tagged with ITS coarse cell by the same flat kernel;
+    *     PURE FILTER (deterministic, one scan; no global sort, no
+    *     driver merge at any k — the [[hashRankedLimit]] TakeOrdered
+    *     merge would ship P·k rows at exactly the K this path exists
+    *     for). |fine| is binomial around k (sd ≈ √k — 0.3% at the
+    *     K=131072 leg), which is immaterial: K itself is a
+    *     heuristic occupancy dial, and the SET is exact for a given
+    *     corpus. Each fine centroid is tagged with ITS coarse cell by
+    *     the same flat kernel;
     *  3. fine pass: vectors cogroup with fine centroids on the coarse
     *     cell, and each group runs the row-blocked argmax kernel
     *     ([[argmaxBlocked]]) over a matrix built EXECUTOR-side from

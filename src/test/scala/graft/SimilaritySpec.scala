@@ -227,6 +227,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.assignCellsHier(vs, 8).count() == 0)
   }
 
+  test("assignCellsHier is invariant to input partitioning") {
+    // each row's (cell, c_cos) depends only on the row, the coarse
+    // sample and the fine set — never on which partition carried it or
+    // in what order the cogroup iterators arrive; a partitioning-
+    // sensitive result here would be a nondeterminism bug of the class
+    // the fixed-point aggregation discipline exists to prevent
+    val vs = Similarity.vectors(spark, sf)
+    def runAt(p: Int) =
+      Similarity.assignCellsHier(vs.repartition(p), 8, 4)
+        .select("vec_id", "cell", "c_cos").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .sortBy(_._1).toSeq
+    assert(runAt(3) == runAt(17))
+  }
+
   test("hashRankedLimit: prefiltered large-k path equals the exact TakeOrdered") {
     // k > 4096 engages the hash-threshold prefilter (the driver-merge
     // fix the k=1248 sim leg forced); it must stay bit-identical to
