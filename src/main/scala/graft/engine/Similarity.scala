@@ -1373,7 +1373,17 @@ object Similarity {
   private[graft] def semDedupOf(vs: DataFrame, n: Long,
       threshold: Double, kOverride: Int = 0): DataFrame = {
     val k = if (kOverride > 0) kOverride else semDedupCells(n)
-    val assigned = assignCells(vs, k)
+    semDedupPairs(assignCells(vs, k), threshold)
+  }
+
+  /** The within-cell half of the SemDeDup pipeline — pair join above
+    * `threshold`, keep-first rollup — over any (…, vec_id, v, nm,
+    * cell) assignment frame (persisted here: both sides of the
+    * self-join derive from it). Shared by [[semDedupOf]] and
+    * [[semDedupHierGated]]. */
+  private def semDedupPairs(assignedBy: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assignedBy
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = assigned.select(col("cell"), col("vec_id").as("a"),
       col("v").as("va"), col("nm").as("na"))
@@ -1388,6 +1398,39 @@ object Similarity {
         round(max(col("cos")), 4).as("cos4"))
       .select("vec_id", "cell", "keep_id", "n_near", "cos4")
       .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
+  }
+
+  /** Coarse level size for the DECLARED two-level variant
+    * ([[semDedupHierGated]] / q_semdedup_hier): deliberately small so
+    * that at every gate SF the coarse cells are meaningfully populated
+    * and the cogroup path — including its negative-keyed fallback
+    * branch — runs under the full rows+schema+hash oracle gate, not
+    * only under specs. */
+  val HierGateCoarse = 16
+
+  /** The DECLARED q_semdedup_hier: the [[semDedup]] pipeline with the
+    * assignment FORCED through the two-level path
+    * ([[assignCellsHier]], coarse = [[HierGateCoarse]]) at any corpus
+    * size — the oracle-gated twin of the routing [[assignCells]]
+    * performs automatically past [[FlatAssignMaxK]]. Same gate-cap
+    * subsample discipline as [[semDedupGated]] (both engines derive
+    * adaptive K and the fine threshold from the SUBSET count), so the
+    * DuckDB mirror — coarse rank, coarse argmax, threshold-filtered
+    * fine sample, per-coarse-cell fine argmax with the -ccell-1
+    * fallback, pair join, rollup — stays bounded at any SF. Blocking
+    * differs from q_semdedup's flat global argmax exactly as
+    * documented on [[assignCellsHier]]; the pair math within blocks is
+    * identical. */
+  def semDedupHierGated(s: SparkSession, d: String,
+      threshold: Double = SemDedupCos,
+      cap: Long = SemDedupGateCap): DataFrame = {
+    val n = canonEmb(s, d).count()
+    val vsub =
+      if (n <= cap) vectors(s, d)
+      else hashRankedLimit(vectors(s, d), "g_", cap.toInt)
+    val k = semDedupCells(math.min(n, cap))
+    semDedupPairs(
+      assignCellsHier(vsub, k, HierGateCoarse).drop("c_cos"), threshold)
   }
 
   /** Multi-band OR-construction near-dup pairs (library operator): `bands`

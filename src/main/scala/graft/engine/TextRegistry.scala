@@ -881,6 +881,65 @@ object TextRegistry {
          |SELECT vec_id, cell, keep_id, n_near, cos4
          |FROM g ORDER BY vec_id, cell, keep_id, n_near, cos4""".stripMargin),
 
+    // The two-level (coarse→fine) variant, oracle-gated at every SF:
+    // the round-13 assignCellsHier path FORCED at gate scale
+    // (HierGateCoarse = 16 so coarse cells are populated and the
+    // -ccell-1 fallback branch is reachable). Mirror: coarse sample by
+    // h28 rank, coarse argmax (rank-1 over cos desc / c_id), fine
+    // sample = h28('c_'||id) < t with t = min(2^28, max(1,
+    // 2^28·kk // cnt)) — the same integer arithmetic as the Scala
+    // threshold — fine tagged by the same coarse argmax, then the
+    // per-coarse-cell fine argmax via LEFT JOIN (no fine centroid in
+    // the cell ⇒ the negative fallback block), and the q_semdedup
+    // pair/rollup verbatim. Subsample + adaptive-K discipline shared
+    // with q_semdedup (ns / kc CTEs), keeping the N·K cross joins
+    // bounded at any SF.
+    "q_semdedup_hier" -> e((s, d) => Similarity.semDedupHierGated(s, d),
+      s"""WITH $embCtes,
+         | ns AS (SELECT vec_id, v, nm FROM (
+         |   SELECT vec_id, v, nm, row_number()
+         |     OVER (ORDER BY ${duckH28("'g_'||vec_id")}, vec_id) AS grk
+         |   FROM n) z WHERE grk <= ${Similarity.SemDedupGateCap}),
+         | $duckKCte,
+         | nc AS (SELECT count(*) AS cnt FROM ns),
+         | th AS (SELECT LEAST(CAST(268435456 AS BIGINT), GREATEST(1,
+         |     CAST(268435456 AS BIGINT) * kk // GREATEST(cnt, 1))) AS t
+         |   FROM kc CROSS JOIN nc),
+         | cc AS (SELECT c_id, cv, cnm FROM (
+         |   SELECT vec_id AS c_id, v AS cv, nm AS cnm, row_number()
+         |     OVER (ORDER BY ${duckH28("'h_'||vec_id")}, vec_id) AS hrk
+         |   FROM ns) z WHERE hrk <= ${Similarity.HierGateCoarse}),
+         | ca AS (SELECT vec_id, v, nm, c_id AS ccell FROM (
+         |   SELECT ns.vec_id, ns.v, ns.nm, cc.c_id,
+         |    row_number() OVER (PARTITION BY ns.vec_id
+         |      ORDER BY list_dot_product(ns.v, cc.cv)/(ns.nm*cc.cnm) DESC,
+         |        cc.c_id) AS crk
+         |   FROM ns CROSS JOIN cc) x WHERE crk = 1),
+         | f AS (SELECT vec_id, v, nm FROM ns CROSS JOIN th
+         |   WHERE ${duckH28("'c_'||vec_id")} < t),
+         | fa AS (SELECT vec_id AS f_id, v AS fv, nm AS fnm, c_id AS ccell
+         |  FROM (
+         |   SELECT f.vec_id, f.v, f.nm, cc.c_id,
+         |    row_number() OVER (PARTITION BY f.vec_id
+         |      ORDER BY list_dot_product(f.v, cc.cv)/(f.nm*cc.cnm) DESC,
+         |        cc.c_id) AS frk
+         |   FROM f CROSS JOIN cc) x WHERE frk = 1),
+         | asg AS (SELECT vec_id, v, nm,
+         |    coalesce(f_id, -ccell - 1) AS cell FROM (
+         |   SELECT ca.vec_id, ca.v, ca.nm, ca.ccell, fa.f_id,
+         |    row_number() OVER (PARTITION BY ca.vec_id
+         |      ORDER BY list_dot_product(ca.v, fa.fv)/(ca.nm*fa.fnm) DESC,
+         |        fa.f_id) AS ark
+         |   FROM ca LEFT JOIN fa ON ca.ccell = fa.ccell) x WHERE ark = 1),
+         | p AS (SELECT x.cell, x.vec_id AS a, y.vec_id AS b,
+         |   list_dot_product(x.v, y.v)/(x.nm*y.nm) AS cos
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         | g AS (SELECT b AS vec_id, cell, min(a) AS keep_id,
+         |   CAST(count(*) AS BIGINT) AS n_near, round(max(cos), 4) AS cos4
+         |  FROM p WHERE cos >= ${Similarity.SemDedupCos} GROUP BY 1, 2)
+         |SELECT vec_id, cell, keep_id, n_near, cos4
+         |FROM g ORDER BY vec_id, cell, keep_id, n_near, cos4""".stripMargin),
+
     "q_vocab_build" -> e(TextOps.vocabBuild,
       s"""WITH u AS (SELECT unnest(string_split(text,' ')) AS tok FROM documents),
          | g AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),

@@ -50,7 +50,12 @@ class PlanSpec extends SparkSpec {
     // BroadcastNestedLoopJoin materializes N*K rows each carrying the
     // 64-double vector, ~800 GB of row copies). A revert to the
     // declarative argmax would reintroduce exactly that node.
-    for (q <- Seq("q_semdedup", "q_sim_ivf", "q_kmeans_step")) {
+    // q_semdedup_hier must additionally keep its CoGroup (the declared
+    // two-level path — the K > 65536 plan shape, oracle-gated).
+    assert(plan("q_semdedup_hier").contains("CoGroup"),
+      "q_semdedup_hier lost the two-level cogroup")
+    for (q <- Seq("q_semdedup", "q_semdedup_hier", "q_sim_ivf",
+        "q_kmeans_step")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"$q plans the N*K nested-loop assignment again")
