@@ -48,24 +48,15 @@ object SemProfile {
       (if (k <= Similarity.FlatAssignMaxK) "flat-kernel" else "two-level") +
       s" expected-occupancy=${if (k == 0) 0 else n / k}")
     val vs = Similarity.vectors(spark, d)
-    val assigned = Similarity.assignCells(vs, k)
+    val assigned = Similarity.assignCells(vs, k, nKnown = n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAssigned = t("assign (persist+count)")(assigned.count())
-    val x = assigned.select(col("cell"), col("vec_id").as("a"),
-      col("v").as("va"), col("nm").as("na"))
-    val y = assigned.select(col("cell"), col("vec_id").as("b"),
-      col("v").as("vb"), col("nm").as("nb"))
-    def pairs = x.join(y, Seq("cell")).filter(col("a") < col("b"))
-      .withColumn("cos",
-        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= Similarity.SemDedupCos)
+    // the REAL operator stages (private[graft] accessors), so the
+    // profiler cannot drift from what q_semdedup executes
+    def pairs = Similarity.semDedupCand(assigned, Similarity.SemDedupCos)
     val nPairs = t("pair_join (cached assign)")(pairs.count())
-    val nAgg = t("agg (cached assign)") {
-      pairs.groupBy(col("b").as("vec_id"), col("cell"))
-        .agg(min(col("a")).as("keep_id"), count(lit(1)).as("n_near"),
-          round(max(col("cos")), 4).as("cos4"))
-        .count()
-    }
+    val nAgg = t("agg (cached assign)")(
+      Similarity.semDedupRollup(pairs).count())
     assigned.unpersist(blocking = true)
     val nFull = t("q_semdedup full (uncached)")(
       // the exact semDedupOf pipeline SpineSweep times (internal

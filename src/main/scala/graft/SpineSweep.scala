@@ -191,7 +191,8 @@ object SpineSweep {
         val bkts = vs.select(
           Similarity.lshBucket(col("v"), Similarity.lshBitsFor(n)).as("bkt"))
         val cells = Similarity
-          .assignCells(vs, Similarity.semDedupCells(n)).select("cell")
+          .assignCells(vs, Similarity.semDedupCells(n), nKnown = n)
+          .select("cell")
         Seq("stage:canon_emb" -> n,
           "stage:bucket_pairs" -> pairs(bkts, "bkt"),
           "stage:cell_pairs" -> pairs(cells, "cell"))

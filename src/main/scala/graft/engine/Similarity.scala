@@ -288,9 +288,10 @@ object Similarity {
     * scale callers raise it with the corpus (K ∝ N holds cell
     * occupancy, and therefore [[semDedup]]'s within-cell pair count,
     * constant per vector — K only grows the broadcast). */
-  def assignCells(vs: DataFrame, k: Int = NumCentroids): DataFrame =
+  def assignCells(vs: DataFrame, k: Int = NumCentroids,
+      nKnown: Long = -1L): DataFrame =
     if (k <= FlatAssignMaxK) assignTo(vs, centroidsFixed(vs, k)).drop("c_cos")
-    else assignCellsHier(vs, k).drop("c_cos")
+    else assignCellsHier(vs, k, nKnown = nKnown).drop("c_cos")
 
   /** Nearest-centroid (cosine) assignment against an arbitrary
     * (c_id, cv, cnm) table — the broadcast O(N·K) pass shared by the
@@ -391,13 +392,23 @@ object Similarity {
     rows.grouped(64).flatMap { batch =>
       val b = batch.length
       val varrs = new Array[Array[Double]](b)
+      val valids = new Array[Boolean](b)
       val nms = new Array[Double](b)
       val bests = new Array[Double](b)
       val bestIs = new Array[Int](b)
       var j = 0
       while (j < b) {
-        varrs(j) = batch(j).getSeq[Double](vIdx).toArray
-        nms(j) = batch(j).getDouble(nmIdx)
+        // a null v (or null nm) row yields NULL cosine for EVERY
+        // centroid under the window form — rank 1 is (cid(0), null),
+        // the same all-skipped fallback as a length mismatch; marking
+        // it invalid (instead of NPE-ing on getSeq.toArray) keeps the
+        // kernel total off the canonical-intake contract, like
+        // pqEncode's null branch
+        valids(j) = !batch(j).isNullAt(vIdx) && !batch(j).isNullAt(nmIdx)
+        varrs(j) =
+          if (valids(j)) batch(j).getSeq[Double](vIdx).toArray
+          else Array.empty[Double]
+        nms(j) = if (valids(j)) batch(j).getDouble(nmIdx) else 0.0
         bestIs(j) = -1
         j += 1
       }
@@ -409,7 +420,7 @@ object Similarity {
         var k = 0
         while (k < b) {
           val varr = varrs(k)
-          if (wl == varr.length) {
+          if (valids(k) && wl == varr.length) {
             var s = 0.0
             var i = 0
             while (i < wl) { s += varr(i) * w(i); i += 1 }
@@ -482,9 +493,12 @@ object Similarity {
     * K to [[CoarseCells]] rows. The alternative at K = 4M — a 2 GB
     * centroid broadcast into the flat kernel — loses on both axes. */
   private[graft] def assignCellsHier(vs: DataFrame, k: Int,
-      coarseK: Int = CoarseCells): DataFrame = {
+      coarseK: Int = CoarseCells, nKnown: Long = -1L): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    val n = vs.count()
+    // callers that already hold the corpus count pass it through
+    // (semDedupOf / semDedupHierGated derive K from it) — recounting
+    // an unpersisted subsample frame would re-execute its selection
+    val n = if (nKnown >= 0L) nKnown else vs.count()
     val coarse = hashRankedLimit(vs, "h_", coarseK)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nm").as("cnm"))
@@ -496,6 +510,11 @@ object Similarity {
     val fine = vs
       .withColumn("__fk", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
       .filter(col("__fk") < t).drop("__fk")
+    // deliberately a SECOND kernel pass over the ~K-row filtered frame,
+    // not a filter of withC: the h28 filter pushes below this kernel
+    // (a narrow scan + ~K dots) but could never push below withC's
+    // opaque mapPartitions — deriving fineC from withC would re-kernel
+    // all N rows for the fine branch (or force persisting withC)
     val fineC = assignTo(fine, coarse)
       .select(col("cell").as("__ccell"), col("vec_id").cast("long").as("c_id"),
         col("v").as("cv"), col("nm").as("cnm"))
@@ -1373,8 +1392,34 @@ object Similarity {
   private[graft] def semDedupOf(vs: DataFrame, n: Long,
       threshold: Double, kOverride: Int = 0): DataFrame = {
     val k = if (kOverride > 0) kOverride else semDedupCells(n)
-    semDedupPairs(assignCells(vs, k), threshold)
+    semDedupPairs(assignCells(vs, k, nKnown = n), threshold)
   }
+
+  /** The within-cell candidate half of the SemDeDup pipeline: pair
+    * join on `cell`, a < b, cosine ≥ `threshold` — (cell, a, b, cos)
+    * rows. private[graft] so [[graft.SemProfile]] times the REAL
+    * stage, not a copy that could drift. */
+  private[graft] def semDedupCand(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val x = assigned.select(col("cell"), col("vec_id").as("a"),
+      col("v").as("va"), col("nm").as("na"))
+    val y = assigned.select(col("cell"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nm").as("nb"))
+    x.join(y, Seq("cell"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** The keep-first rollup over [[semDedupCand]]'s pair frame —
+    * (vec_id, cell, keep_id, n_near, cos4), totally ordered. */
+  private[graft] def semDedupRollup(cand: DataFrame): DataFrame =
+    cand
+      .groupBy(col("b").as("vec_id"), col("cell"))
+      .agg(min(col("a")).as("keep_id"), count(lit(1)).as("n_near"),
+        round(max(col("cos")), 4).as("cos4"))
+      .select("vec_id", "cell", "keep_id", "n_near", "cos4")
+      .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
 
   /** The within-cell half of the SemDeDup pipeline — pair join above
     * `threshold`, keep-first rollup — over any (…, vec_id, v, nm,
@@ -1385,19 +1430,7 @@ object Similarity {
       threshold: Double): DataFrame = {
     val assigned = assignedBy
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = assigned.select(col("cell"), col("vec_id").as("a"),
-      col("v").as("va"), col("nm").as("na"))
-    val y = assigned.select(col("cell"), col("vec_id").as("b"),
-      col("v").as("vb"), col("nm").as("nb"))
-    x.join(y, Seq("cell"))
-      .filter(col("a") < col("b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= threshold)
-      .groupBy(col("b").as("vec_id"), col("cell"))
-      .agg(min(col("a")).as("keep_id"), count(lit(1)).as("n_near"),
-        round(max(col("cos")), 4).as("cos4"))
-      .select("vec_id", "cell", "keep_id", "n_near", "cos4")
-      .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
+    semDedupRollup(semDedupCand(assigned, threshold))
   }
 
   /** Coarse level size for the DECLARED two-level variant
@@ -1430,7 +1463,8 @@ object Similarity {
       else hashRankedLimit(vectors(s, d), "g_", cap.toInt)
     val k = semDedupCells(math.min(n, cap))
     semDedupPairs(
-      assignCellsHier(vsub, k, HierGateCoarse).drop("c_cos"), threshold)
+      assignCellsHier(vsub, k, HierGateCoarse, nKnown = math.min(n, cap))
+        .drop("c_cos"), threshold)
   }
 
   /** Multi-band OR-construction near-dup pairs (library operator): `bands`
