@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Sessions, Similarity}
+
+/** Dev tool: per-task balance evidence for the SALTED two-level fine
+  * pass (VERDICT r13 #1). The unsalted cogroup keys the whole corpus
+  * on ≤ [[Similarity.CoarseCells]] coarse cells, so a clustered
+  * corpus — SemDeDup's own premise — lands a dense region's entire
+  * population in ONE task. This runner builds a deterministic
+  * clustered corpus (a `hotPct`% tight cluster around e0 plus
+  * hash-mixed isotropic noise — no RNG, every component is a
+  * multiply-xorshift of (vec_id, dim), the [[Similarity.lshWeight]]
+  * mixer), runs [[Similarity.assignCellsHier]] at the PRODUCTION
+  * coarse constant with salts=1 (the r13 shape) and the
+  * [[Similarity.HierFineSalts]] default, and records, per leg:
+  *
+  *   - wall seconds for the assignment;
+  *   - the fine-pass cogroup stage's task-level shuffle-read records
+  *     (the stage reading the (cell, salt) exchange — identified as
+  *     the stage with the largest total records read): task count,
+  *     max, p50. Unsalted, max ≈ the hot cell's population; salted it
+  *     must drop toward total/tasks;
+  *   - a row checksum (count + sum of hash(vec_id, cell, cos9)) that
+  *     must be IDENTICAL across legs — the result-equality the
+  *     SimilaritySpec salting tests pin at gate scale, re-asserted at
+  *     leg scale.
+  *
+  * Usage: `sbt "runMain graft.SaltProfile [n] [k] [hotPct] [out.json]"`
+  * (defaults 800000, 8192, 50, SALT_SKEW.json). */
+object SaltProfile {
+
+  /** Deterministic mixed noise in [-1, 1): multiply-xorshift of
+    * (vec_id, dim) — SQL-side long arithmetic wraps like the JVM's,
+    * so the mix is the same on every run and partitioning. */
+  private def noise(i: Int): Column = {
+    val x0 = (col("vec_id") + lit(i.toLong * 1000003L + 1L)) *
+      lit(0x9E3779B97F4A7C15L)
+    val x1 = x0.bitwiseXOR(shiftright(x0, 32))
+    (pmod(x1, lit(2048L)).cast("double") / lit(1024.0)) - lit(1.0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 800000L
+    val k = if (args.length > 1) args(1).toInt else 8192
+    val hotPct = if (args.length > 2) args(2).toInt else 50
+    val outPath = if (args.length > 3) args(3) else "SALT_SKEW.json"
+    val spark = Sessions.tuned(
+      SparkSession.builder().master("local[32]"), 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // clustered corpus: hotPct% of rows are e0 + 1% jitter (one tight
+    // cluster -> one hot coarse cell), the rest isotropic noise
+    val hot = pmod(col("vec_id"), lit(100L)) < lit(hotPct.toLong)
+    val v = array((0 until 64).map { i =>
+      val base = if (i == 0) lit(1.0) else lit(0.0)
+      when(hot, base + noise(i) * lit(0.01)).otherwise(noise(i))
+    }: _*)
+    val vs = spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("v", v)
+      .withColumn("nm", Similarity.l2norm(col("v")))
+      .filter(col("nm") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nReal = vs.count()
+    println(s"[salt] n=$nReal k=$k coarse=${Similarity.CoarseCells} " +
+      s"hotPct=$hotPct")
+
+    // per-stage task-level shuffle-read records, captured off the
+    // listener bus (single-threaded delivery)
+    val taskRecs = scala.collection.mutable.Map[
+      Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) taskRecs.synchronized {
+          taskRecs.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]()) +=
+            m.shuffleReadMetrics.recordsRead
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    def leg(salts: Int): (Double, Long, Long, (Int, Long, Long)) = {
+      taskRecs.synchronized(taskRecs.clear())
+      val t0 = System.nanoTime()
+      val out = Similarity.assignCellsHier(vs, k, nKnown = nReal,
+        salts = salts)
+      val (cnt, chk) = out
+        .select(count(lit(1)),
+          sum(hash(col("vec_id"), col("cell"), round(col("c_cos"), 9))
+            .cast("long")))
+        .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .head()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // wait for straggling task-end events before reading the map
+      Thread.sleep(2000)
+      val (stage, recs) = taskRecs.synchronized {
+        taskRecs.map { case (s, b) => (s, b.toArray.sorted) }
+          .maxBy(_._2.sum)
+      }
+      val fine = (recs.length, recs.last, recs(recs.length / 2))
+      println(f"[salt] salts=$salts%-3d wall=$wall%7.1f s rows=$cnt " +
+        f"chk=$chk fine-stage $stage: tasks=${fine._1} " +
+        f"max=${fine._2} p50=${fine._3}")
+      (wall, cnt, chk, fine)
+    }
+
+    val load0 = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head
+    val (w1, c1, k1, f1) = leg(1)
+    val (w2, c2, k2, f2) = leg(Similarity.HierFineSalts)
+    val load1 = scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split(" ").head
+    require(c1 == c2 && k1 == k2,
+      s"salted result diverged: rows $c1/$c2 chk $k1/$k2")
+    val json =
+      s"""{"n":$nReal,"k":$k,"coarse":${Similarity.CoarseCells},""" +
+      s""""hot_pct":$hotPct,"rows":$c1,"checksum_equal":true,""" +
+      s""""load_before":$load0,"load_after":$load1,""" +
+      s""""salts1":{"wall_sec":${f"$w1%.1f"},"tasks":${f1._1},""" +
+      s""""max_task_records":${f1._2},"p50_task_records":${f1._3}},""" +
+      s""""salts${Similarity.HierFineSalts}":{"wall_sec":${f"$w2%.1f"},""" +
+      s""""tasks":${f2._1},"max_task_records":${f2._2},""" +
+      s""""p50_task_records":${f2._3}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+      json + "\n")
+    println(s"[salt] wrote $outPath")
+    spark.stop()
+  }
+}

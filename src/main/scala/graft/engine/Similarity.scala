@@ -275,11 +275,23 @@ object Similarity {
   /** The fixed centroid sample: the [[NumCentroids]] smallest
     * (h28('c_'||vec_id), vec_id) keys — an O(N log K) selection whose
     * result is broadcast-sized by construction ([[hashRankedLimit]]
-    * keeps the selection itself driver-safe at adaptive K). */
+    * keeps the selection itself driver-safe at adaptive K). Drawn from
+    * [[centroidEligible]] rows only — see there. */
   private def centroidsFixed(vs: DataFrame,
       k: Int = NumCentroids): DataFrame =
-    hashRankedLimit(vs, "c_", k)
+    hashRankedLimit(centroidEligible(vs), "c_", k)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nm").as("cnm"))
+
+  /** Rows eligible to serve as centroids: non-null v and nm. The
+    * row-side kernels tolerate null-v rows (NULL cosine, all-skipped
+    * fallback), but a CENTROID's vector is dereferenced when the
+    * matrix is built — driver-side in [[assignTo]], executor-side in
+    * [[assignCellsHier]]'s cogroup — so every centroid sample excludes
+    * them, mirroring the row-side valids branch. No-op on canonical
+    * [[vectors]] frames (v and nm are computed non-null there), so the
+    * oracle-visible samples are unchanged. */
+  private def centroidEligible(vs: DataFrame): DataFrame =
+    vs.filter(col("v").isNotNull && col("nm").isNotNull)
 
   /** One O(N·K) pass assigning every vector to its nearest fixed
     * centroid (max cosine, min-centroid-id tie-break): (vec_id, v, nm,
@@ -467,12 +479,16 @@ object Similarity {
     *     heuristic occupancy dial, and the SET is exact for a given
     *     corpus. Each fine centroid is tagged with ITS coarse cell by
     *     the same flat kernel;
-    *  3. fine pass: vectors cogroup with fine centroids on the coarse
-    *     cell, and each group runs the row-blocked argmax kernel
-    *     ([[argmaxBlocked]]) over a matrix built EXECUTOR-side from
-    *     the group's centroid iterator — the matrix never exists on
-    *     the driver, and per-group size tracks cell population
-    *     (uniform sample ⇒ expected K/CoarseCells when balanced).
+    *  3. fine pass: vectors cogroup with fine centroids on the
+    *     (coarse cell, salt) pair — the vector side salted
+    *     deterministically ([[saltOf]], [[HierFineSalts]] ways), the
+    *     fine group replicated per salt — and each group runs the
+    *     row-blocked argmax kernel ([[argmaxBlocked]]) over a matrix
+    *     built EXECUTOR-side from the group's centroid iterator: the
+    *     matrix never exists on the driver, per-group size tracks cell
+    *     population (uniform sample ⇒ expected K/CoarseCells when
+    *     balanced), and salting keeps parallelism and the hot-cell
+    *     task bound cluster-shaped (inline ledger below).
     *
     * Semantics: each vector's cell is the (max cosine, min-id) fine
     * centroid AMONG ITS COARSE CELL's fine centroids — the standard
@@ -487,27 +503,34 @@ object Similarity {
     * argument that left it unsampled.
     *
     * Scale/shuffle ledger vs the flat kernel: +1 shuffle of the corpus
-    * (the cogroup's hash exchange on the coarse cell) and +1 of the
-    * k-row fine table, in exchange for dropping the assignment compute
-    * from N·K to ~N·K/[[CoarseCells]] dots and the driver collect from
-    * K to [[CoarseCells]] rows. The alternative at K = 4M — a 2 GB
-    * centroid broadcast into the flat kernel — loses on both axes. */
+    * (the cogroup's hash exchange on (coarse cell, salt)) and +1 of
+    * the salts·k-row replicated fine table (≤ one corpus-size shuffle
+    * while salts ≤ occupancy — the default makes that an identity), in
+    * exchange for dropping the assignment compute from N·K to
+    * ~N·K/[[CoarseCells]] dots and the driver collect from K to
+    * [[CoarseCells]] rows. The alternative at K = 4M — a 2 GB centroid
+    * broadcast into the flat kernel — loses on both axes. */
   private[graft] def assignCellsHier(vs: DataFrame, k: Int,
-      coarseK: Int = CoarseCells, nKnown: Long = -1L): DataFrame = {
+      coarseK: Int = CoarseCells, nKnown: Long = -1L,
+      salts: Int = HierFineSalts): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     // callers that already hold the corpus count pass it through
     // (semDedupOf / semDedupHierGated derive K from it) — recounting
     // an unpersisted subsample frame would re-execute its selection
     val n = if (nKnown >= 0L) nKnown else vs.count()
-    val coarse = hashRankedLimit(vs, "h_", coarseK)
+    val coarse = hashRankedLimit(centroidEligible(vs), "h_", coarseK)
       .select(col("vec_id").as("c_id"), col("v").as("cv"),
         col("nm").as("cnm"))
     val withC = assignTo(vs, coarse).drop("c_cos")
       .withColumnRenamed("cell", "__ccell")
+    // n == 0 keeps the mirror's LEAST/GREATEST arithmetic exactly
+    // (t = 2^28 when cnt = 0, like hashRankedLimit's branch) — no rows
+    // exist to pass the filter either way, but the single-sourcing
+    // claim on the DuckDB mirror stays literally true at the corner
     val t =
-      if (n == 0) 1L
+      if (n == 0) 1L << 28
       else math.min(1L << 28, math.max(1L, (1L << 28) * k.toLong / n))
-    val fine = vs
+    val fine = centroidEligible(vs)
       .withColumn("__fk", PortableHash.h28(concat(lit("c_"), col("vec_id"))))
       .filter(col("__fk") < t).drop("__fk")
     // deliberately a SECOND kernel pass over the ~K-row filtered frame,
@@ -528,17 +551,41 @@ object Similarity {
     val vIdx = vs.schema.fieldIndex("v")
     val nmIdx = vs.schema.fieldIndex("nm")
     val ccellIdx = withC.schema.fieldIndex("__ccell")
-    val grpV = withC.groupByKey((r: Row) => r.getLong(ccellIdx))(
-      Encoders.scalaLong)
-    val grpC = fineC.groupByKey((r: Row) => r.getLong(0))(Encoders.scalaLong)
-    grpV.cogroup(grpC) { (ccell, rows, cents) =>
+    val vecIdIdx = vs.schema.fieldIndex("vec_id")
+    val nSalts = math.max(1, salts)
+    // SALTED fine pass: the cogroup keys on (coarse cell, salt), not
+    // the coarse cell alone. Unsalted, cluster parallelism caps at
+    // coarseK tasks (≤ CoarseCells = 256) regardless of cluster size,
+    // and a hot coarse cell — real embedding corpora ARE clustered;
+    // that is SemDeDup's premise — lands its entire population in ONE
+    // task. Rows are independent given the cell's fine SET, so salting
+    // the vector side and replicating the (bounded, ~K/coarseK-row)
+    // fine group once per salt is result-IDENTICAL by construction:
+    // every salt replica of a cell carries the same fine matrix, and
+    // each output row depends only on its own (v, nm) and that matrix.
+    // Cost ledger: the corpus shuffle is unchanged (same rows, finer
+    // keys); the only new bytes are the fine replicas — salts·|fine| ≈
+    // salts·K rows, ≤ one corpus-size shuffle whenever salts ≤
+    // occupancy N/K (the [[HierFineSalts]] = CellTarget default makes
+    // that an identity). Parallelism rises to coarseK·salts groups and
+    // a fully-hot cell's task shrinks ÷salts.
+    val fineRep = fineC.withColumn("__salt",
+      explode(array((0 until nSalts).map(i => lit(i)): _*)))
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    val grpV = withC.groupByKey((r: Row) =>
+      (r.getLong(ccellIdx), saltOf(r.get(vecIdIdx), nSalts)))(pairEnc)
+    val grpC = fineRep.groupByKey((r: Row) =>
+      (r.getLong(0), r.getInt(4)))(pairEnc)
+    grpV.cogroup(grpC) { (key, rows, cents) =>
+      val ccell = key._1
       // group-local centroid matrix, c_id ascending (the comparator's
       // tie-break order); built executor-side, bounded by the group's
       // fine-centroid count
       val arr = cents.toArray.sortBy(_.getLong(1))
       if (arr.isEmpty)
-        // no fine centroid in this coarse cell: the whole cell is one
-        // block, keyed negatively so it can't collide with a vec_id
+        // no fine centroid in this coarse cell (at ANY salt — replicas
+        // are all-or-nothing per cell): the whole cell is one block,
+        // keyed negatively so it can't collide with a vec_id
         rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) ++
           Seq(-ccell - 1L, null)))
       else {
@@ -550,6 +597,28 @@ object Similarity {
       }
     }(enc)
   }
+
+  /** Deterministic within-coarse-cell salt for [[assignCellsHier]]'s
+    * fine pass: the [[lshWeight]] multiply-xorshift mix of vec_id,
+    * mod `salts` — NOT a bare `id % salts`, which would correlate with
+    * any id-structured loading (sequential ranges, stride patterns).
+    * Executor-side Scala over the already-grouped row, so no extra
+    * column or scan. Any salt function is result-correct (rows are
+    * independent given the fine matrix); determinism in vec_id is what
+    * makes the partitioning-invariance spec meaningful. Total off the
+    * canonical contract: non-numeric ids hash, a null id salts to 0. */
+  private[graft] def saltOf(id: Any, salts: Int): Int =
+    if (salts <= 1) 0
+    else {
+      val l = id match {
+        case n: java.lang.Number => n.longValue
+        case null => 0L
+        case o => o.hashCode.toLong
+      }
+      var x = l * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 32)
+      math.floorMod(x, salts).toInt
+    }
 
   /** Full spherical-k-means Lloyd loop: `iters` rounds of broadcast
     * assignment + fixed-point mean recompute, starting from the fixed
@@ -1299,8 +1368,31 @@ object Similarity {
     * centroids drawn uniformly from the corpus, fine count per coarse
     * cell is proportional to cell population (expected K/256 when
     * balanced), so per-group matrices stay executor-memory-sized
-    * through K = CoarseCells·FlatAssignMaxK ≈ 16.7M centroids. */
+    * through K = CoarseCells·FlatAssignMaxK ≈ 16.7M centroids.
+    *
+    * Gate/production split (deliberate): the DECLARED q_semdedup_hier
+    * runs at [[HierGateCoarse]] = 16, because at gate corpus sizes
+    * (≤ [[SemDedupGateCap]] vectors) 256 coarse cells would be
+    * near-singleton — the fine/fallback branches would go unexercised
+    * and the oracle would certify a degenerate shape. The 256 constant
+    * itself therefore never runs under the rows+schema+hash gate; it
+    * is pinned by SimilaritySpec's multi-shape equivalence tests and
+    * exercised in anger by the SCALE_EMB legs. */
   val CoarseCells = 256
+
+  /** Salt fan-out for [[assignCellsHier]]'s fine pass: each coarse
+    * cell splits into this many (cell, salt) cogroup keys, the fine
+    * group replicated per salt (result-identical — rows are
+    * independent given the cell's fine SET). Chosen equal to
+    * [[CellTarget]] so the replicated fine table is never bigger than
+    * the corpus it salts: replicas = salts·K rows ≤ N exactly when
+    * salts ≤ occupancy N/K, and the adaptive [[semDedupCells]] holds
+    * occupancy at CellTarget. Yields CoarseCells·HierFineSalts = 8192
+    * fine-pass groups (vs 256 unsalted — the r13 parallelism cap) and
+    * divides a hot coarse cell's single-task population by 32; corpora
+    * with a cell still too hot at /32 raise the dial, paying
+    * salts/occupancy extra corpus-shuffles of fine replicas. */
+  val HierFineSalts = 32
 
   /** Cap on centroid-count doublings: K ≤ NumCentroids·2^16 ≈ 4.19M,
     * which holds occupancy ≤ [[CellTarget]] through ~134M vectors
@@ -1425,12 +1517,24 @@ object Similarity {
     * `threshold`, keep-first rollup — over any (…, vec_id, v, nm,
     * cell) assignment frame (persisted here: both sides of the
     * self-join derive from it). Shared by [[semDedupOf]] and
-    * [[semDedupHierGated]]. */
+    * [[semDedupHierGated]].
+    *
+    * Cache lifetime: the corpus-sized assignment cache is RELEASED
+    * before returning — the rollup (duplicates only, ≪ corpus) is
+    * persisted and materialized first, then the assignment frame
+    * unpersists, so repeated gate queries in one session accumulate
+    * only dupes-sized storage, not corpus-sized assignment frames.
+    * Callers wanting zero residue unpersist the returned frame
+    * (SemProfile manages its own copies for the same reason). */
   private def semDedupPairs(assignedBy: DataFrame,
       threshold: Double): DataFrame = {
     val assigned = assignedBy
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    semDedupRollup(semDedupCand(assigned, threshold))
+    val out = semDedupRollup(semDedupCand(assigned, threshold))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    assigned.unpersist()
+    out
   }
 
   /** Coarse level size for the DECLARED two-level variant

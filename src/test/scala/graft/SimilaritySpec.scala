@@ -243,6 +243,87 @@ class SimilaritySpec extends SparkSpec {
     assert(runAt(3) == runAt(17))
   }
 
+  test("assignCellsHier is invariant to fine-pass salting") {
+    // salting must be result-IDENTICAL: each output row depends only
+    // on its own (v, nm) and its coarse cell's fine SET, which every
+    // salt replica carries in full — so salts=1 (the unsalted r13
+    // shape), a non-divisor salt count, and the production default
+    // must agree bit-for-bit, including on the (1, 16) shape where
+    // most cells take the negative-keyed fallback
+    val vs = Similarity.vectors(spark, sf).persist()
+    for ((k, coarseK) <- Seq((8, 4), (1, 16))) {
+      def runAt(s: Int) =
+        Similarity.assignCellsHier(vs, k, coarseK, salts = s)
+          .select("vec_id", "cell", "c_cos").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))
+          .sortBy(_._1).toSeq
+      val unsalted = runAt(1)
+      assert(runAt(5) == unsalted,
+        s"k=$k coarse=$coarseK: salts=5 diverges from unsalted")
+      assert(runAt(Similarity.HierFineSalts) == unsalted,
+        s"k=$k coarse=$coarseK: default salting diverges from unsalted")
+      if (k == 1) assert(unsalted.exists(_._2 < 0),
+        "fallback branch not exercised in the salting A/B")
+    }
+    vs.unpersist()
+    ()
+  }
+
+  test("salting splits a fully-hot coarse cell into balanced groups") {
+    // the r13 skew scenario: a clustered corpus lands one coarse
+    // cell's whole population in ONE cogroup task. With salting the
+    // task key is (cell, saltOf(vec_id)) — pin that the mixer spreads
+    // a hot cell's ids across ALL salts with no group above 2x the
+    // balanced share, and that the salted result still matches the
+    // unsalted one on this pathological (all-identical-direction)
+    // corpus
+    import spark.implicits._
+    val dir = (0 until 64).map(i => if (i == 0) 1.0 else 1e-6)
+    val hot = (0L until 2000L).map(id => (id, dir)).toDF("vec_id", "v")
+      .withColumn("nm", Similarity.l2norm(col("v")))
+    val s = Similarity.HierFineSalts
+    val counts = (0L until 2000L).groupBy(id => Similarity.saltOf(id, s))
+    assert(counts.size == s, s"only ${counts.size} of $s salts populated")
+    val maxShare = counts.values.map(_.size).max
+    assert(maxShare <= 2 * (2000 / s),
+      s"hot-cell salt groups unbalanced: max $maxShare of ${2000 / s}")
+    def runAt(salts: Int) =
+      Similarity.assignCellsHier(hot, 64, 4, salts = salts)
+        .select("vec_id", "cell").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(runAt(s) == runAt(1), "salted hot-cell result diverges")
+  }
+
+  test("null-v rows are tolerated as vectors and excluded as centroids") {
+    // the advisor's asymmetry: argmaxBlocked tolerates null v/nm in
+    // ROWS, but a null row drawn into a centroid sample would NPE
+    // when the matrix is built (driver-side in assignTo, executor-side
+    // in the hier cogroup). centroidEligible must keep both paths
+    // total: null rows still get assigned (all-skipped fallback, null
+    // c_cos), and never serve as centroids
+    import spark.implicits._
+    val base = Similarity.vectors(spark, sf).select("vec_id", "v", "nm")
+    val nulls = Seq(900001L, 900002L).toDF("vec_id")
+      .withColumn("v", lit(null).cast("array<double>"))
+      .withColumn("nm", lit(null).cast("double"))
+    val vs = base.unionByName(nulls)
+    val n = base.count() + 2
+    for (out <- Seq(Similarity.assignCells(vs, 8),
+        Similarity.assignCellsHier(vs, 8, 4))) {
+      assert(out.count() == n, "null-v rows dropped instead of assigned")
+      // a null-v row can never be its own nearest centroid — it was
+      // never sampled — and its cosine is null under the all-skipped
+      // fallback (hier carries c_cos; the flat path drops it)
+      val bad = out.filter(col("vec_id") >= 900001L)
+      assert(bad.count() == 2)
+      assert(bad.filter(col("cell") >= 900001L).count() == 0,
+        "a null-v row served as a centroid")
+    }
+    assert(Similarity.assignCellsHier(vs, 8, 4)
+      .filter(col("vec_id") >= 900001L && col("c_cos").isNotNull)
+      .count() == 0, "null-v row produced a non-null cosine")
+  }
+
   test("hashRankedLimit: prefiltered large-k path equals the exact TakeOrdered") {
     // k > 4096 engages the hash-threshold prefilter (the driver-merge
     // fix the k=1248 sim leg forced); it must stay bit-identical to
