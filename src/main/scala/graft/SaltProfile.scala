@@ -32,15 +32,13 @@ import graft.engine.{Sessions, Similarity}
   * (defaults 800000, 8192, 50, SALT_SKEW.json). */
 object SaltProfile {
 
-  /** Deterministic mixed noise in [-1, 1): multiply-xorshift of
-    * (vec_id, dim) — SQL-side long arithmetic wraps like the JVM's,
-    * so the mix is the same on every run and partitioning. */
-  private def noise(i: Int): Column = {
-    val x0 = (col("vec_id") + lit(i.toLong * 1000003L + 1L)) *
-      lit(0x9E3779B97F4A7C15L)
-    val x1 = x0.bitwiseXOR(shiftright(x0, 32))
-    (pmod(x1, lit(2048L)).cast("double") / lit(1024.0)) - lit(1.0)
-  }
+  /** Deterministic mixed noise in [-1, 1): xxhash64 of (vec_id, dim)
+    * mapped onto a 2048-step grid — built-in, codegen'd, and immune to
+    * ANSI overflow checks (a hand-rolled multiply-xorshift in SQL
+    * throws ARITHMETIC_OVERFLOW under Spark 4's ANSI default). */
+  private def noise(i: Int): Column =
+    (pmod(xxhash64(col("vec_id"), lit(i)), lit(2048L)).cast("double") /
+      lit(1024.0)) - lit(1.0)
 
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 800000L
@@ -51,12 +49,18 @@ object SaltProfile {
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // clustered corpus: hotPct% of rows are e0 + 1% jitter (one tight
-    // cluster -> one hot coarse cell), the rest isotropic noise
+    // clustered corpus: hotPct% of rows are EXACT duplicates of e0 —
+    // the realistic worst case (mass-duplicate web corpora): identical
+    // vectors make identical argmax decisions, so the whole population
+    // lands in ONE coarse cell no matter where the coarse sample
+    // falls. (A merely TIGHT cluster does not skew the cogroup: the
+    // coarse sample is drawn from the corpus, so a dense region gets
+    // proportionally many coarse centroids and splits itself — the
+    // unresolvable case is ties.) The rest is isotropic noise.
     val hot = pmod(col("vec_id"), lit(100L)) < lit(hotPct.toLong)
     val v = array((0 until 64).map { i =>
       val base = if (i == 0) lit(1.0) else lit(0.0)
-      when(hot, base + noise(i) * lit(0.01)).otherwise(noise(i))
+      when(hot, base).otherwise(noise(i))
     }: _*)
     val vs = spark.range(n).select(col("id").as("vec_id"))
       .withColumn("v", v)
