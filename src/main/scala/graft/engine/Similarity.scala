@@ -1504,14 +1504,23 @@ object Similarity {
   }
 
   /** The keep-first rollup over [[semDedupCand]]'s pair frame —
-    * (vec_id, cell, keep_id, n_near, cos4), totally ordered. */
+    * (vec_id, cell, keep_id, n_near, cos4), totally ordered. The
+    * unsorted core is split out so [[semDedupPairs]] can persist and
+    * materialize it WITHOUT the global sort: Sort plans a
+    * range-partitioning exchange whose SAMPLING pass re-executes the
+    * child, so count()-ing the sorted frame runs pairs+rollup twice —
+    * caching below the sort keeps both the sampling pass and the
+    * consumer's sort on the (dupes-sized) cache. */
   private[graft] def semDedupRollup(cand: DataFrame): DataFrame =
+    semDedupRollupCore(cand)
+      .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
+
+  private def semDedupRollupCore(cand: DataFrame): DataFrame =
     cand
       .groupBy(col("b").as("vec_id"), col("cell"))
       .agg(min(col("a")).as("keep_id"), count(lit(1)).as("n_near"),
         round(max(col("cos")), 4).as("cos4"))
       .select("vec_id", "cell", "keep_id", "n_near", "cos4")
-      .orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
 
   /** The within-cell half of the SemDeDup pipeline — pair join above
     * `threshold`, keep-first rollup — over any (…, vec_id, v, nm,
@@ -1530,11 +1539,15 @@ object Similarity {
       threshold: Double): DataFrame = {
     val assigned = assignedBy
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = semDedupRollup(semDedupCand(assigned, threshold))
+    // persist BELOW the sort (see semDedupRollup's scaladoc), count to
+    // materialize, then release the corpus-sized assignment cache; the
+    // returned frame's sort (and its range-sampling pass) read the
+    // dupes-sized cache
+    val core = semDedupRollupCore(semDedupCand(assigned, threshold))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    core.count()
     assigned.unpersist()
-    out
+    core.orderBy("vec_id", "cell", "keep_id", "n_near", "cos4")
   }
 
   /** Coarse level size for the DECLARED two-level variant
