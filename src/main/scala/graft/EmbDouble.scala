@@ -33,6 +33,15 @@ object EmbDouble {
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = spark.read.parquet(s"$src/embeddings.parquet")
+    // refuse to chain onto our own output: a second doubling would add
+    // 2^40 to ids that already carry it, landing exactly on existing
+    // ids — duplicate vec_ids, which canonEmb's keep-one grouping then
+    // SILENTLY halves (the same trap as chaining ScaleGen, made loud)
+    val maxId = base.agg(max(col("vec_id"))).head().getLong(0)
+    require(maxId < (1L << 40),
+      s"EmbDouble input already carries doubled ids (max vec_id=$maxId " +
+        ">= 2^40) — chaining would collide; widen with a fresh offset " +
+        "scheme instead")
     val i = 1249
     val r = i % 64
     val rot = concat(slice(col("embedding"), r + 1, 64 - r),

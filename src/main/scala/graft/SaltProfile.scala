@@ -102,8 +102,19 @@ object SaltProfile {
           org.apache.spark.sql.Encoders.scalaLong))
         .head()
       val wall = (System.nanoTime() - t0) / 1e9
-      // wait for straggling task-end events before reading the map
-      Thread.sleep(2000)
+      // drain the listener bus: poll until the observed task count is
+      // stable across two 1 s samples (bounded at 15 s) — a fixed
+      // sleep can read the map before late onTaskEnd events land and
+      // silently understate max/p50
+      var prev = -1L
+      var stable = 0
+      var polls = 0
+      while (stable < 2 && polls < 15) {
+        Thread.sleep(1000); polls += 1
+        val cur = taskRecs.synchronized(
+          taskRecs.valuesIterator.map(_.length.toLong).sum)
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
       val (stage, recs) = taskRecs.synchronized {
         taskRecs.map { case (s, b) => (s, b.toArray.sorted) }
           .maxBy(_._2.sum)
@@ -115,6 +126,12 @@ object SaltProfile {
       (wall, cnt, chk, fine)
     }
 
+    // untimed warm-up at a small K: absorbs whole-stage codegen and
+    // kernel JIT so neither timed leg pays the one-time setup — the
+    // first-run-cold bias would otherwise inflate whichever leg runs
+    // first (measured ~1-2 s of one-time plan/JIT cost at gate scale)
+    Similarity.assignCellsHier(vs, 64, nKnown = nReal, salts = 2)
+      .select(count(lit(1))).head()
     val load0 = scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ").head
     val (w1, c1, k1, f1) = leg(1)

@@ -343,7 +343,10 @@ object Similarity {
     * centroid yields a NULL cosine under the fold semantics — mirrored
     * here by skipping it (NULL orders after every real cosine under
     * `desc`); if every cosine is NULL the smallest c_id wins with a
-    * null c_cos, exactly the old window's nulls-last rank 1. */
+    * null c_cos, exactly the old window's nulls-last rank 1. With ZERO
+    * centroids but rows present (an all-null-v frame — nothing is
+    * [[centroidEligible]]) every row maps to the single fallback block
+    * (cell = -1, null c_cos): totality, never a silent empty frame. */
   private def assignTo(vs: DataFrame, cents: DataFrame): DataFrame = {
     val spark = vs.sparkSession
     val byId = cents.select(col("c_id").cast("long"), col("cv"), col("cnm"))
@@ -360,9 +363,19 @@ object Similarity {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("c_cos",
         org.apache.spark.sql.types.DoubleType, nullable = true)))
-    if (byId.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (byId.isEmpty) {
+      // ZERO centroids with rows still present (possible only when no
+      // row is centroidEligible — e.g. an all-null-v frame): totality
+      // demands every row still comes back, not a silent empty frame
+      // (the pre-r14 behavior here was an NPE; an empty return would
+      // quietly drop the corpus). One fallback block, cell = -1 —
+      // negative like the hier fallback family, c_cos null like every
+      // all-skipped row. On an EMPTY input this still returns the
+      // typed empty frame (the semDedup empty-corpus spec).
+      val enc0 = org.apache.spark.sql.Encoders.row(schema)
+      return vs.mapPartitions(rows => rows.map(r =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(-1L, null))))(enc0)
+    }
     val ids = byId.map(_.getLong(0))
     val mats = byId.map(_.getSeq[Double](1).toArray)
     val nms = byId.map(_.getDouble(2))
@@ -585,9 +598,12 @@ object Similarity {
       if (arr.isEmpty)
         // no fine centroid in this coarse cell (at ANY salt — replicas
         // are all-or-nothing per cell): the whole cell is one block,
-        // keyed negatively so it can't collide with a vec_id
+        // keyed negatively so it can't collide with a vec_id. A ccell
+        // that is ALREADY a fallback (negative — the zero-centroid
+        // coarse pass) propagates as itself rather than double-negating
+        // back into non-negative id space.
         rows.map(r => Row.fromSeq(r.toSeq.dropRight(1) ++
-          Seq(-ccell - 1L, null)))
+          Seq(if (ccell < 0) ccell else -ccell - 1L, null)))
       else {
         val ids = arr.map(_.getLong(1))
         val mats = arr.map(_.getSeq[Double](2).toArray)

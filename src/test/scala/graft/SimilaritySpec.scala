@@ -322,6 +322,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.assignCellsHier(vs, 8, 4)
       .filter(col("vec_id") >= 900001L && col("c_cos").isNotNull)
       .count() == 0, "null-v row produced a non-null cosine")
+
+    // ALL-null corpus: ZERO eligible centroids with rows present. The
+    // flat path must map every row to the single fallback block
+    // (cell = -1, null c_cos) — never a silent empty frame (that would
+    // be total row loss); the hier path must propagate the negative
+    // fallback rather than double-negating it back into id space
+    val allNull = Seq(1L, 2L, 3L).toDF("vec_id")
+      .withColumn("v", lit(null).cast("array<double>"))
+      .withColumn("nm", lit(null).cast("double"))
+    val flatAll = Similarity.assignCells(allNull, 8)
+    assert(flatAll.count() == 3, "all-null corpus dropped by flat path")
+    assert(flatAll.filter(col("cell") === -1L).count() == 3)
+    val hierAll = Similarity.assignCellsHier(allNull, 8, 4)
+    assert(hierAll.count() == 3, "all-null corpus dropped by hier path")
+    assert(hierAll.filter(col("cell") < 0 && col("c_cos").isNull)
+      .count() == 3, "all-null hier rows lost the negative fallback")
   }
 
   test("hashRankedLimit: prefiltered large-k path equals the exact TakeOrdered") {
