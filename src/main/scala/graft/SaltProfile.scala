@@ -14,8 +14,10 @@ import graft.engine.{Sessions, Similarity}
   * hash-mixed isotropic noise — no RNG, every component is a
   * multiply-xorshift of (vec_id, dim), the [[Similarity.lshWeight]]
   * mixer), runs [[Similarity.assignCellsHier]] at the PRODUCTION
-  * coarse constant with salts=1 (the r13 shape) and the
-  * [[Similarity.HierFineSalts]] default, and records, per leg:
+  * coarse size ([[Similarity.coarseFor]]) with an EXPLICIT salts=1
+  * (the r13 shape — which, post-r15, also exercises the bare-key
+  * bypass plan) and the [[Similarity.HierFineSalts]] cap, and
+  * records, per leg:
   *
   *   - wall seconds for the assignment;
   *   - the fine-pass cogroup stage's task-level shuffle-read records
@@ -28,8 +30,25 @@ import graft.engine.{Sessions, Similarity}
   *     SimilaritySpec salting tests pin at gate scale, re-asserted at
   *     leg scale.
   *
-  * Usage: `sbt "runMain graft.SaltProfile [n] [k] [hotPct] [out.json]"`
-  * (defaults 800000, 8192, 50, SALT_SKEW.json). */
+  * Two optional extras (VERDICT r14 #6 — attribute the salted leg's
+  * residual max/p50 ≈ 2.5× imbalance):
+  *
+  *   - `mode=tight`: the hot rows become a TIGHT-BUT-NOT-IDENTICAL
+  *     cluster (e0 plus small mixed noise, cos ≈ 0.97 between
+  *     members) instead of exact duplicates — the non-tie regime,
+  *     where density-proportional coarse sampling should split the
+  *     cluster by itself and neither leg shows a single-task
+  *     pathology;
+  *   - `advisoryKB>0`: after the two standard legs, re-runs the
+  *     salted leg with `spark.sql.adaptive.advisoryPartitionSizeInBytes`
+  *     lowered to that value — if the residual imbalance is AQE
+  *     coalescing small (cell, salt) groups back together (benign),
+  *     max/p50 must drop toward 1; if it were salt-key skew, it would
+  *     not move.
+  *
+  * Usage: `sbt "runMain graft.SaltProfile [n] [k] [hotPct] [out.json]
+  * [mode=tie|tight] [advisoryKB=0]"`
+  * (defaults 800000, 8192, 50, SALT_SKEW.json, tie, 0). */
 object SaltProfile {
 
   /** Deterministic mixed noise in [-1, 1): xxhash64 of (vec_id, dim)
@@ -45,6 +64,9 @@ object SaltProfile {
     val k = if (args.length > 1) args(1).toInt else 8192
     val hotPct = if (args.length > 2) args(2).toInt else 50
     val outPath = if (args.length > 3) args(3) else "SALT_SKEW.json"
+    val mode = if (args.length > 4) args(4) else "tie"
+    val advisoryKB = if (args.length > 5) args(5).toInt else 0
+    require(mode == "tie" || mode == "tight", s"unknown mode $mode")
     val spark = Sessions.tuned(
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -56,11 +78,16 @@ object SaltProfile {
     // falls. (A merely TIGHT cluster does not skew the cogroup: the
     // coarse sample is drawn from the corpus, so a dense region gets
     // proportionally many coarse centroids and splits itself — the
-    // unresolvable case is ties.) The rest is isotropic noise.
+    // unresolvable case is ties; mode=tight MEASURES that claim with
+    // a cos ≈ 0.97 cluster instead of exact duplicates.) The rest is
+    // isotropic noise.
     val hot = pmod(col("vec_id"), lit(100L)) < lit(hotPct.toLong)
     val v = array((0 until 64).map { i =>
       val base = if (i == 0) lit(1.0) else lit(0.0)
-      when(hot, base).otherwise(noise(i))
+      val hotVal =
+        if (mode == "tight") base + noise(i + 1000) * lit(0.05)
+        else base
+      when(hot, hotVal).otherwise(noise(i))
     }: _*)
     val vs = spark.range(n).select(col("id").as("vec_id"))
       .withColumn("v", v)
@@ -68,8 +95,8 @@ object SaltProfile {
       .filter(col("nm") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nReal = vs.count()
-    println(s"[salt] n=$nReal k=$k coarse=${Similarity.CoarseCells} " +
-      s"hotPct=$hotPct")
+    println(s"[salt] n=$nReal k=$k coarse=${Similarity.coarseFor(k)} " +
+      s"hotPct=$hotPct mode=$mode advisoryKB=$advisoryKB")
 
     // per-stage task-level shuffle-read records, captured off the
     // listener bus (single-threaded delivery)
@@ -136,19 +163,38 @@ object SaltProfile {
       .split(" ").head
     val (w1, c1, k1, f1) = leg(1)
     val (w2, c2, k2, f2) = leg(Similarity.HierFineSalts)
+    // optional third leg: same salted shape, AQE's coalesce target
+    // lowered — isolates how much of the salted max/p50 residual is
+    // AQE merging small (cell, salt) groups back together
+    val adv = if (advisoryKB > 0) {
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryKB}kb")
+      val r = leg(Similarity.HierFineSalts)
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      Some(r)
+    } else None
     val load1 = scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ").head
     require(c1 == c2 && k1 == k2,
       s"salted result diverged: rows $c1/$c2 chk $k1/$k2")
+    adv.foreach { case (_, c3, k3, _) =>
+      require(c1 == c3 && k1 == k3,
+        s"advisory-leg result diverged: rows $c1/$c3 chk $k1/$k3") }
+    val advJson = adv.map { case (w3, _, _, f3) =>
+      s""","salts${Similarity.HierFineSalts}_adv${advisoryKB}kb":""" +
+      s"""{"wall_sec":${f"$w3%.1f"},"tasks":${f3._1},""" +
+      s""""max_task_records":${f3._2},"p50_task_records":${f3._3}}"""
+    }.getOrElse("")
     val json =
-      s"""{"n":$nReal,"k":$k,"coarse":${Similarity.CoarseCells},""" +
-      s""""hot_pct":$hotPct,"rows":$c1,"checksum_equal":true,""" +
+      s"""{"n":$nReal,"k":$k,"coarse":${Similarity.coarseFor(k)},""" +
+      s""""hot_pct":$hotPct,"mode":"$mode","rows":$c1,""" +
+      s""""checksum_equal":true,""" +
       s""""load_before":$load0,"load_after":$load1,""" +
       s""""salts1":{"wall_sec":${f"$w1%.1f"},"tasks":${f1._1},""" +
       s""""max_task_records":${f1._2},"p50_task_records":${f1._3}},""" +
       s""""salts${Similarity.HierFineSalts}":{"wall_sec":${f"$w2%.1f"},""" +
       s""""tasks":${f2._1},"max_task_records":${f2._2},""" +
-      s""""p50_task_records":${f2._3}}}"""
+      s""""p50_task_records":${f2._3}}$advJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       json + "\n")
     println(s"[salt] wrote $outPath")

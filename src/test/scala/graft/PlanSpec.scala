@@ -80,6 +80,24 @@ class PlanSpec extends SparkSpec {
       "fine sample plans a global TakeOrdered (P*k driver merge)")
   }
 
+  test("salts=1 bypass drops the replicating explode; salted plan keeps it") {
+    // below HierSaltMinRows the adaptive salt count resolves to 1 and
+    // assignCellsHier must plan the bare-cell-key cogroup with NO
+    // Generate node — the ~1.2 s of one-time codegen/setup the salted
+    // shape cost every r14 bench attempt at gate scale. An explicit
+    // salts>1 keeps the replicating explode (the SALT_SKEW shape).
+    val vs = graft.engine.Similarity.vectors(spark, sf)
+    val bypass = graft.engine.Similarity.assignCellsHier(vs, 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(!bypass.contains("Generate"),
+      "salts=1 bypass still plans the replicating explode")
+    val salted = graft.engine.Similarity
+      .assignCellsHier(vs, 8, 4, salts = 8)
+      .queryExecution.executedPlan.toString
+    assert(salted.contains("Generate"),
+      "explicit salting lost the fine-replica explode")
+  }
+
   test("q_sim_topk broadcasts the (small) query side by design") {
     // brute-force baseline: query set ≪ corpus, so the nested loop
     // streams the corpus once against a broadcast query table

@@ -294,6 +294,51 @@ class SimilaritySpec extends SparkSpec {
     assert(runAt(s) == runAt(1), "salted hot-cell result diverges")
   }
 
+  test("coarseFor: sqrt(K) clamped to [CoarseCells, MaxCoarseCells]") {
+    // the r15 lever: assignment work is N*(coarseK + K/coarseK) dots,
+    // minimized at coarseK = sqrt(K). Floor 256 = sqrt(FlatAssignMaxK)
+    // means NOTHING changes for any K <= 65536 (the flat regime, where
+    // the two-level path only runs when forced); ceiling 4096 keeps
+    // hashRankedLimit on its cheap TakeOrdered branch and the coarse
+    // collect <= ~2 MB while per-group fine matrices stay bounded
+    // through K ~ 268M.
+    assert(Similarity.coarseFor(1) == Similarity.CoarseCells)
+    assert(Similarity.coarseFor(Similarity.FlatAssignMaxK)
+      == Similarity.CoarseCells, "floor must equal sqrt(FlatAssignMaxK)")
+    assert(Similarity.coarseFor(131072) == 362)
+    assert(Similarity.coarseFor(262144) == 512)
+    assert(Similarity.coarseFor(524288) == 724)
+    // the MaxCellDoublings envelope K = 64 * 2^16 = 4.19M -> 2048
+    assert(Similarity.coarseFor(64 << 16) == 2048)
+    assert(Similarity.coarseFor(Int.MaxValue) == Similarity.MaxCoarseCells)
+    // monotone non-decreasing across the doubling ladder (the adaptive
+    // K path only ever moves up it)
+    val ladder = (0 to Similarity.MaxCellDoublings).map(j =>
+      Similarity.coarseFor(Similarity.NumCentroids << j))
+    assert(ladder == ladder.sorted, s"coarseFor not monotone: $ladder")
+  }
+
+  test("hierSalts: gate bypass below the floor, occupancy-capped above it") {
+    val floor = Similarity.HierSaltMinRows
+    // every gate corpus (<= SemDedupGateCap = 32768 << floor) bypasses
+    assert(Similarity.hierSalts(Similarity.SemDedupGateCap, 1024) == 1)
+    assert(Similarity.hierSalts(floor - 1, 64) == 1)
+    // at/above the floor: min(HierFineSalts, occupancy n/k), so the
+    // replicated fine table (salts*k rows) never exceeds one
+    // corpus-size shuffle even at the adaptive-K occupancy floor
+    assert(Similarity.hierSalts(floor, 8192) == 32)
+    assert(Similarity.hierSalts(800000L, 8192) == 32,
+      "the SALT_SKEW leg shape must stay fully salted")
+    assert(Similarity.hierSalts(4992000L, 262144) == 19,
+      "occupancy 19 must cap salts at 19 (the r14 ledger gap)")
+    assert(Similarity.hierSalts(1L << 30, 10) == Similarity.HierFineSalts)
+    assert(Similarity.hierSalts(floor, floor.toInt * 2) == 1,
+      "occupancy < 1 must still yield one salt, never zero")
+    for (n <- Seq(floor, 10L * floor); k <- Seq(64, 8192, 262144))
+      assert(Similarity.hierSalts(n, k).toLong * k <= math.max(n, k.toLong),
+        s"fine replicas exceed a corpus shuffle at n=$n k=$k")
+  }
+
   test("null-v rows are tolerated as vectors and excluded as centroids") {
     // the advisor's asymmetry: argmaxBlocked tolerates null v/nm in
     // ROWS, but a null row drawn into a centroid sample would NPE
