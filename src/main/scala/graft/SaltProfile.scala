@@ -44,11 +44,22 @@ import graft.engine.{Sessions, Similarity}
   *     lowered to that value — if the residual imbalance is AQE
   *     coalescing small (cell, salt) groups back together (benign),
   *     max/p50 must drop toward 1; if it were salt-key skew, it would
-  *     not move.
+  *     not move. (Measured r15: it did NOT move — at the session's 32
+  *     shuffle partitions AQE has nothing to coalesce, so the r14
+  *     "AQE coalescing" attribution was wrong; see `parts`.)
+  *   - `parts>0`: re-runs the salted leg with
+  *     `spark.sql.shuffle.partitions` raised to that value — the
+  *     REDUCER-PACKING hypothesis: with only 32 reducer slots, the 32
+  *     hot (cell, salt) keys land ~Poisson over 32 bins and the max
+  *     bin draws 3-4 of them (birthday collisions), which is exactly
+  *     a max/p50 ≈ 2.5× residual. If that is the cause, more slots
+  *     (≈ a real cluster's core count) must spread the hot keys and
+  *     drop max toward one hot key's population; per-key salt skew
+  *     would not move.
   *
   * Usage: `sbt "runMain graft.SaltProfile [n] [k] [hotPct] [out.json]
-  * [mode=tie|tight] [advisoryKB=0]"`
-  * (defaults 800000, 8192, 50, SALT_SKEW.json, tie, 0). */
+  * [mode=tie|tight] [advisoryKB=0] [parts=0]"`
+  * (defaults 800000, 8192, 50, SALT_SKEW.json, tie, 0, 0). */
 object SaltProfile {
 
   /** Deterministic mixed noise in [-1, 1): xxhash64 of (vec_id, dim)
@@ -66,6 +77,7 @@ object SaltProfile {
     val outPath = if (args.length > 3) args(3) else "SALT_SKEW.json"
     val mode = if (args.length > 4) args(4) else "tie"
     val advisoryKB = if (args.length > 5) args(5).toInt else 0
+    val parts = if (args.length > 6) args(6).toInt else 0
     require(mode == "tie" || mode == "tight", s"unknown mode $mode")
     val spark = Sessions.tuned(
       SparkSession.builder().master("local[32]"), 32).getOrCreate()
@@ -96,7 +108,7 @@ object SaltProfile {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nReal = vs.count()
     println(s"[salt] n=$nReal k=$k coarse=${Similarity.coarseFor(k)} " +
-      s"hotPct=$hotPct mode=$mode advisoryKB=$advisoryKB")
+      s"hotPct=$hotPct mode=$mode advisoryKB=$advisoryKB parts=$parts")
 
     // per-stage task-level shuffle-read records, captured off the
     // listener bus (single-threaded delivery)
@@ -173,17 +185,49 @@ object SaltProfile {
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
       Some(r)
     } else None
+    // optional fourth leg: same salted shape, MORE reducer slots —
+    // isolates hot-key birthday packing over the 32 default slots
+    // (the cluster-realistic dial: slots ≈ executor cores)
+    val prt = if (parts > 0) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      val r = leg(Similarity.HierFineSalts)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      Some(r)
+    } else None
+    // combined leg: more slots AND a low coalesce target — parts alone
+    // is null (AQE coalesces the extra slots straight back to the
+    // ~64 MB default advisory), advisory alone is null (32 initial
+    // partitions leave nothing to coalesce); only together do the
+    // (cell, salt) groups actually stay spread, so this is the leg
+    // that separates "AQE re-merging" from "per-key salt skew"
+    val both = if (parts > 0 && advisoryKB > 0) {
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        s"${advisoryKB}kb")
+      val r = leg(Similarity.HierFineSalts)
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      Some(r)
+    } else None
     val load1 = scala.io.Source.fromFile("/proc/loadavg").mkString
       .split(" ").head
     require(c1 == c2 && k1 == k2,
       s"salted result diverged: rows $c1/$c2 chk $k1/$k2")
-    adv.foreach { case (_, c3, k3, _) =>
+    (adv.toSeq ++ prt.toSeq ++ both.toSeq).foreach { case (_, c3, k3, _) =>
       require(c1 == c3 && k1 == k3,
-        s"advisory-leg result diverged: rows $c1/$c3 chk $k1/$k3") }
+        s"extra-leg result diverged: rows $c1/$c3 chk $k1/$k3") }
     val advJson = adv.map { case (w3, _, _, f3) =>
       s""","salts${Similarity.HierFineSalts}_adv${advisoryKB}kb":""" +
       s"""{"wall_sec":${f"$w3%.1f"},"tasks":${f3._1},""" +
       s""""max_task_records":${f3._2},"p50_task_records":${f3._3}}"""
+    }.getOrElse("") + prt.map { case (w4, _, _, f4) =>
+      s""","salts${Similarity.HierFineSalts}_parts$parts":""" +
+      s"""{"wall_sec":${f"$w4%.1f"},"tasks":${f4._1},""" +
+      s""""max_task_records":${f4._2},"p50_task_records":${f4._3}}"""
+    }.getOrElse("") + both.map { case (w5, _, _, f5) =>
+      s""","salts${Similarity.HierFineSalts}_parts${parts}_adv""" +
+      s"""${advisoryKB}kb":{"wall_sec":${f"$w5%.1f"},"tasks":${f5._1},""" +
+      s""""max_task_records":${f5._2},"p50_task_records":${f5._3}}"""
     }.getOrElse("")
     val json =
       s"""{"n":$nReal,"k":$k,"coarse":${Similarity.coarseFor(k)},""" +
