@@ -159,18 +159,25 @@ object Sketches {
     val bitmap = typedLit(words)
     // bit test (word >> bit) & 1 — via SQL expr, the functions-API
     // shiftright only takes a literal shift distance; & 1 makes the
-    // arithmetic-vs-logical shift distinction irrelevant
-    def memberSql(j: Int): String =
-      s"(shiftright(element_at(bm, CAST(s$j / 64 AS INT) + 1), " +
-        s"CAST(s$j % 64 AS INT)) & 1) = 1"
+    // arithmetic-vs-logical shift distinction irrelevant. The BloomK
+    // tests ride ONE forall lambda so the 256-long bitmap literal
+    // appears ONCE in the expression tree: the previous explicit
+    // `test(s0) AND test(s1) AND test(s2)` had the projection-collapsed
+    // `bm` literal inlined into every conjunct — 3 copies of a 2 KB
+    // array that every optimizer/canonicalization pass re-walks and
+    // codegen re-emits a reference for. Same value: the conjunction of
+    // non-null boolean tests equals forall over them.
+    val memberLambda =
+      "forall(array(" + (0 until BloomK).map(j => s"s$j").mkString(",") +
+        "), sj -> (shiftright(element_at(bm, CAST(sj / 64 AS INT) + 1), " +
+        "CAST(sj % 64 AS INT)) & 1) = 1)"
     val probe = staged.filter(col("source") =!= lit(BloomBuildSource))
       .distinct()
     val flagged = probe
       .withColumn("bm", bitmap)
       .withColumns((0 until BloomK).map(j =>
         s"s$j" -> bloomSlot(col("h"), j)).toMap)
-      .withColumn("cand",
-        expr((0 until BloomK).map(memberSql).mkString(" AND ")))
+      .withColumn("cand", expr(memberLambda))
       .join(broadcast(build.select(col("sh"), lit(1L).as("hit"))),
         Seq("sh"), "left")
     flagged.groupBy(col("source"))

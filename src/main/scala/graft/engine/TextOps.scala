@@ -362,6 +362,31 @@ object TextOps {
     // never auto-drops plans).
     val bSets = shingleSets(newDocs)
     val bSig = minhashSignatureFromSets(bSets, hash)
+    dedupIncrementalFrom(newDocs, bSets, bSig, corpusSets, corpusSig,
+      threshold)
+  }
+
+  /** [[dedupIncremental]] with the batch's shingle-set and signature
+    * tables supplied by the caller — the entry point when the batch is a
+    * slice of an already-indexed corpus (the declared [[dedupIncrQuery]]:
+    * its "arriving batch" is carved out of the same corpus whose staged
+    * [[sharedShingleSets]]/[[sharedSignature]] parquet already hold both
+    * tables, so re-deriving them from raw text would tokenize+shingle+
+    * hash the batch once per consumer subtree — the pre-r15 plan ran the
+    * full split/zip_with/md5 pipeline inside THREE separate scans).
+    * `batchSets`/`batchSig` must be the [[shingleSets]]/
+    * [[minhashSignatureFromSets]] frames of exactly `newDocs`'s rows,
+    * same hash family as `corpusSig` — enforced via the signature
+    * family stamps when both frames carry one. */
+  def dedupIncrementalFrom(newDocs: DataFrame, batchSets: DataFrame,
+      batchSig: DataFrame, corpusSets: DataFrame, corpusSig: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    for (bf <- stampedFamily(batchSig); cf <- stampedFamily(corpusSig))
+      require(bf == cf, s"hash-family mismatch: batchSig is stamped " +
+        s"[$bf] but corpusSig is stamped [$cf] — mismatched families " +
+        "never band-collide, so dedup would silently drop nothing.")
+    val bSets = batchSets
+    val bSig = batchSig
     val bBands = minhashBands(bSig)
     val cBands = minhashBands(corpusSig)
     // batch vs corpus: any band collision, verified by exact Jaccard
@@ -400,10 +425,21 @@ object TextOps {
   def dedupIncrQuery(s: SparkSession, d: String): DataFrame = {
     val isBatch = col("doc_id") % 5 === 0
     val batch = corpus(s, d).filter(isBatch)
-    val cSets = sharedShingleSets(s, d).filter(!isBatch)
-      .select(col("doc_id"), col("s"))
-    val cSig = sharedSignature(s, d).filter(col("doc_id") % 5 =!= 0)
-    dedupIncremental(batch, cSets, cSig, NearDupJaccard, h28)
+    // Both the batch's and the corpus's index tables are row slices of
+    // the SAME staged parquet ([[sharedShingleSets]]/[[sharedSignature]]
+    // are built over the whole corpus; shingling and the signature are
+    // pure per-row functions of `text`, so filtering commutes with
+    // building them) — so the batch side reads the stage too instead of
+    // re-running tokenize→shingle→h28→minhash on raw text inside every
+    // consumer subtree. Plan effect at sf0.1: the three split/zip_with/
+    // md5 scan pipelines collapse to columnar rescans of the stage.
+    val sets = sharedShingleSets(s, d)
+    val sig = sharedSignature(s, d)
+    val cSets = sets.filter(!isBatch).select(col("doc_id"), col("s"))
+    val cSig = sig.filter(col("doc_id") % 5 =!= 0)
+    val bSets = sets.filter(isBatch).select(col("doc_id"), col("s"))
+    val bSig = sig.filter(isBatch)
+    dedupIncrementalFrom(batch, bSets, bSig, cSets, cSig, NearDupJaccard)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
   }
@@ -1580,14 +1616,23 @@ object TextOps {
 
   def lshPrecisionRecall(s: SparkSession, d: String): DataFrame = {
     val posts = sharedCappedPosts(s, d)
+    // nh is attached to the postings BEFORE the pair self-join (one
+    // broadcast of the doc-sized count table onto each side) instead of
+    // joined twice onto the aggregated pair table: the runtime plan
+    // showed the nh aggregate's shuffle + broadcast built TWICE (no
+    // exchange reuse fired), i.e. two extra jobs per call. Carrying the
+    // 8-byte count through the pair join costs one long per posting row
+    // map-side; the (a,b) aggregate keeps it as a grouping key that is
+    // functionally dependent on the doc key, so groups — and therefore
+    // inter/union arithmetic — are unchanged row for row.
     val nh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-    val gtPairs = posts.alias("x")
-      .join(posts.alias("y"),
+    val postsN = posts.join(broadcast(nh), Seq("doc_id"))
+    val gtPairs = postsN.alias("x")
+      .join(postsN.alias("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nh").as("na"), col("y.nh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(nh.select(col("doc_id").as("a"), col("nh").as("na")), Seq("a"))
-      .join(nh.select(col("doc_id").as("b"), col("nh").as("nb")), Seq("b"))
       .select(col("a"), col("b"), col("inter"),
         (col("na") + col("nb") - col("inter")).as("uni"))
     val cand = sharedCandPairs(s, d).select(col("a"), col("b"))
