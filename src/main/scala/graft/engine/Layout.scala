@@ -299,8 +299,24 @@ object Layout {
       "__off_r", "__off_c", "r", "cum", "n_rows")
     require(!df.columns.exists(reserved.contains),
       s"input carries a reserved rankedCum column (${reserved.mkString(",")})")
-    val ranged = df.repartitionByRange(parts, sortExprs: _*)
-      .withColumn("__pid", spark_partition_id())
+    // The ranged frame's plan is normalized with the SAME ascending-
+    // NULLS FIRST → NULLS LAST rewrite the registry boundary
+    // (Registry0.portableOrder) applies to every declared query's whole
+    // analyzed plan, BEFORE it is persisted. Without this the persist
+    // registered the pre-rewrite plan but every harness consumer looked
+    // up the post-rewrite one: the lookup missed, the cache never
+    // engaged, and both consumers re-ran the range exchange and its
+    // sampling pass (observed in every harness rankedCum plan — output
+    // stayed correct only because the two samplings are deterministic
+    // over the same scan, which is exactly the fragility the persist
+    // exists to remove). Semantics are unchanged through the harness
+    // (the boundary already rewrote these nodes before execution);
+    // direct library callers see a difference only when a sort KEY
+    // holds nulls — the documented key contract is total, and
+    // nulls-last is the repo-wide DuckDB-portable convention.
+    val ranged = Registry0.portableOrder(
+        df.repartitionByRange(parts, sortExprs: _*)
+          .withColumn("__pid", spark_partition_id()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wl = Window.partitionBy(col("__pid")).orderBy(sortExprs: _*)
     val local = ranged

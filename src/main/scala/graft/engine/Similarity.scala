@@ -1820,10 +1820,110 @@ object Similarity extends Serializable {
   def labelConfusion(s: SparkSession, d: String): DataFrame = {
     val c = labelCentroids(s, d)
       .select(col("label").as("cl"), col("pos"), col("m"))
-    val vx = posQuantize(labeled(s, d).select(col("vec_id"),
-      col("label"), col("embedding").cast("array<double>").as("v")),
-      "vec_id", "label")
-    vx.join(broadcast(c), Seq("pos"))
+    val vx = labeled(s, d).select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    confusionPred(vx, c)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vec"))
+      .orderBy("label", "pred")
+  }
+
+  /** Per-vector nearest-centroid label as a PER-PARTITION KERNEL over
+    * the driver-collected (cl, pos, m) centroid frame — the
+    * [[assignTo]] rung applied to [[labelConfusion]]'s argmin. The
+    * declarative form ([[confusionPredDF]], kept as the over-budget
+    * fallback and the spec's equality anchor) materializes
+    * N·dims·|labels| rows through a posexplode → broadcast-join →
+    * double hash/sort-aggregate chain with two extra shuffles (the
+    * runtime plan carried 4 exchanges); the kernel streams each vector
+    * once past the |labels|×dims mean matrix and emits exactly one
+    * (label, pred) row — zero intermediate rows, no shuffle before the
+    * |labels|²-sized confusion rollup.
+    *
+    * Bit-identical by construction: each term is the same
+    * floor((xv−m)²·10⁶) long the declarative projection computes (on
+    * identical double operands), the per-(vector, cl) sum is integer —
+    * order-free — and centroids are scanned in ascending cl with a
+    * strict `<`, which IS min_by over (d2_u, cl): the smaller cl wins
+    * ties. Join semantics are mirrored exactly: only positions the
+    * centroid actually carries contribute (the inner join on pos), a
+    * cl sharing NO position with the vector never forms a group —
+    * tracked by the per-cl term count — and a vector whose v yields no
+    * group at all (empty after the inner join) emits nothing, exactly
+    * as posexplode of an empty array drops the row. The collect is
+    * bounded by the same [[FlatAssignMaxK]] contract as [[assignTo]]
+    * (|labels|·dims rows — 640 at the declared query's 10×64); beyond
+    * it the declarative form runs instead, so the library stays total
+    * with no driver-memory cliff.
+    *
+    * Input contract: `vx` carries one row per vec_id ([[canonEmb]]'s
+    * groupBy guarantees it for every caller here) — the declarative
+    * form's (vec_id, label) groupBy would MERGE duplicate ids where
+    * the kernel emits one row each, so the equality only holds on
+    * canonical frames. */
+  private[graft] def confusionPred(vx: DataFrame, cents: DataFrame): DataFrame = {
+    val spark = vx.sparkSession
+    val crows = cents
+      .select(col("cl").cast("int"), col("pos").cast("long"), col("m"))
+      .limit(FlatAssignMaxK + 1).collect()
+    if (crows.length > FlatAssignMaxK) return confusionPredDF(vx, cents)
+    val cls = crows.map(_.getInt(0)).distinct.sorted
+    val maxPos =
+      if (crows.isEmpty) 0 else crows.map(_.getLong(1)).max.toInt
+    val clIdx = cls.zipWithIndex.toMap
+    val ms = Array.fill(cls.length)(new Array[Double](maxPos))
+    val has = Array.fill(cls.length)(new Array[Boolean](maxPos))
+    crows.foreach { r =>
+      val ci = clIdx(r.getInt(0)); val p = r.getLong(1).toInt
+      if (p >= 1 && p <= maxPos) { ms(ci)(p - 1) = r.getDouble(2); has(ci)(p - 1) = true }
+    }
+    val bc = spark.sparkContext.broadcast((cls, ms, has))
+    val vIdx = vx.schema.fieldIndex("v")
+    val lIdx = vx.schema.fieldIndex("label")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("label",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("pred",
+        org.apache.spark.sql.types.IntegerType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    vx.mapPartitions { rows =>
+      val (kCls, kMs, kHas) = bc.value
+      rows.flatMap { r =>
+        val v = r.getSeq[Double](vIdx)
+        val n = v.length
+        var bestD = 0L; var bestCl = 0; var found = false
+        var ci = 0
+        while (ci < kCls.length) {
+          val m = kMs(ci); val h = kHas(ci)
+          val lim = math.min(n, m.length)
+          var d = 0L; var terms = 0; var p = 0
+          while (p < lim) {
+            if (h(p)) {
+              val diff = v(p) - m(p)
+              d += math.floor(diff * diff * 1000000.0).toLong
+              terms += 1
+            }
+            p += 1
+          }
+          if (terms > 0 && (!found || d < bestD)) {
+            found = true; bestD = d; bestCl = kCls(ci)
+          }
+          ci += 1
+        }
+        if (found)
+          Iterator.single(org.apache.spark.sql.Row(r.get(lIdx), bestCl))
+        else Iterator.empty
+      }
+    }(enc)
+  }
+
+  /** The declarative (posexplode + broadcast-join + aggregate) form of
+    * [[confusionPred]] — the over-[[FlatAssignMaxK]] fallback and the
+    * bit-equality anchor the kernel is spec-pinned against. */
+  private[graft] def confusionPredDF(vx0: DataFrame,
+      cents: DataFrame): DataFrame =
+    posQuantize(vx0, "vec_id", "label")
+      .join(broadcast(cents), Seq("pos"))
       .select(col("vec_id"), col("label"), col("cl"),
         floor((col("xv") - col("m")) * (col("xv") - col("m"))
           * lit(1000000.0)).as("t"))
@@ -1831,8 +1931,5 @@ object Similarity extends Serializable {
       .agg(sum(col("t")).as("d2_u"))
       .groupBy(col("vec_id"), col("label"))
       .agg(min_by(col("cl"), struct(col("d2_u"), col("cl"))).as("pred"))
-      .groupBy(col("label"), col("pred"))
-      .agg(count(lit(1)).as("n_vec"))
-      .orderBy("label", "pred")
-  }
+      .select(col("label"), col("pred"))
 }

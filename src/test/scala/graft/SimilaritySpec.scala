@@ -503,4 +503,60 @@ class SimilaritySpec extends SparkSpec {
     assert(one.subsetOf(four), "OR-construction can only add candidates")
     assert(four.nonEmpty)
   }
+
+  test("confusionPred kernel is bit-identical to the declarative form " +
+      "(ragged lengths, exact ties, missing positions)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Adversarial centroid frame: label 1 carries pos 1..3, label 2 only
+    // pos 1..2 (a vector's pos-3 term must NOT count against label 2 —
+    // the inner-join semantics), label 3 duplicates label 1's means so a
+    // 3-component vector ties exactly between labels 1 and 3 and min_by
+    // must pick the smaller cl.
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, 1L, 0.0), Row(1, 2L, 0.0), Row(1, 3L, 0.0),
+        Row(2, 1L, 0.5), Row(2, 2L, 0.5),
+        Row(3, 1L, 0.0), Row(3, 2L, 0.0), Row(3, 3L, 0.0))),
+      StructType(Seq(StructField("cl", IntegerType),
+        StructField("pos", LongType), StructField("m", DoubleType))))
+    // Vectors: ragged lengths (1, 2, 3 components), values that make
+    // label 2 win on short vectors and tie 1-vs-3 on the long one.
+    val vx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(10L, 1, Seq(0.5)),                 // closer to label 2
+        Row(11L, 2, Seq(0.49, 0.51)),          // near label 2
+        Row(12L, 3, Seq(0.01, -0.01, 0.02)),   // ties labels 1 and 3 → 1
+        Row(13L, 1, Seq(1000.0, -1000.0)))),   // large magnitudes
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("v", ArrayType(DoubleType)))))
+    val kern = Similarity.confusionPred(vx, cents)
+      .orderBy("label", "pred").collect().toSeq
+    val decl = Similarity.confusionPredDF(vx, cents)
+      .orderBy("label", "pred").collect().toSeq
+    assert(kern == decl)
+    // the tie case picked the smaller cl
+    assert(kern.exists(r => r.getInt(0) == 3 && r.getInt(1) == 1))
+  }
+
+  test("confusionPred on an empty-vector row emits nothing, like the " +
+      "declarative posexplode") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cents = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1, 1L, 0.0))),
+      StructType(Seq(StructField("cl", IntegerType),
+        StructField("pos", LongType), StructField("m", DoubleType))))
+    val vx = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, 1, Seq.empty[Double]), Row(2L, 1, Seq(0.25)))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("label", IntegerType),
+        StructField("v", ArrayType(DoubleType)))))
+    val kern = Similarity.confusionPred(vx, cents).collect().toSeq
+    val decl = Similarity.confusionPredDF(vx, cents).collect().toSeq
+    assert(kern == decl)
+    assert(kern.size == 1)
+  }
 }
