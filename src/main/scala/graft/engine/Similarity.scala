@@ -1365,10 +1365,15 @@ object Similarity extends Serializable {
   def annRecall(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val b = simTopK(s, d, k).select(col("q_id"), col("vec_id"))
     val l = simLsh(s, d, k).select(col("q_id"), col("vec_id"))
-    val hits = b.join(l, Seq("q_id", "vec_id"), "left_semi")
+    // both report legs are NumQueries·k rows BY CONSTRUCTION (top-k per
+    // fixed query), but the planner cannot see that through the window
+    // subtrees and fell back to two sort-merge joins (sort + exchange
+    // on each side); broadcast hints replace them with map-side hash
+    // joins — same rows, no report-side shuffle
+    val hits = b.join(broadcast(l), Seq("q_id", "vec_id"), "left_semi")
       .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
     b.select("q_id").distinct()
-      .join(hits, Seq("q_id"), "left")
+      .join(broadcast(hits), Seq("q_id"), "left")
       .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
       .withColumn("recall", col("n_hit").cast("double") / k)
       .orderBy("q_id", "n_hit", "recall")

@@ -597,11 +597,16 @@ object TextOps {
 
   // ---- declared queries ----------------------------------------------
 
+  // Reads the staged (doc_id, tok, lc) table instead of re-exploding
+  // raw text: total occurrences = Σ lc and doc frequency = the stage's
+  // row count per tok (stage keys are distinct (doc_id, tok), so
+  // count(1) IS countDistinct(doc_id)) — integer-identical, one
+  // columnar rescan instead of a corpus tokenize, and the shuffle
+  // carries per-(doc,tok) partials instead of raw token occurrences.
   def textTokens(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .select(explode(tokens(col("text"))).as("tok"), col("doc_id"))
+    sharedDocToks(s, d)
       .groupBy(col("tok"))
-      .agg(count(lit(1)).as("c"), countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("lc")).as("c"), count(lit(1)).as("n_docs"))
       .orderBy(col("c").desc, col("tok"))
 
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -660,13 +665,16 @@ object TextOps {
       s">= $QHighTtr THEN 'high' WHEN $nTok >= $QMidTok THEN 'mid' " +
       "ELSE 'low' END"
 
+  // Stage-fed ([[sharedDocToks]]): n_tok = Σ lc, n_uniq = row count
+  // (stage keys are distinct (doc_id, tok)), sum_len = Σ len(tok)·lc —
+  // integer-identical to the explode form, minus the corpus tokenize
+  // and the countDistinct's extra aggregation pass.
   def qualityScore(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    sharedDocToks(s, d)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct(col("tok")).as("n_uniq"),
-        sum(length(col("tok"))).as("sum_len"))
+      .agg(sum(col("lc")).as("n_tok"),
+        count(lit(1)).as("n_uniq"),
+        sum(length(col("tok")) * col("lc")).as("sum_len"))
       .withColumn("ttr", col("n_uniq").cast("double") / col("n_tok"))
       .withColumn("mean_tok_len", col("sum_len").cast("double") / col("n_tok"))
       .withColumn("grade", gradeCol(col("n_tok"), col("n_uniq")))
@@ -890,10 +898,19 @@ object TextOps {
     * cluster assignment behind [[dupClusters]] and [[dedupApply]] (one
     * definition, so the cluster report and the materialized deduped
     * corpus can never disagree on membership). */
-  private def nearDupComponents(s: SparkSession, d: String): DataFrame =
-    Components.connectedComponents(
-      sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
-        .select(col("a"), col("b")))
+  // Parquet-staged ([[Stages]]): three declared queries (dup_clusters,
+  // cluster_sizes, dedup_apply) consume the same deterministic label
+  // frame, and each used to re-run the full iterative propagation loop
+  // (joins + per-round convergence actions). Staging runs the loop once
+  // per corpus — the "checkpoint the labels beside the pair table"
+  // shape a real dedup pipeline uses — and the consumers become
+  // columnar rescans. The loop's own per-round caches release via
+  // clearCache/session end like every kernel-tier cache here.
+  private[engine] def nearDupComponents(s: SparkSession, d: String): DataFrame =
+    Stages.materialize(s, "neardup_components", d)(
+      Components.connectedComponents(
+        sharedCandPairs(s, d).filter(col("jacc") >= NearDupJaccard)
+          .select(col("a"), col("b"))))
 
   /** SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 3, with
     * candidates from band-LSH over the 28-bit shingle signature — 4
@@ -1038,10 +1055,19 @@ object TextOps {
     * WindowGroupLimit like every rank filter. */
   def tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = corpus(s, d)
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n"))
+    // Stage-fed ([[sharedDocToks]]): the stage IS the (doc, term, tf)
+    // table — `lc` is the per-doc occurrence count the explode+groupBy
+    // used to rebuild, and doc frequency is the per-term row count
+    // (stage keys are distinct (doc_id, tok)). Integer-identical; drops
+    // two corpus tokenizes and the (doc, term) pre-aggregation shuffle
+    // (the window's doc-keyed exchange remains the only token-table
+    // shuffle).
+    val dt = sharedDocToks(s, d)
+    val tf = dt.select(col("doc_id"), col("tok").as("term"),
+        col("lc").as("n"))
       .withColumn("n_tok", sum(col("n")).over(Window.partitionBy(col("doc_id"))))
-    val dfreq = terms.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val dfreq = dt.groupBy(col("tok").as("term"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))
     tf.join(dfreq, Seq("term"))
@@ -1065,10 +1091,12 @@ object TextOps {
     * the result is bit-deterministic at any partitioning. */
   def curateDocs(s: SparkSession, d: String): DataFrame = {
     val docs = corpus(s, d)
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // stage-fed token stats (see [[qualityScore]]): Σ lc and the
+    // distinct-(doc,tok) row count off [[sharedDocToks]], not a fresh
+    // corpus explode — integer-identical
+    val toks = sharedDocToks(s, d)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("n_uniq"))
+      .agg(sum(col("lc")).as("n_tok"), count(lit(1)).as("n_uniq"))
     val quality = docs.join(toks, Seq("doc_id"))
       .filter(col("n_tok") >= 30 &&
         col("n_uniq").cast("double") / col("n_tok") >= 0.4)
@@ -1428,9 +1456,12 @@ object TextOps {
     * tokenization-for-counting behind [[vocabBuild]], [[bpeStep]] and
     * [[bpeTrain]]. */
   def tokenFreq(s: SparkSession, d: String): DataFrame =
-    corpus(s, d)
-      .select(explode(tokens(col("text"))).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
+    // Σ lc over the staged (doc_id, tok, lc) table == the occurrence
+    // count of the former corpus explode, without re-tokenizing — and
+    // the tok-keyed shuffle carries per-(doc,tok) partials, not raw
+    // occurrences
+    sharedDocToks(s, d)
+      .groupBy("tok").agg(sum(col("lc")).as("f"))
 
   def vocabBuild(s: SparkSession, d: String): DataFrame = {
     val counts = tokenFreq(s, d).select(col("tok"), col("f").as("c"))
@@ -1485,12 +1516,18 @@ object TextOps {
     val src = corpus(s, d).select(col("doc_id"), col("source"))
     val st = dt.join(src, Seq("doc_id"))
       .groupBy(col("source"), col("tok")).agg(sum(col("lc")).as("n"))
-    val stot = st.groupBy("source").agg(sum(col("n")).as("tot"))
+    // source totals as a window over st, not a groupBy+join back onto
+    // it: the join form re-ran the whole corpus-scale (source, tok)
+    // aggregate a second time under the totals branch (two identical
+    // exchanges in the runtime plan — no reuse fired); the window runs
+    // over the already-reduced source×vocab frame. Same tot per source.
     val ct = dt.groupBy(col("tok")).agg(sum(col("lc")).as("cn"))
     val ctot = dt.agg(sum(col("lc")).as("ctot"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("lift_ppm").desc, col("tok"))
-    st.join(stot, Seq("source")).join(ct, Seq("tok"))
+    st.withColumn("tot",
+        sum(col("n")).over(Window.partitionBy(col("source"))))
+      .join(ct, Seq("tok"))
       .crossJoin(broadcast(ctot))
       // decimal(38,0) ppm-widening: n/cn are TOKEN counts (~10^14 at
       // 100 TB) — count*10^6 overflows int64 long before that
@@ -2145,10 +2182,19 @@ object TextOps {
         coalesce(col("c2"), lit(0L)).as("c2"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // side totals from ONE corpus aggregate: Σc1 over pooled is just
+    // the src0 row count (every src0 row lands in exactly one value
+    // group, null included), so deriving n1/n2 from `pooled` re-ran
+    // both per-side aggregates AND the full-outer join a second time —
+    // the plan carried the whole pooled subtree twice for two scalars
+    val tots = docs.agg(
+      sum(when(col("source") === "src0", 1L).otherwise(0L))
+        .cast(LongType).as("n1"),
+      sum(when(col("source") === "src1", 1L).otherwise(0L))
+        .cast(LongType).as("n2"))
     pooled
       .select(col("v"), sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
-      .crossJoin(broadcast(pooled.agg(sum("c1").cast(LongType).as("n1"),
-        sum("c2").cast(LongType).as("n2"))))
+      .crossJoin(broadcast(tots))
       .select(col("v"), col("n1"), col("n2"),
         // decimal(38,0) widening: f1/f2 are CUMULATIVE token
         // frequencies, up to the corpus total (~10¹⁴ at 100 TB) —

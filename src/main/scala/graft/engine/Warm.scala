@@ -26,6 +26,7 @@ object Warm {
     TextOps.sharedCandPairs(s, d); TextOps.sharedSimhashShingle(s, d)
     TextOps.sharedCappedPosts(s, d)
     TextOps.sharedHeapsPerDoc(s, d); TextOps.sharedDocGrams(s, d)
+    TextOps.nearDupComponents(s, d)
     Similarity.canonEmb(s, d); Similarity.sharedDimStats(s, d)
     Relational.warmStages(s, d)
     ()
