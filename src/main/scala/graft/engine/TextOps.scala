@@ -1520,12 +1520,18 @@ object TextOps {
     // it: the join form re-ran the whole corpus-scale (source, tok)
     // aggregate a second time under the totals branch (two identical
     // exchanges in the runtime plan — no reuse fired); the window runs
-    // over the already-reduced source×vocab frame. Same tot per source.
+    // over the already-reduced source×vocab frame. Same tot per source
+    // — with the former INNER join's null-key semantics made explicit:
+    // a null-source row never matched the totals join (null ≠ null),
+    // so the filter drops the null-source group the window would
+    // otherwise keep (caught by the seed-215 differential fuzz — the
+    // plain SF corpora carry no null sources, the fuzzed ones do).
     val ct = dt.groupBy(col("tok")).agg(sum(col("lc")).as("cn"))
     val ctot = dt.agg(sum(col("lc")).as("ctot"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("lift_ppm").desc, col("tok"))
-    st.withColumn("tot",
+    st.filter(col("source").isNotNull)
+      .withColumn("tot",
         sum(col("n")).over(Window.partitionBy(col("source"))))
       .join(ct, Seq("tok"))
       .crossJoin(broadcast(ctot))
