@@ -155,6 +155,7 @@ object Stages {
               s"$p-attempt-${java.util.UUID.randomUUID().toString.take(8)}")
             val t0 = System.nanoTime()
             df.write.mode("overwrite").parquet(attempt.toString)
+            compactAttempt(s, fs, attempt)
             System.err.println(f"[stages] built $stage in " +
               f"${(System.nanoTime() - t0) / 1e9}%.2f s")
             if (!publish(fs, ptr, attempt.toString)) {
@@ -203,6 +204,59 @@ object Stages {
       }
     }
     s.read.parquet(path)
+  }
+
+  /** Target stage parquet file size (bytes). Stage writes inherit the
+    * build plan's output partitioning — at cluster core counts (or with
+    * AQE's parallelism-first coalescing) that is MANY small files, and
+    * every downstream consumer then pays per-file open/footer overhead
+    * on each of its rescans while the driver pays listing time (guide
+    * §6: aim for 128 MB–1 GB output files). Overridable per deployment
+    * via `-Dgraft.stages.targetFileBytes`; the default sits at the
+    * low end of the §6 band so local runs exercise the same code path
+    * a cluster uses. */
+  private lazy val targetFileBytes: Long =
+    sys.props.get("graft.stages.targetFileBytes").map(_.toLong)
+      .getOrElse(256L * 1024 * 1024)
+
+  /** Compact a just-written attempt directory toward
+    * [[targetFileBytes]]-sized files: if the write produced more part
+    * files than `ceil(bytes/target)` AND the average file is under half
+    * the target, read the attempt back, `coalesce` to the ideal count,
+    * and atomically swap the compacted copy in. Runs BEFORE publish, on
+    * the writer's private attempt dir — no reader can observe the swap.
+    * The cost (one read+write of the stage-sized table, never the
+    * corpus) is paid once per corpus at build time and lands in the
+    * bench's disclosed `stages_sec`; every consumer scan afterwards
+    * opens `ideal` files instead of one per build-side task. Skipped
+    * when the layout is already healthy, so a stage whose files average
+    * ≥ target/2 — e.g. a big stage written through well-sized shuffle
+    * partitions — pays nothing. `coalesce` (not repartition) keeps the
+    * rewrite shuffle-free, and reading back the finished parquet makes
+    * the sizing exact where any pre-write estimate (plan statistics)
+    * can be off by the compression factor. */
+  private def compactAttempt(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      attempt: org.apache.hadoop.fs.Path): Unit = {
+    val parts = fs.listStatus(attempt).filter(st =>
+      !st.isDirectory && st.getPath.getName.startsWith("part-"))
+    val n = parts.length
+    if (n <= 1) return
+    val bytes = parts.map(_.getLen).sum
+    val ideal = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    if (n <= ideal || bytes / n >= targetFileBytes / 2) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$attempt-compact")
+    s.read.parquet(attempt.toString)
+      .coalesce(ideal.toInt)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // private pre-publish swap: a failure here fails the build (the
+    // attempt was never published), so partial states cannot be read
+    fs.delete(attempt, true)
+    if (!fs.rename(tmp, attempt))
+      throw new java.io.IOException(
+        s"stage compaction: rename $tmp -> $attempt failed")
+    System.err.println(s"[stages] compacted ${attempt.getName}: " +
+      s"$n files ($bytes B) -> $ideal")
   }
 
   /** Terminator line proving a pointer was completely written. */

@@ -1669,7 +1669,24 @@ object TextOps {
     // functionally dependent on the doc key, so groups — and therefore
     // inter/union arithmetic — are unchanged row for row.
     val nh = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
-    val postsN = posts.join(broadcast(nh), Seq("doc_id"))
+    // Hash-distribute the postings by the join key BEFORE the pair
+    // self-join. The join fans out ~Σdf² rows from its streamed input,
+    // but the staged postings table is small relative to the 256 MB
+    // scan split, so the streamed side arrives as a handful of scan
+    // tasks (ONE at the gate SF — the executed plan showed the whole
+    // pair generation + partial aggregate on a single core, which is
+    // also why 8 cores beat 32 on this query). Partition count follows
+    // spark.sql.shuffle.partitions (cores locally, cluster-configured
+    // in production — never a constant); the explicit count keeps AQE
+    // from coalescing the pre-fanout partitions back down by their
+    // (tiny) input size, which is exactly the misleading signal here:
+    // partition cost is df², not bytes in. At cluster scale a sort-merge
+    // pair join would hash-partition both sides on h anyway, so this
+    // exchange replaces — never adds to — the join's own shuffle, and
+    // the y-side reuses it (ReusedExchange) instead of re-scanning.
+    val shufflePartitions = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val postsN = posts.repartition(shufflePartitions, col("h"))
+      .join(broadcast(nh), Seq("doc_id"))
     val gtPairs = postsN.alias("x")
       .join(postsN.alias("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -2013,7 +2030,13 @@ object TextOps {
   def unigramSurprisal(s: SparkSession, d: String): DataFrame = {
     val dt = sharedDocToks(s, d)
     val cf = dt.groupBy("tok").agg(sum("lc").as("cf"))
-    val tot = cf.agg(sum(col("cf")).as("tot"))
+    // corpus token total off the DOC-sized [[sharedHeapsPerDoc]] stage:
+    // Σ n_tok ≡ Σ cf ≡ Σ lc (integer-identical — the same multiset of
+    // local counts summed in a different grouping order). Rolling up cf
+    // here made the runtime plan build the vocab-keyed cf aggregate
+    // TWICE (the join consumer broadcasts it, the total consumer rolls
+    // it up to one row — different exchange types, no runtime reuse).
+    val tot = sharedHeapsPerDoc(s, d).agg(sum(col("n_tok")).as("tot"))
     dt.join(cf, Seq("tok"))
       .crossJoin(broadcast(tot))
       .select(col("doc_id"), col("lc"),
@@ -2044,7 +2067,11 @@ object TextOps {
     * the shared stage. */
   def tokenEntropy(s: SparkSession, d: String): DataFrame = {
     val dt = sharedDocToks(s, d)
-    val dn = dt.groupBy("doc_id").agg(sum("lc").as("n"))
+    // staged per-doc totals ([[sharedHeapsPerDoc]], n = n_tok = Σ lc —
+    // integer-identical): drops this query's own doc-keyed aggregation
+    // over the corpus-sized token stage for a doc-sized columnar rescan
+    val dn = sharedHeapsPerDoc(s, d)
+      .select(col("doc_id"), col("n_tok").as("n"))
     dt.join(dn, Seq("doc_id"))
       .select(col("doc_id"), col("n"),
         floor(col("lc") * log2(col("n").cast("double") / col("lc")) *
@@ -2076,7 +2103,15 @@ object TextOps {
     * TakeOrderedAndProject, never a global sort. */
   def bm25(s: SparkSession, d: String): DataFrame = {
     val dt = sharedDocToks(s, d)
-    val dl = dt.groupBy("doc_id").agg(sum("lc").as("dl"))
+    // per-doc length = the staged [[sharedHeapsPerDoc]] totals (n_tok =
+    // Σ lc per doc — integer-identical to aggregating the corpus-sized
+    // token stage here). The runtime plan showed the doc-keyed aggregate
+    // built TWICE (once broadcast for the scoring join, once rolled up
+    // for the corpus stats — different exchange types, so runtime
+    // exchange reuse could never dedup them); both consumers now rescan
+    // the doc-sized parquet stage instead.
+    val dl = sharedHeapsPerDoc(s, d)
+      .select(col("doc_id"), col("n_tok").as("dl"))
     val st = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
     val qt = dt.filter(col("tok").isin(Bm25Terms: _*))
     val dfreq = qt.groupBy("tok").agg(count(lit(1)).as("df"))

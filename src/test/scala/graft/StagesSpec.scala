@@ -305,6 +305,40 @@ class StagesSpec extends SparkSpec {
       "old-looking dir with fresh children is an in-flight publish — survives")
   }
 
+  test("a fragmented stage write is compacted toward the file-size target") {
+    // an explicit repartition(8) survives AQE, so the raw write yields 8
+    // tiny part files; with the 256 MB default target the ideal count is
+    // 1 — the published stage must hold ONE part file with identical data
+    val dir = java.nio.file.Files.createTempDirectory("spec-compact").toString
+    val staged = Stages.materialize(spark, "spec_compact", dir) {
+      spark.range(1000).toDF("id").repartition(8)
+    }
+    assert(staged.count() == 1000)
+    assert(staged.select(sum(col("id"))).head.getLong(0) == 999L * 1000 / 2)
+    val rootField = Stages.getClass.getDeclaredField("root")
+    rootField.setAccessible(true)
+    val root = new java.io.File(rootField.get(Stages).asInstanceOf[String])
+    val attempts = root.listFiles().filter(f =>
+      f.getName.startsWith("spec_compact-") && f.isDirectory)
+    assert(attempts.length == 1)
+    val partFiles = attempts.head.listFiles()
+      .filter(f => f.getName.startsWith("part-"))
+    assert(partFiles.length == 1,
+      s"expected 1 compacted part file, got ${partFiles.length}")
+    // no leftover -compact swap directory
+    assert(!attempts.head.getName.endsWith("-compact"))
+  }
+
+  test("an already-healthy stage layout is not rewritten") {
+    // a single-partition write is already at the ideal count — the
+    // compactor must leave it alone (same file count, one build)
+    val dir = java.nio.file.Files.createTempDirectory("spec-nocompact").toString
+    val staged = Stages.materialize(spark, "spec_nocompact", dir) {
+      spark.range(100).toDF("id").coalesce(1)
+    }
+    assert(staged.count() == 100)
+  }
+
   test("liveStageUnits names every unit this JVM resolved") {
     Stages.materialize(spark, "spec_live_units", "/tmp/spec-in") {
       spark.range(2).toDF("id")
