@@ -191,6 +191,36 @@ object Layout {
     cols.toSeq
   }
 
+  /** Hash-spread a SMALL, compute-heavy frame across the session's
+    * shuffle width — the fix for the "tiny bytes, huge per-row compute"
+    * scan shape: split planning is byte-based
+    * (`spark.sql.files.maxPartitionBytes`), so a staged table smaller
+    * than one split arrives as ONE task even when the work it feeds
+    * (text HOF folds, banded self-join fanout) is orders of magnitude
+    * larger than the scan — measured at the 10× SF: four queries ran
+    * their whole compute on a single core while 31 idled.
+    *
+    * Scale-adaptive by construction (never a constant): the spread
+    * only fires when the input's estimated bytes are below
+    * `shuffle.partitions × maxPartitionBytes` — i.e. when the scan
+    * CANNOT reach the session's parallelism on its own. At cluster
+    * scale the same frame measures past the threshold and the call is
+    * an exact no-op (no exchange added), so the corpus-sized shuffle
+    * this would otherwise cost at 100 TB never happens. File-backed
+    * frames (the [[graft.engine.Stages]] outputs this serves) carry
+    * exact file-length statistics, so the estimate is real bytes, not
+    * a guess. Keys must be high-cardinality (doc keys) so the hash
+    * spreads evenly — and keyed hashing avoids the local sort a
+    * round-robin repartition pays (`sortBeforeRepartition`). */
+  def spreadSmall(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val sess = df.sparkSession
+    val sp = sess.conf.get("spark.sql.shuffle.partitions").toInt
+    val split = sess.conf.get("spark.sql.files.maxPartitionBytes",
+      (128L * 1024 * 1024).toString).toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes < BigInt(sp) * split) df.repartition(sp, keys: _*) else df
+  }
+
   /** Salted equi-join of a skewed fact against a dimension: the fact
     * side gets a per-row salt, the dimension is replicated `salts`
     * times, and the join key becomes (key, salt) — one hot key now

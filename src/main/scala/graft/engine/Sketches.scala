@@ -55,7 +55,11 @@ object Sketches {
     * neither sketch query re-tokenizes the corpus or re-runs md5 (the
     * corpus is exploded once per corpus, at stage build). */
   private def stagedShingles(s: SparkSession, d: String): DataFrame =
-    TextOps.sharedShingleSets(s, d)
+    // spreadSmall before the explode: the shingle explode + distinct
+    // partial aggregation otherwise run inside the stage scan's single
+    // byte-sized split at sub-cluster SFs (measured 4.5 s steady at the
+    // 10× SF on one core). Size-gated no-op at cluster scale.
+    Layout.spreadSmall(TextOps.sharedShingleSets(s, d), Seq(col("doc_id")))
       .select(col("source"),
         explode(arrays_zip(col("s"), col("hx"))).as("z"))
       .select(col("source"), col("z").getField("s").as("sh"),

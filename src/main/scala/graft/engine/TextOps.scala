@@ -733,7 +733,10 @@ object TextOps {
   }
 
   def qualitySample(s: SparkSession, d: String): DataFrame =
-    qualityFlags(corpus(s, d))
+    // spreadSmall: the qualityFlags folds are per-row compute over a
+    // one-split corpus scan at sub-cluster SFs (size-gated no-op at
+    // scale; the grade aggregate after it is 4 rows either way)
+    qualityFlags(Layout.spreadSmall(corpus(s, d), Seq(col("doc_id"))))
       .groupBy("grade")
       .agg(count(lit(1)).as("n_total"), first(col("rate_ppm")).as("rate_ppm"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
@@ -954,7 +957,13 @@ object TextOps {
         .select(col("doc_id"), simhashOfHashes(col("hx")).as("simhash")))
 
   def simhashNear(s: SparkSession, d: String): DataFrame =
-    simhashNearPairs(sharedSimhashShingle(s, d)).orderBy("a", "b")
+    // spreadSmall: the banded self-join probes ~N²/(bands·2^bits) pairs
+    // from a stage scan measuring under ONE byte-sized split — at the
+    // 10× SF the entire fanout ran on a single core (19.3 s steady,
+    // worst query of the leg). Size-gated: a no-op once the stage
+    // outgrows shuffle.partitions × maxPartitionBytes.
+    simhashNearPairs(Layout.spreadSmall(
+      sharedSimhashShingle(s, d), Seq(col("doc_id")))).orderBy("a", "b")
 
   /** Sketch-quality measurement: for every LSH candidate pair, the
     * MinHash-estimated Jaccard (fraction of equal signature components)
@@ -1219,7 +1228,12 @@ object TextOps {
     * shuffle-free, linear, stream-safe. Output: (doc_id, chunk_idx,
     * n_tok_chunk, sig). */
   def cdcChunks(s: SparkSession, d: String): DataFrame =
-    cdcChunkSigs(corpus(s, d)).orderBy("doc_id", "chunk_idx")
+    // spreadSmall (batch path only — the streaming caller feeds
+    // [[cdcChunkSigs]] directly): the per-row chunking folds cost far
+    // more than the scan bytes, and the staged corpus arrives as one
+    // split at sub-cluster SFs. Size-gated no-op at scale.
+    cdcChunkSigs(Layout.spreadSmall(corpus(s, d), Seq(col("doc_id"))))
+      .orderBy("doc_id", "chunk_idx")
 
   /** The frame-level CDC chunker behind [[cdcChunks]] (single
     * definition, [[chunkSigs]] discipline); valid on batch and
@@ -1389,7 +1403,11 @@ object TextOps {
     * explodes, no joins, no shuffle); the report is a 5-way indicator
     * aggregation of that single flag table — no per-stage rescans. */
   def filterFunnel(s: SparkSession, d: String): DataFrame = {
-    val flags = corpus(s, d)
+    // spreadSmall: every per-doc fold (tokenize, runStats ×2, bigram
+    // shingles, digest) runs BELOW the nk exchange, i.e. inside the
+    // corpus scan's task(s) — one core at sub-cluster SFs. Size-gated
+    // no-op once the corpus outgrows the session's scan parallelism.
+    val flags = Layout.spreadSmall(corpus(s, d), Seq(col("doc_id")))
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .withColumn("n_tok", size(col("toks")).cast(LongType))
       .withColumn("n_uniq", runStats(col("toks")).getField("uniq"))
